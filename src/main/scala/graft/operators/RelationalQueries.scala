@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.2-§2.8) re-expressed as
+  * idiomatic DataFrame pipelines over the TPC-H-ish test tables.
+  *
+  * Determinism rules applied throughout so the DuckDB oracle hash-matches:
+  *   - money aggregates go through DECIMAL casts (exact, engine-independent);
+  *   - double aggregates are rounded to 4 decimals;
+  *   - every result carries a total ORDER BY with a unique tie-break key;
+  *   - every computed column is aliased identically on both sides.
+  */
+object RelationalQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // A1/A6/A7 grouped aggregation with decimal + filtered aggregates
+    // (TPC-H Q1 shape; reference A-family, SURVEY §2.4)
+    Q("q1_pricing_summary",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec2(col("l_quantity"))).as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+            sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+            sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----------------------------------------------------------------
+    // J1-shape multi-join + agg + top-k (TPC-H Q3); broadcast dim side
+    Q("q3_shipping_priority",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+             SELECT o_orderkey,
+                    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                    o_orderdate, o_orderpriority
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                           JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate > TIMESTAMP '1998-01-01'
+             GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+             ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ----------------------------------------------------------------
+    // 5-way join through broadcast dimension chain (TPC-H Q5 shape)
+    Q("q5_region_revenue",
+      (s, d) => {
+        val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, d)
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d)
+        val supp = Tables.supplier(s, d)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey") &&
+                      supp("s_nationkey") === cust("c_nationkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+             GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ----------------------------------------------------------------
+    // J2: left-semi join (EXISTS / IN-subquery shape, schema.sql:426-427)
+    Q("j2_semi_join",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val bigLines = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+        ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+             ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // J6: left-anti join (NOT EXISTS; trigger first-event check shape)
+    Q("j6_anti_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_nationkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // J3: cross join (view-fanout shape, schema.sql:244-252)
+    Q("j3_cross_join",
+      (s, d) => {
+        Tables.region(s, d).crossJoin(Tables.supplier(s, d))
+          .select("r_name", "s_name", "s_nationkey")
+          .orderBy("r_name", "s_name")
+      },
+      Some("""SELECT r_name, s_name, s_nationkey FROM region CROSS JOIN supplier
+             ORDER BY r_name, s_name""")),
+
+    // ----------------------------------------------------------------
+    // J9: correlated per-group subquery, de-correlated to a window
+    // (largest order per customer — rank-1, no float comparisons)
+    Q("j9_largest_order_per_customer",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ord.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             FROM orders) WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // ----------------------------------------------------------------
+    // A6: filtered aggregates (COUNT FILTER shape, test-helpers.sql:252-256)
+    Q("a6_filtered_agg",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(when(col("value") > 100, 1)).as("n_big"),
+            sum(dec2(col("value"))).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             count(CASE WHEN value > 100 THEN 1 END) AS n_big,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
+    // A7: min/max/avg/round summary stats per group
+    Q("a7_segment_stats",
+      (s, d) => {
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            min("c_acctbal").as("min_bal"),
+            max("c_acctbal").as("max_bal"),
+            round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+             round(avg(c_acctbal), 4) AS avg_bal
+             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----------------------------------------------------------------
+    // A8: ordered array aggregation (json_agg shape)
+    Q("a8_array_agg",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("event_types"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // CUBE grouping sets (extended-analytics aggregation surface)
+    Q("a_cube_returnflag",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ----------------------------------------------------------------
+    // W3: window frame running sum (ROWS BETWEEN ... AND CURRENT ROW)
+    Q("w3_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+             FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ----------------------------------------------------------------
+    // W4: ntile ranking over a global ordering
+    Q("w4_ntile_quartiles",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .select("c_custkey", "quartile")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+             FROM customer ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // O3: top-k with deterministic tie-break (TakeOrderedAndProject)
+    Q("o3_topk_orders",
+      (s, d) => {
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(15)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""")),
+
+    // ----------------------------------------------------------------
+    // Set operations: INTERSECT / EXCEPT / UNION (SURVEY §2.7)
+    Q("set_intersect_nations",
+      (s, d) => {
+        Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    Q("set_except_nations",
+      (s, d) => {
+        Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+          .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+             EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    Q("set_union_users",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "signup").select(col("user_id"))
+          .union(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+          .distinct()
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+             UNION SELECT user_id FROM events WHERE event_type = 'purchase'
+             ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // F1-F11 scalar function sampler: string/date/math/json/conditional
+    Q("f_scalar_kitchen",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("user_id") < 5)
+          .select(
+            col("event_id"),
+            upper(col("event_type")).as("etype_u"),
+            concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("tag"),
+            length(col("props")).as("props_len"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+            date_trunc("DAY", col("ts")).as("day_ts"),
+            pmod(col("event_id"), lit(7)).as("id_mod7"),
+            round(col("value") * 2.0, 2).as("v2"),
+            dec2(col("value")).as("vdec"),
+            substring(col("event_type"), 1, 3).as("et3"),
+            coalesce(nullif(col("event_type"), lit("click")), lit("CLICKED")).as("et_nn"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, upper(event_type) AS etype_u,
+             event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+             length(props) AS props_len,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             date_trunc('day', ts) AS day_ts,
+             event_id % 7 AS id_mod7,
+             round(value * 2.0, 2) AS v2,
+             CAST(value AS DECIMAL(18,2)) AS vdec,
+             substring(event_type, 1, 3) AS et3,
+             coalesce(nullif(event_type, 'click'), 'CLICKED') AS et_nn
+             FROM events WHERE user_id < 5 ORDER BY event_id"""))
+  )
+}
