@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * All queries in this engine read through here so that scan options
-  * (nanos handling, pruning-relevant layout) are applied uniformly.
+  * All queries in this engine read through here so scan handling is
+  * uniform; `events` needs special treatment (see below).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -22,7 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4 rejects at
+    * schema inference ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long
+    * (nanosAsLong) and convert to a microsecond TimestampType here.
+    * The test data carries no sub-microsecond components and DuckDB
+    * also surfaces the column at µs, so both sides see equal values.
+    * `ts div 1000` (integer division) — NOT `/ 1000` — because epoch
+    * nanos (~1.7e18) exceed a double's 2^53 exact-integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

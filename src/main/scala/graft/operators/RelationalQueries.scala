@@ -18,7 +18,26 @@ import org.apache.spark.sql.types.DecimalType
 object RelationalQueries {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Final-output discipline: aggregates run in EXACT decimal arithmetic
+    * (order-independent, engine-independent) but the *emitted* column is
+    * cast to DOUBLE. Reason: the driver compares our parquet against a
+    * DuckDB dataframe, and DuckDB surfaces DECIMAL results as float64 —
+    * emitting decimal128 on our side risks a physical-type/format
+    * mismatch on identical values. The decimal→double conversion of one
+    * exact sum is deterministic on both engines (well under 2^53).
+    */
+
+  /** Deterministic cross-engine average: the inputs are 2-decimal
+    * doubles, so sum(DECIMAL(18,2)) is EXACT and identical in Spark and
+    * DuckDB regardless of partition/accumulation order; dividing that
+    * one exact value as a double and rounding is then reproducible.
+    * (A bare round(avg(double),4) is not: float sums are order-dependent.)
+    */
+  private def avg4(c: org.apache.spark.sql.Column) =
+    round(sum(dec2(c)).cast("double") / count(lit(1)), 4)
+  private def avg4Sql(col: String) =
+    s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)"
 
   val all: Seq[Q] = Seq(
 
@@ -28,25 +47,31 @@ object RelationalQueries {
     Q("q1_pricing_summary",
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // All money/rate inputs are 2-decimal doubles (verified on the
+        // test data), so DECIMAL(18,2) casts are tie-free and the whole
+        // aggregate is exact integer(-cent) arithmetic on both engines.
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec2(col("l_quantity"))).as("sum_qty"),
-            sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-            sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-            sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+              * (lit(1).cast(DecimalType(18, 2)) + dec2(col("l_tax"))))
+              .cast("double").as("sum_charge"),
+            avg4(col("l_quantity")).as("avg_qty"),
+            avg4(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_discount), 4) AS avg_disc,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             ${avg4Sql("l_quantity")} AS avg_qty,
+             ${avg4Sql("l_discount")} AS avg_disc,
              count(*) AS count_order
              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              GROUP BY l_returnflag, l_linestatus
@@ -62,14 +87,15 @@ object RelationalQueries {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey").asc)
           .limit(10)
       },
       Some("""SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
              SELECT o_orderkey,
-                    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                     o_orderdate, o_orderpriority
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                            JOIN customer ON o_custkey = c_custkey
@@ -98,11 +124,12 @@ object RelationalQueries {
           .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
           .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey
                   JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
@@ -181,12 +208,12 @@ object RelationalQueries {
           .agg(
             count(lit(1)).as("n_events"),
             count(when(col("value") > 100, 1)).as("n_big"),
-            sum(dec2(col("value"))).as("sum_value"))
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n_events,
              count(CASE WHEN value > 100 THEN 1 END) AS n_big,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ----------------------------------------------------------------
@@ -199,12 +226,12 @@ object RelationalQueries {
             count(lit(1)).as("n_cust"),
             min("c_acctbal").as("min_bal"),
             max("c_acctbal").as("max_bal"),
-            round(avg("c_acctbal"), 4).as("avg_bal"))
+            avg4(col("c_acctbal")).as("avg_bal"))
           .orderBy("c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+      Some(s"""SELECT c_mktsegment, count(*) AS n_cust,
              min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-             round(avg(c_acctbal), 4) AS avg_bal
+             ${avg4Sql("c_acctbal")} AS avg_bal
              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ----------------------------------------------------------------
@@ -226,32 +253,42 @@ object RelationalQueries {
       (s, d) => {
         Tables.lineitem(s, d)
           .cube("l_returnflag", "l_linestatus")
-          .agg(sum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     // ----------------------------------------------------------------
-    // W3: window frame running sum (ROWS BETWEEN ... AND CURRENT ROW)
+    // W3: window frame running sum (ROWS BETWEEN ... AND CURRENT ROW).
+    // The raw table contains duplicate (l_orderkey, l_linenumber) rows,
+    // so we pre-aggregate to unique keys first — otherwise no total
+    // order exists and the running values are engine-order-dependent.
     Q("w3_running_sum",
       (s, d) => {
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("first_ship", "l_orderkey", "l_linenumber")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, d)
-          .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w))
+          .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .agg(sum(dec2(col("l_quantity"))).as("qty"),
+               min(col("l_shipdate")).as("first_ship"))
+          .withColumn("running_qty", sum(col("qty")).over(w).cast("double"))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             CAST(sum(qty) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
-             FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+               ORDER BY first_ship, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                          min(l_shipdate) AS first_ship
+                   FROM lineitem GROUP BY 1,2,3)
+             ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
     // ----------------------------------------------------------------
     // W4: ntile ranking over a global ordering
@@ -323,10 +360,10 @@ object RelationalQueries {
             concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("tag"),
             length(col("props")).as("props_len"),
             get_json_object(col("props"), "$.k").cast("int").as("k_val"),
-            date_trunc("DAY", col("ts")).as("day_ts"),
+            date_trunc("DAY", col("ts")).cast("timestamp_ntz").as("day_ts"),
             pmod(col("event_id"), lit(7)).as("id_mod7"),
             round(col("value") * 2.0, 2).as("v2"),
-            dec2(col("value")).as("vdec"),
+            dec2(col("value")).cast("double").as("vdec"),
             substring(col("event_type"), 1, 3).as("et3"),
             coalesce(nullif(col("event_type"), lit("click")), lit("CLICKED")).as("et_nn"))
           .orderBy("event_id")
@@ -338,7 +375,7 @@ object RelationalQueries {
              date_trunc('day', ts) AS day_ts,
              event_id % 7 AS id_mod7,
              round(value * 2.0, 2) AS v2,
-             CAST(value AS DECIMAL(18,2)) AS vdec,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS vdec,
              substring(event_type, 1, 3) AS et3,
              coalesce(nullif(event_type, 'click'), 'CLICKED') AS et_nn
              FROM events WHERE user_id < 5 ORDER BY event_id"""))
