@@ -1,0 +1,307 @@
+package graft.store
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native event store with the reference's event-sourcing API
+  * surface (reference schema.sql:325-367; SURVEY §2.1, §2.9, §3.1).
+  *
+  * Architecture (NOT a port of the row-at-a-time PL/pgSQL model):
+  *
+  *  - The log is an append-only `Dataset[EventRow]`; at rest it lives
+  *    in Parquet partitioned so `decider_id` predicates prune
+  *    (`save`/`load`). The atomicity unit is the *batch append* — the
+  *    Spark analogue of the reference's per-statement transaction
+  *    (SURVEY §4, "consistency unit changes from row-transaction to
+  *    batch commit").
+  *  - The three BEFORE-INSERT triggers (schema.sql:75-146), the
+  *    composite FK (schema.sql:53), and the UNIQUE constraints
+  *    (schema.sql:32,44) become a validation pipeline of broadcast
+  *    semi-/anti-joins plus ONE `flatMapGroups` over
+  *    `(decider, decider_id)` that replays the batch's rows in input
+  *    order per stream — distributed across streams, sequential within
+  *    a stream, which is exactly the guarantee the reference documents
+  *    (ordering per partition, parallelism across partitions).
+  *  - The global BIGSERIAL offset is a per-commit sequence continued
+  *    from the committed head (SURVEY §7.4.1): client append batches
+  *    are driver-bounded, so assignment happens with the (already
+  *    driver-resident) validated batch; the bulk-ingest path for
+  *    unbounded input uses `GlobalIndex.withOrderedIndex`
+  *    (range-partitioned parallel sort + partition prefix sums).
+  *
+  * Scale notes (100 TB): validation joins against the committed log are
+  * key-pruned — the batch's distinct `(decider, decider_id)` pairs are
+  * joined (broadcast, they are bounded by batch size) against the log
+  * first, so the per-stream state aggregation scans only the touched
+  * partitions' data, not the whole log. Nothing here collects event
+  * data to the driver; only per-partition counts and the rejected-row
+  * channel (bounded by batch size) leave the executors.
+  */
+final class EventStore(val spark: SparkSession) {
+  import spark.implicits._
+
+  private var deciders: Dataset[DeciderRegistration] =
+    spark.emptyDataset[DeciderRegistration]
+  private var events: Dataset[EventRow] = spark.emptyDataset[EventRow]
+  private var nextTxn: Long = 1L
+
+  /** Injectable clock so tests get deterministic `created_at`. */
+  @volatile var now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())
+
+  // ------------------------------------------------------------------
+  // Registry (reference register_decider_event, schema.sql:325-332)
+
+  /** Idempotent on the (decider, event, event_version) PK: re-registering
+    * an existing triple is a no-op (PK violation → precondition check).
+    */
+  def registerDeciderEvent(decider: String, event: String,
+                           eventVersion: Long = 1L,
+                           description: Option[String] = None): DeciderRegistration = {
+    val row = DeciderRegistration(decider, event, eventVersion, description)
+    val exists = deciders.filter(d =>
+      d.decider == decider && d.event == event && d.event_version == eventVersion)
+    if (exists.isEmpty) deciders = deciders.union(Seq(row).toDS())
+    row
+  }
+
+  def deciderRegistry: Dataset[DeciderRegistration] = deciders
+
+  /** Reference deciders table is append-only with silently-ignored
+    * UPDATE/DELETE rules (schema.sql:59-64) — mirrored as no-op APIs
+    * returning 0 affected rows (SURVEY M7).
+    */
+  def updateDeciders(): Long = 0L
+  def deleteDeciders(): Long = 0L
+
+  // ------------------------------------------------------------------
+  // Append (reference append_event, schema.sql:336-343 + triggers)
+
+  def appendEvent(in: EventInput): Either[AppendError, EventRow] = {
+    val r = append(Seq(in))
+    r.rejected.headOption.toLeft(r.accepted.head)
+  }
+
+  /** Batch append with full reference validation semantics. Rows are
+    * validated *in input order per stream*, with visibility of earlier
+    * accepted rows of the same batch (the reference's per-row trigger
+    * visibility, SURVEY §7.4 item 2). Returns accepted rows with
+    * assigned offsets plus the typed rejection channel.
+    */
+  def append(batch: Seq[EventInput]): AppendResult = {
+    if (batch.isEmpty) return AppendResult(Nil, Nil)
+    val ts = now()
+    val txn = nextTxn
+
+    val inputs = batch.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+      .toDS().toDF("in", "input_idx")
+
+    // (1) FK gate (J8): broadcast left-join against the registry; the
+    // registry is dimension-sized by construction.
+    val reg = deciders.toDF()
+      .select($"decider".as("r_decider"), $"event".as("r_event"),
+              $"event_version".as("r_version"), lit(true).as("registered"))
+    val fkChecked = inputs
+      .join(broadcast(reg),
+        $"in.decider" === $"r_decider" && $"in.event" === $"r_event" &&
+          $"in.event_version" === $"r_version", "left")
+      .select($"in", $"input_idx", coalesce($"registered", lit(false)).as("registered"))
+
+    // (2) Committed-log lookups, pruned to the streams the batch touches.
+    val touched = inputs.select($"in.decider".as("t_decider"),
+      $"in.decider_id".as("t_decider_id")).distinct()
+    val logSlice = events.toDF().join(broadcast(touched),
+      $"decider" === $"t_decider" && $"decider_id" === $"t_decider_id", "left_semi")
+
+    // Per-stream committed state: does the stream exist / is it final.
+    val streamState = logSlice
+      .groupBy($"decider", $"decider_id")
+      .agg(max(when($"is_final", 1).otherwise(0)).as("finalized"),
+           count(lit(1)).as("n_committed"))
+      .select($"decider".as("s_decider"), $"decider_id".as("s_decider_id"),
+              ($"finalized" === 1).as("finalized"), $"n_committed")
+
+    // previous_id resolution against the committed stream (J7): the
+    // claimed previous event must exist in the SAME (decider, decider_id).
+    val prevResolved = fkChecked
+      .join(logSlice.select($"event_id".as("p_event_id"),
+              $"decider".as("p_decider"), $"decider_id".as("p_decider_id"),
+              lit(true).as("prev_in_stream")),
+        $"in.previous_id" === $"p_event_id" &&
+          $"in.decider" === $"p_decider" && $"in.decider_id" === $"p_decider_id",
+        "left")
+      .select($"in", $"input_idx", $"registered",
+              coalesce($"prev_in_stream", lit(false)).as("prev_in_stream"))
+
+    // Global uniqueness vs the committed log (M9): event_id and
+    // previous_id are unique across ALL streams.
+    val committedIds = events.select($"event_id".as("c_event_id"), lit(true).as("dup_event_id"))
+    val committedPrevs = events.filter($"previous_id".isNotNull)
+      .select($"previous_id".as("c_prev_id"), lit(true).as("dup_prev_id"))
+    val uniqChecked = prevResolved
+      .join(broadcast_ifsmall(committedIds), $"in.event_id" === $"c_event_id", "left")
+      .join(broadcast_ifsmall(committedPrevs), $"in.previous_id" === $"c_prev_id", "left")
+      .select($"in", $"input_idx", $"registered", $"prev_in_stream",
+              coalesce($"dup_event_id", lit(false)).as("dup_event_id"),
+              coalesce($"dup_prev_id", lit(false)).as("dup_prev_id"))
+      .join(streamState,
+        $"in.decider" === $"s_decider" && $"in.decider_id" === $"s_decider_id", "left")
+      .select($"in", $"input_idx", $"registered", $"prev_in_stream",
+              $"dup_event_id", $"dup_prev_id",
+              coalesce($"finalized", lit(false)).as("finalized"),
+              coalesce($"n_committed", lit(0L)).as("n_committed"))
+
+    // Intra-batch duplicate event_id across streams: only the FIRST
+    // occurrence (input order) may survive; flag the rest.
+    val wDupe = org.apache.spark.sql.expressions.Window
+      .partitionBy($"in.event_id").orderBy($"input_idx")
+    val flagged = uniqChecked
+      .withColumn("eid_rank", row_number().over(wDupe))
+
+    // (3) Sequential replay per stream: trigger-order checks with
+    // intra-batch visibility (earlier accepted rows of the same stream
+    // count as existing; an accepted final event blocks later rows).
+    val typed = flagged.as[EventStore.Flagged]
+
+    // Error identities travel as string codes (a sealed ADT has no
+    // Spark Encoder); the driver maps codes back to typed AppendErrors.
+    val validated: Dataset[(EventInput, Long, String)] = typed
+      .groupByKey(f => (f.in.decider, f.in.decider_id))
+      .flatMapGroups { (_: (String, String), rows: Iterator[EventStore.Flagged]) =>
+        val sorted = rows.toSeq.sortBy(_.input_idx)
+        var exists = sorted.headOption.exists(_.n_committed > 0)
+        var finalized = sorted.headOption.exists(_.finalized)
+        val localIds = scala.collection.mutable.Set.empty[String]
+        val localPrevs = scala.collection.mutable.Set.empty[String]
+        sorted.iterator.map { f =>
+          val e = f.in
+          // Trigger firing order is alphabetical in the reference
+          // (t_check_final..., t_check_first..., t_check_previous...,
+          // schema.sql:91-146), then constraints.
+          val err: String =
+            if (finalized) "final"
+            else if (e.previous_id.isEmpty && exists) "null_prev"
+            else if (e.previous_id.nonEmpty &&
+                     !f.prev_in_stream && !e.previous_id.exists(localIds.contains))
+              "prev_not_in_stream"
+            else if (!f.registered) "fk"
+            else if (f.dup_event_id || f.eid_rank > 1 || localIds.contains(e.event_id))
+              "dup_event_id"
+            else if (f.dup_prev_id || e.previous_id.exists(localPrevs.contains))
+              "dup_prev_id"
+            else ""
+          if (err.isEmpty) {
+            exists = true
+            if (e.is_final) finalized = true
+            localIds += e.event_id
+            e.previous_id.foreach(localPrevs += _)
+          }
+          (e, f.input_idx, err)
+        }
+      }
+
+    val collected = validated.collect().sortBy(_._2)
+    val rejected: Seq[AppendError] = collected.collect {
+      case (e, _, code) if code.nonEmpty => code match {
+        case "final"              => AppendError.StreamFinalized(e.event_id)
+        case "null_prev"          => AppendError.NullPreviousOnNonFirst(e.event_id)
+        case "prev_not_in_stream" => AppendError.PreviousNotInStream(e.event_id)
+        case "fk"                 => AppendError.UnregisteredEvent(e.event_id)
+        case "dup_event_id"       => AppendError.DuplicateEventId(e.event_id)
+        case "dup_prev_id"        => AppendError.DuplicatePreviousId(e.event_id)
+      }
+    }.toSeq
+    val acceptedInputs = collected.filter(_._3.isEmpty)
+
+    // (4) Offset assignment: global monotonic sequence continued from
+    // the committed head (SURVEY §7.4.1). Input order is the canonical
+    // order, mirroring BIGSERIAL's assignment at insert time.
+    val base = maxOffset()
+    val accepted = acceptedInputs.zipWithIndex.map { case ((e, _, _), i) =>
+      EventRow(e.event, e.event_id, e.event_version, e.decider, e.decider_id,
+        e.data, e.command_id, e.previous_id, e.is_final, ts,
+        base + 1 + i, txn)
+    }.toSeq
+
+    // (5) Atomic commit: the union becomes visible as one new `events`
+    // value (≙ one Delta commit / one micro-batch). localCheckpoint
+    // truncates the union lineage so N appends don't build an N-deep
+    // plan (at rest the log is Parquet via save/load anyway).
+    if (accepted.nonEmpty) {
+      events = events.union(accepted.toDS()).localCheckpoint()
+      nextTxn += 1
+      onCommit(accepted)
+    }
+    AppendResult(accepted, rejected)
+  }
+
+  /** Hook for the streaming layer's lock fanout (M1). */
+  @volatile var onCommit: Seq[EventRow] => Unit = _ => ()
+
+  /** Broadcast only when the build side is known-bounded; the committed
+    * id sets grow with the log, so leave join-strategy choice to
+    * Catalyst/AQE there (it will pick SMJ once they exceed the
+    * broadcast threshold).
+    */
+  private def broadcast_ifsmall(df: DataFrame): DataFrame = df
+
+  // ------------------------------------------------------------------
+  // Scans (reference get_events/get_last_event, schema.sql:348-367)
+
+  /** Ordered scan of one entity's stream — partition-pruned when the
+    * log is Parquet-partitioned by decider bucket.
+    */
+  def getEvents(deciderId: String, decider: String): Dataset[EventRow] =
+    events.filter($"decider_id" === deciderId && $"decider" === decider)
+      .orderBy($"offset").as[EventRow]
+
+  /** Latest event by global offset. QUIRK preserved from the reference
+    * (schema.sql:364): filters only decider_id, NOT decider — two
+    * deciders sharing an id return the globally latest of either.
+    */
+  def getLastEvent(deciderId: String): Option[EventRow] =
+    events.filter($"decider_id" === deciderId)
+      .orderBy($"offset".desc).limit(1).collect().headOption
+
+  def allEvents: Dataset[EventRow] = events
+
+  def maxOffset(): Long =
+    events.agg(max($"offset")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+
+  /** Immutability (M7, reference schema.sql:59-72): mutation APIs exist
+    * but are silent no-ops returning 0 affected rows — the reference's
+    * tests distinguish this from an error.
+    */
+  def updateEvents(): Long = 0L
+  def deleteEvents(): Long = 0L
+
+  // ------------------------------------------------------------------
+  // Persistence: Parquet at rest, hash-bucketed by decider_id so
+  // stream scans prune and the streaming join co-locates (SURVEY X1/X2).
+
+  def save(dir: String, buckets: Int = 32): Unit = {
+    events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
+    deciders.write.mode("overwrite").parquet(s"$dir/deciders")
+  }
+
+  def load(dir: String): Unit = {
+    events = spark.read.parquet(s"$dir/events").drop("bucket")
+      .as[EventRow]
+    deciders = spark.read.parquet(s"$dir/deciders").as[DeciderRegistration]
+    nextTxn = events.agg(max($"transaction_id")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L) + 1
+  }
+}
+
+object EventStore {
+  /** Row shape after the join-based validation stages, consumed by the
+    * per-stream sequential replay. Top-level so Spark can derive an
+    * Encoder (local case classes cannot get TypeTags).
+    */
+  final case class Flagged(in: EventInput, input_idx: Long, registered: Boolean,
+                           prev_in_stream: Boolean, dup_event_id: Boolean,
+                           dup_prev_id: Boolean, finalized: Boolean,
+                           n_committed: Long, eid_rank: Int)
+}
