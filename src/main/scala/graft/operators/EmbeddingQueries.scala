@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-similarity operators over the `embeddings` table
+  * (vec_id, embedding: array<float>[64], label): brute-force cosine
+  * top-k (the correctness baseline) and a random-hyperplane-LSH
+  * bucketed variant (the scale path), plus embedding-cosine near-dup.
+  *
+  * Determinism: dot products and norms are computed as sequential
+  * left-folds over the array in index order with every element cast to
+  * DOUBLE first — the DuckDB oracle uses the same explicit fold
+  * (list_transform + a sequential sum), so both engines produce
+  * bit-identical doubles (no reliance on either engine's built-in
+  * cosine, whose summation order is unspecified).
+  *
+  * Scale (100 TB of vectors): the brute-force form is quadratic and
+  * exists as the oracle-checkable baseline; the LSH form buckets by
+  * 16-bit hyperplane signatures so the pair join is per-bucket. The
+  * norm is precomputed once per vector (one narrow column), so the
+  * cross join ships (id, norm, vector) only.
+  */
+object EmbeddingQueries {
+
+  /** Sequential left-fold dot product of two float arrays as DOUBLE. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+
+  /** DuckDB-side: the same sequential fold (list index is 1-based). */
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // Brute-force cosine top-k per query vector (k = 5): the exact
+    // baseline every ANN variant is measured against.
+    Q("emb_cosine_topk",
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        a.crossJoin(b).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", round(dotd(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("cid"), col("sim"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+             sims AS (
+               SELECT a.vec_id AS qid, b.vec_id AS cid,
+                      round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+               FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+             ranked AS (
+               SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+               FROM sims)
+             SELECT qid, rnk, cid, sim FROM ranked WHERE rnk <= 5
+             ORDER BY qid, rnk""")),
+
+    // ----------------------------------------------------------------
+    // Embedding near-dup: pairs above a high cosine threshold —
+    // the "semantic dedup" filter of LLM-corpus pipelines.
+    Q("emb_near_dup",
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
+          .withColumn("sim", round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          .filter(col("sim") >= 0.95)
+          .select(col("vid_a"), col("vid_b"), col("sim"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings)
+             SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.95
+             ORDER BY vid_a, vid_b""")),
+
+    // ----------------------------------------------------------------
+    // LSH-bucketed ANN (the scale path; Spark-only — the deterministic
+    // pseudo-random hyperplanes are engine-specific): 16 random
+    // hyperplanes → 16-bit sign signature per vector → pair join
+    // within buckets, re-ranked by exact cosine. Reports each bucketed
+    // query's top-1 exact-cosine neighbor among its bucket mates.
+    Q("emb_ann_lsh",
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        // hyperplane h (16) component j (64): deterministic pseudo-random
+        // in [-1, 1) from xxhash64(h, j).
+        val planes = (0 until 16).map { h =>
+          val comps = (j: Column) => (xxhash64(lit(h), j).cast("double") / lit(Long.MaxValue.toDouble))
+          val dot = aggregate(
+            zip_with(col("embedding"), sequence(lit(0), lit(63)),
+              (x, j) => x.cast("double") * comps(j)),
+            lit(0.0), (acc, v) => acc + v)
+          when(dot >= 0, shiftleft(lit(1), h)).otherwise(0).as(s"b$h")
+        }
+        val signed = e.withColumn("sig",
+          planes.reduce[Column]((x, y) => x + y))
+        val a = signed.select(col("sig"), col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+        val b = signed.select(col("sig"), col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", round(dotd(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("qid"), col("cid"), col("sim"))
+          .orderBy("qid")
+      },
+      None)
+  )
+}

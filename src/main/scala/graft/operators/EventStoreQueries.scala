@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SQL-expressible shapes of the event-store operators (SURVEY §2),
+  * exercised over the driver's `events` test table so the DuckDB oracle
+  * can check them: A3 last-per-partition, A4 event-time seek, the J1
+  * band join, W1 LAG monotonicity, the P5-P9 predicate family, and the
+  * F-family scalar functions missing from round 1 (interval, regex,
+  * JSON construction, sequence generation).
+  *
+  * The real event-store implementations live in graft.store (typed,
+  * with validation and state); these queries pin the *relational
+  * semantics* of each shape against an independent engine.
+  */
+object EventStoreQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // A3: DISTINCT ON / last-per-partition (reference schema.sql:290-294)
+    // — the lock-matrix "head of every partition" aggregate. Window
+    // rank-1 per key; scalable: partitioned window, no global sort.
+    Q("es_a3_last_per_user",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").cast("timestamp_ntz").as("ts"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             WHERE rn = 1 ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // A4: conditional COALESCE aggregate — the register_view event-time
+    // seek (reference schema.sql:275-287) incl. the `offset - 1`
+    // off-by-one and the "nothing after start_at ⇒ head" branch.
+    Q("es_a4_seek_offset",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(coalesce(
+            min(when(col("ts") >= lit("2024-01-15").cast("timestamp"), col("event_id"))) - 1,
+            max(col("event_id"))).as("resume_offset"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             coalesce(min(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+                               THEN event_id END) - 1,
+                      max(event_id)) AS resume_offset
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // J1: equi-join with non-equi band residual — the stream_events
+    // next-offset discovery (reference schema.sql:418-423): per
+    // partition, MIN(offset) past the consumer's last_offset. The
+    // "locks" side is derived (mid-stream ack point per user) and
+    // broadcast — exactly how the delivery pipeline shapes it.
+    Q("es_j1_band_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val locks = ev.groupBy("user_id")
+          .agg((min(col("event_id")) +
+            floor((max(col("event_id")) - min(col("event_id"))) / 2)).as("last_offset"))
+        ev.join(broadcast(locks.withColumnRenamed("user_id", "l_user_id")),
+            col("user_id") === col("l_user_id") && col("event_id") > col("last_offset"))
+          .groupBy("user_id")
+          .agg(min(col("event_id")).as("next_offset"),
+               count(lit(1)).as("n_pending"))
+          .orderBy("user_id")
+      },
+      Some("""WITH locks AS (
+               SELECT user_id, min(event_id) +
+                      CAST(floor((max(event_id) - min(event_id)) / 2) AS BIGINT) AS last_offset
+               FROM events GROUP BY user_id)
+             SELECT e.user_id, min(e.event_id) AS next_offset,
+                    count(*) AS n_pending
+             FROM events e JOIN locks l
+               ON e.user_id = l.user_id AND e.event_id > l.last_offset
+             GROUP BY e.user_id ORDER BY e.user_id""")),
+
+    // ----------------------------------------------------------------
+    // W1: LAG ordering check (reference tests/utils/assertions.sql:94-103)
+    // — per-stream gap inspection, partitioned window (scalable).
+    Q("es_w1_lag_gaps",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            lag("event_id", 1).over(w).as("prev_event_id"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             lag(event_id) OVER w AS prev_event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             ORDER BY user_id, event_id""")),
+
+    // ----------------------------------------------------------------
+    // P5-P9 predicate family in one pass: non-equi band (P5), LIKE
+    // prefix (P6), boolean flag (P7), null checks (P8), null-safe
+    // equality (P9).
+    Q("es_p_predicates",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("event_type").like("c%") &&          // P6
+                  col("value").isNotNull &&                 // P8
+                  col("event_id") > col("user_id") * 10)    // P5 non-equi
+          .select(col("event_id"),
+            (col("value") > 100).as("is_big"),              // P7 flag
+            col("props").isNull.as("no_props"),             // P8
+            col("event_type") <=> lit("click") as "is_click") // P9
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, value > 100 AS is_big,
+             props IS NULL AS no_props,
+             event_type IS NOT DISTINCT FROM 'click' AS is_click
+             FROM events
+             WHERE event_type LIKE 'c%' AND value IS NOT NULL
+               AND event_id > user_id * 10
+             ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // F2: interval arithmetic (reference schema.sql:413,464 — lease
+    // expiry & scheduled-nack timestamps).
+    Q("es_f2_interval",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).cast("timestamp_ntz").as("lease_until"),
+            (col("ts") - expr("INTERVAL 30 SECONDS")).cast("timestamp_ntz").as("grace_start"),
+            ((unix_micros(col("ts")) - unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) / lit(1000000L)).cast("long").as("age_s"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS lease_until,
+             CAST(ts AS TIMESTAMP) - INTERVAL 30 SECOND AS grace_start,
+             CAST((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS BIGINT) AS age_s
+             FROM events WHERE user_id < 10 ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // F4: regex — rlike filter + extraction (reference error-regex
+    // matching, test-helpers.sql:188).
+    Q("es_f4_regex",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("event_type").rlike("^(click|scroll|signup)"))
+          .select(col("event_id"),
+            regexp_extract(col("props"), "[0-9]+", 0).as("first_num"),
+            regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             regexp_extract(props, '[0-9]+') AS first_num,
+             regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled
+             FROM events WHERE regexp_matches(event_type, '^(click|scroll|signup)')
+             ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // F6: JSON construction (reference jsonb_build_object,
+    // extensions.sql:46 — the push-payload envelope).
+    Q("es_f6_json_envelope",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"),
+            to_json(struct(col("user_id").as("u"), col("event_type").as("t"),
+              col("event_id").as("o"))).as("envelope"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             to_json(struct_pack(u := user_id, t := event_type, o := event_id)) AS envelope
+             FROM events WHERE user_id < 10 ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // F10: sequence generator + explode (reference generate_series,
+    // test_stress_conditions.sql:38).
+    Q("es_f10_sequence",
+      (s, d) => {
+        Tables.events(s, d)
+          .select("user_id").distinct()
+          .filter(col("user_id") < 50)
+          .select(col("user_id"),
+            explode(sequence(lit(1), pmod(col("user_id"), lit(5)) + 1)).as("s"))
+          .orderBy("user_id", "s")
+      },
+      Some("""SELECT user_id, s
+             FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+                  UNNEST(generate_series(1, user_id % 5 + 1)) AS t(s)
+             ORDER BY user_id, s"""))
+  )
+}

@@ -7,7 +7,10 @@ package graft.operators
   */
 object Registry {
   val all: Seq[Q] =
-    RelationalQueries.all
+    RelationalQueries.all ++
+      EventStoreQueries.all ++
+      TextDedupQueries.all ++
+      EmbeddingQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

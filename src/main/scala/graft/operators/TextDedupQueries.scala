@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over the `documents` table:
+  * exact/normalized dedup, quality scoring, token counting, language
+  * ID, document fingerprinting, and n-gram Jaccard near-dup detection
+  * (exact inverted-index form + banded MinHash-LSH form).
+  *
+  * Scale design (100 TB):
+  *  - hash-based dedup is a single shuffle on the digest — the digest
+  *    (16-32 bytes) is the shuffle key, never the document body;
+  *  - near-dup NEVER does all-pairs: the exact form joins docs through
+  *    a shingle inverted index (pairs exist only where a shingle is
+  *    shared), the LSH form through 16 banded signature buckets —
+  *    both shuffle O(docs × shingles/bands), not O(docs²);
+  *  - the DuckDB oracles DO use all-pairs — affordable at sf0.01 only,
+  *    which is exactly the point: the oracle is the semantic spec, the
+  *    Spark plan is the scale path.
+  */
+object TextDedupQueries {
+
+  /** Distinct 3-word shingles per document, exploded:
+    * (doc_id, shingle) + per-doc distinct-shingle count n.
+    */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(0, size(split(lower(text),' ')) - 3),
+                 i -> concat_ws(' ',
+                        element_at(split(lower(text),' '), i + 1),
+                        element_at(split(lower(text),' '), i + 2),
+                        element_at(split(lower(text),' '), i + 3))))""").as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+
+  private val shingleSqlCte =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       sh AS (SELECT doc_id,
+                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    FOR i IN range(1, len(ws) - 1)]) AS s
+              FROM w)"""
+
+  /** Exact pairwise 3-shingle Jaccard ≥ threshold via the shingle
+    * inverted index (shared-shingle equi-join → per-pair intersection
+    * count → |A∩B| / (|A|+|B|−|A∩B|)).
+    */
+  private def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val counts = sh.select(col("doc_id"), col("n"))
+    val inter = ex.as("a").join(ex.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def exactJaccardSql(threshold: Double): String =
+    s"""$shingleSqlCte
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
+       ORDER BY doc_a, doc_b"""
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // Exact dedup: group by content digest. Shuffle key = 32-byte
+    // digest, map-side partial agg; at 100 TB this is one shuffle of
+    // (digest, id) pairs.
+    Q("doc_dedup_exact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+          .orderBy("digest")
+      },
+      Some("""SELECT md5(text) AS digest, count(*) AS n_copies,
+             min(doc_id) AS keep_doc
+             FROM documents GROUP BY 1 ORDER BY digest""")),
+
+    // ----------------------------------------------------------------
+    // Normalized fingerprint (case/punctuation/whitespace-insensitive
+    // content identity) — the "document fingerprinting" primitive.
+    Q("doc_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", ""), " +", " ")).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g')) AS fingerprint
+             FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Corpus stats per (lang, source): doc counts, exact char sums,
+    // word totals — the partition-level quality dashboard query.
+    Q("doc_text_stats",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("n_words", size(split(col("text"), " ")))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               sum(col("n_words")).as("total_words"),
+               max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+             max(n_chars) AS max_chars
+             FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ----------------------------------------------------------------
+    // Per-document quality scoring: token count (regex tokenizer),
+    // stopword ratio, mean token length — length/punct/stopword
+    // heuristics of LLM-corpus filtering, all integer-exact or
+    // single-division doubles (engine-identical).
+    Q("doc_quality",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_stop", size(expr(
+            "filter(toks, w -> w IN ('the','a','and','of','in'))")))
+          .withColumn("alpha_chars", aggregate(col("toks"), lit(0),
+            (acc, w) => acc + length(w)))
+          .select(col("doc_id"), col("n_tok"), col("n_stop"),
+            round(col("n_stop").cast("double") / col("n_tok"), 6).as("stop_ratio"),
+            round(col("alpha_chars").cast("double") / col("n_tok"), 6).as("mean_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, w -> w IN ('the','a','and','of','in'))) AS n_stop,
+             round(CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','in'))) AS DOUBLE)
+                   / len(toks), 6) AS stop_ratio,
+             round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+                   / len(toks), 6) AS mean_tok_len
+             FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                   FROM documents)
+             ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Language ID, n-gram/stopword-vote heuristic: score each language
+    // family by marker-word hits, argmax with deterministic tie-break.
+    // (The heuristic itself is the operator under test — the oracle
+    // runs the same spec, not ground truth.)
+    Q("doc_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", split(lower(col("text")), " "))
+        val score = (marks: Seq[String]) =>
+          size(expr(s"filter(ws, w -> w IN (${marks.map(m => s"'$m'").mkString(",")}))"))
+        docs
+          .withColumn("s_en", score(Seq("the", "a", "and", "of")))
+          .withColumn("s_es", score(Seq("el", "la", "de", "y")))
+          .withColumn("s_de", score(Seq("der", "die", "und", "das")))
+          .select(col("doc_id"),
+            when(col("s_es") > col("s_en") && col("s_es") > col("s_de"), "es")
+              .when(col("s_de") > col("s_en") && col("s_de") > col("s_es"), "de")
+              .otherwise("en").as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CASE WHEN s_es > s_en AND s_es > s_de THEN 'es'
+                  WHEN s_de > s_en AND s_de > s_es THEN 'de'
+                  ELSE 'en' END AS lang_guess
+             FROM (SELECT doc_id,
+                     len(list_filter(ws, w -> w IN ('the','a','and','of'))) AS s_en,
+                     len(list_filter(ws, w -> w IN ('el','la','de','y'))) AS s_es,
+                     len(list_filter(ws, w -> w IN ('der','die','und','das'))) AS s_de
+                   FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents))
+             ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Near-dup, exact form: 3-shingle Jaccard ≥ 0.8 through the
+    // inverted index (no all-pairs on the Spark side).
+    Q("doc_ngram_jaccard",
+      (s, d) => exactJaccardPairs(Tables.documents(s, d), 0.8),
+      Some(exactJaccardSql(0.8))),
+
+    // ----------------------------------------------------------------
+    // Near-dup, MinHash-LSH form: 64 minhashes over 3-shingles, 16
+    // bands × 4 rows → candidate buckets → exact-Jaccard verification
+    // of candidates only. At Jaccard ≥ 0.8 the 16×4 banding has
+    // ≥ 0.9998 recall, so the verified output equals the exact form —
+    // and shares its oracle. Candidate generation shuffles
+    // O(docs × 16 bands), the verify join touches only candidates.
+    Q("doc_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = shingles(docs)
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        // 64 minhashes: seed-salted xxhash64 per (shingle, seed), min per doc.
+        val hashed = ex
+          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("seed"),
+            col("shingle"))
+          .select(col("doc_id"), col("seed"),
+            xxhash64(concat(col("seed").cast("string"), lit("#"), col("shingle"))).as("h"))
+          .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+        // 16 bands of 4 rows: band signature = hash of the 4 minhashes.
+        val banded = hashed
+          .withColumn("band", (col("seed") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+            concat(col("seed").cast("string"), lit(":"), col("mh").cast("string")))))).as("sig"))
+        val candidates = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // Verify candidates with exact Jaccard on the shingle sets.
+        val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+        val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+        candidates.join(setsA, "doc_a").join(setsB, "doc_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(exactJaccardSql(0.8))),
+
+    // ----------------------------------------------------------------
+    // SimHash near-dup sketch (Spark-only; no SQL oracle — the 64-bit
+    // hash mix is engine-specific). 64-bit simhash from token hashes;
+    // near-dups = hamming distance ≤ 6 among docs sharing a 16-bit
+    // chunk (chunk-bucketing avoids all-pairs, pigeonhole over 4
+    // chunks covers distance ≤ 6 incompletely but deterministically —
+    // the standard production trade).
+    Q("doc_simhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .withColumn("h", xxhash64(col("w")))
+        // per doc, per bit: sum(±1); simhash bit j set iff sum > 0.
+        val bits = toks
+          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
+          .withColumn("b", expr("CASE WHEN shiftright(h, int(j)) & 1 = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "j").agg(sum(col("b")).as("s"))
+        val sims = bits
+          .withColumn("bit", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), int(j)) ELSE CAST(0 AS BIGINT) END"))
+          .groupBy("doc_id").agg(sum(col("bit")).as("simhash"))
+        // bucket by 16-bit chunks, pair within bucket, hamming ≤ 6
+        val chunks = sims.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+          .withColumn("chunk", expr("shiftright(simhash, int(c) * 16) & 65535"))
+        val pairs = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
+          .distinct()
+        pairs
+          .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+          .filter(col("hamming") <= 6)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
+}
