@@ -10,7 +10,8 @@ object Registry {
     RelationalQueries.all ++
       EventStoreQueries.all ++
       TextDedupQueries.all ++
-      EmbeddingQueries.all
+      EmbeddingQueries.all ++
+      MultimodalQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -291,12 +291,43 @@ object RelationalQueries {
              ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
     // ----------------------------------------------------------------
-    // W4: ntile ranking over a global ordering
+    // W4: ntile ranking over a global ordering. Two implementations,
+    // one oracle: (a) the builtin unpartitioned window — correct but
+    // single-task, kept as the SMALL-DIMENSION-ONLY form; (b) the
+    // scale path below (w4b) via GlobalIndex.
     Q("w4_ntile_quartiles",
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
         Tables.customer(s, d)
           .withColumn("quartile", ntile(4).over(w))
+          .select("c_custkey", "quartile")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+             FROM customer ORDER BY c_custkey""")),
+
+    // Scalable global ntile: range-partitioned parallel sort + prefix
+    // sums (GlobalIndex) + the exact ntile bucket formula — no
+    // single-partition window anywhere; verified against the same
+    // DuckDB ntile oracle as w4.
+    Q("w4b_ntile_scalable",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val n = cust.count()
+        val k = 4L
+        val big = (n + k - 1) / k          // ceil(n/k)
+        val small = n / k
+        val m = n % k                      // number of big buckets (first)
+        val indexed = graft.store.GlobalIndex.withOrderedIndex(
+          cust.select("c_custkey", "c_acctbal"),
+          Seq(col("c_acctbal").asc, col("c_custkey").asc), "idx")
+        indexed
+          .withColumn("quartile",
+            when(lit(m) === 0, (col("idx") / small).cast("long") + 1)
+              .otherwise(when(col("idx") < m * big, (col("idx") / big).cast("long") + 1)
+                .otherwise(lit(m) + ((col("idx") - m * big) / small).cast("long") + 1))
+              .cast("int"))
           .select("c_custkey", "quartile")
           .orderBy("c_custkey")
       },

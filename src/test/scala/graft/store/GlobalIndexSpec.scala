@@ -1,0 +1,44 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** GlobalIndex must agree with the single-partition window row_number
+  * on a real table while never holding the dataset in one partition.
+  */
+class GlobalIndexSpec extends SparkSpec {
+
+  test("ordered index equals window row_number over a total order") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val viaWindow = orders
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)) - 1)
+    val viaIndex = GlobalIndex.withOrderedIndex(orders,
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc), "idx")
+    val joined = viaWindow.join(viaIndex, "o_orderkey")
+      .filter(col("rn") =!= col("idx"))
+    assert(joined.count() === 0L)
+  }
+
+  test("base offset shifts the whole index") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey")
+    val idx = GlobalIndex.withOrderedIndex(orders, Seq(col("o_orderkey").asc),
+      "idx", base = 1000L)
+    val bounds = idx.agg(min("idx"), max("idx")).head()
+    assert(bounds.getLong(0) === 1000L)
+    assert(bounds.getLong(1) === 1000L + orders.count() - 1)
+  }
+
+  test("result is spread across multiple partitions (no single-task sort)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey")
+    val idx = GlobalIndex.withOrderedIndex(orders, Seq(col("o_orderkey").asc), "idx")
+    val partsUsed = idx
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(partsUsed > 1L)
+  }
+}
