@@ -28,6 +28,11 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Uncounted warm-up: JVM/codegen/parquet-reader init otherwise
+    // lands entirely on whichever query sorts first.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[(String, String)]
     val results = names.map { name =>

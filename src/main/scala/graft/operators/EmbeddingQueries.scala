@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -30,6 +30,17 @@ object EmbeddingQueries {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Native fused cosine kernel (graft.functions.CosineSimilarity) —
+    * bit-identical to `dotd(a,b) / (sqrt(dotd(a,a)) * sqrt(dotd(b,b)))`
+    * (same ascending-index double accumulation; asserted in
+    * CosineSimilaritySpec), ~one allocation-free codegen loop per pair
+    * instead of three higher-order folds. Registration is idempotent.
+    */
+  private def cosineSim(s: SparkSession, a: Column, b: Column): Column = {
+    graft.GraftExtensions.register(s)
+    call_function("cosine_sim", a, b)
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
 
@@ -44,12 +55,12 @@ object EmbeddingQueries {
     // baseline every ANN variant is measured against.
     Q("emb_cosine_topk",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
-        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
         a.crossJoin(b).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", round(dotd(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("qid"), col("rnk"), col("cid"), col("sim"))
@@ -75,11 +86,11 @@ object EmbeddingQueries {
     // the "semantic dedup" filter of LLM-corpus pipelines.
     Q("emb_near_dup",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
-        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
         a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
-          .withColumn("sim", round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          .withColumn("sim", round(cosineSim(s, col("ea"), col("eb")), 6))
           .filter(col("sim") >= 0.95)
           .select(col("vid_a"), col("vid_b"), col("sim"))
           .orderBy("vid_a", "vid_b")
@@ -121,7 +132,7 @@ object EmbeddingQueries {
           col("embedding").as("ce"), col("nrm").as("cn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
         a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", round(dotd(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
           .select(col("qid"), col("cid"), col("sim"))

@@ -208,19 +208,21 @@ object TextDedupQueries {
         val docs = Tables.documents(s, d)
         val sh = shingles(docs)
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        // 64 minhashes: seed-salted xxhash64 per (shingle, seed), min per doc.
-        val hashed = ex
-          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("seed"),
-            col("shingle"))
-          .select(col("doc_id"), col("seed"),
-            xxhash64(concat(col("seed").cast("string"), lit("#"), col("shingle"))).as("h"))
-          .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
-        // 16 bands of 4 rows: band signature = hash of the 4 minhashes.
-        val banded = hashed
-          .withColumn("band", (col("seed") / 4).cast("int"))
-          .groupBy("doc_id", "band")
-          .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-            concat(col("seed").cast("string"), lit(":"), col("mh").cast("string")))))).as("sig"))
+        // 64 minhashes as ONE wide aggregation (no 64x row explosion):
+        // each seed is a column min over seed-salted xxhash64 — a single
+        // shuffle of (doc_id, 64 longs) with map-side partial mins.
+        val mhCols = (0 until 64).map(i =>
+          min(xxhash64(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
+        val hashed = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        // 16 bands of 4 rows: band signature = hash of the 4 minhashes,
+        // unpivoted via stack (still one row-set, no extra shuffle).
+        val sigCols = (0 until 16).map(b =>
+          xxhash64(concat_ws(",",
+            col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))).as(s"sig$b"))
+        val banded = hashed.select(col("doc_id") +: sigCols: _*)
+          .selectExpr("doc_id",
+            s"stack(16, ${(0 until 16).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
         val candidates = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
