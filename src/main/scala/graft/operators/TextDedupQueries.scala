@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data text operators over the `documents` table:
   * exact/normalized dedup, quality scoring, token counting, language
@@ -22,16 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object TextDedupQueries {
 
-  /** Distinct 3-word shingles per document, exploded:
-    * (doc_id, shingle) + per-doc distinct-shingle count n.
+  /** Distinct 3-word shingles per document:
+    * (doc_id, sh: array, n). The word array is projected FIRST —
+    * inlining `split` into the transform lambda makes Catalyst
+    * re-evaluate it per element (no CSE across lambda bounds), which
+    * dominated the whole near-dup pipeline before this hoist.
     */
   private def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(0, size(split(lower(text),' ')) - 3),
-                 i -> concat_ws(' ',
-                        element_at(split(lower(text),' '), i + 1),
-                        element_at(split(lower(text),' '), i + 2),
-                        element_at(split(lower(text),' '), i + 3))))""").as("sh"))
+    df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(0, size(ws) - 3),
+                 i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])))""").as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
 
   private val shingleSqlCte =
@@ -41,21 +43,47 @@ object TextDedupQueries {
                                     FOR i IN range(1, len(ws) - 1)]) AS s
               FROM w)"""
 
-  /** Exact pairwise 3-shingle Jaccard ≥ threshold via the shingle
-    * inverted index (shared-shingle equi-join → per-pair intersection
-    * count → |A∩B| / (|A|+|B|−|A∩B|)).
+  /** Exact pairwise 3-shingle Jaccard ≥ threshold via PREFIX FILTERING
+    * (PPJoin-style, exact — no false negatives): order each doc's
+    * shingles rarest-first by global frequency; two docs with
+    * Jaccard ≥ t must share at least one shingle in their first
+    * `n − ceil(t·n) + 1` shingles, so the candidate join touches only
+    * those prefixes (≈(1−t)·n rows per doc instead of n, and prefixes
+    * are the RARE shingles, so bucket fan-out is tiny). Candidates are
+    * then verified with the full set intersection. The candidate
+    * threshold is backed off slightly (t − 0.001) so the final
+    * round(·, 6) ≥ t filter can't admit a pair the prefix theory was
+    * allowed to drop.
     */
   private def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tCand = threshold - 0.001
     val sh = shingles(docs)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val counts = sh.select(col("doc_id"), col("n"))
-    val inter = ex.as("a").join(ex.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+    // global document frequency per shingle → rarest-first order
+    val df_ = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("freq").asc, col("shingle").asc)
+    // persisted: the self-join below would otherwise recompute the
+    // whole freq+window pipeline once per side.
+    val prefixes = ex.join(df_, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(broadcast(sh.select(col("doc_id"), col("n"))), "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs: shared prefix shingle + the LENGTH filter
+    // (Jaccard ≥ t ⟹ t·max(n_a,n_b) ≤ min(n_a,n_b)) applied before
+    // the distinct to cut the dedup shuffle.
+    val candidates = prefixes.as("a").join(prefixes.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.n"), col("b.n")) * tCand <= least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification: full distinct-shingle sets of candidate pairs only
+    val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    candidates.join(broadcast(setsA), "doc_a").join(broadcast(setsB), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -223,14 +251,19 @@ object TextDedupQueries {
         val banded = hashed.select(col("doc_id") +: sigCols: _*)
           .selectExpr("doc_id",
             s"stack(16, ${(0 until 16).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
+          // persisted: the bucket self-join would recompute the 64-min
+          // aggregation once per side otherwise.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val candidates = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         // Verify candidates with exact Jaccard on the shingle sets.
+        // (Sets broadcast at test scale; on a real corpus the candidate
+        // side is the small one and AQE flips the build side.)
         val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
         val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        candidates.join(setsA, "doc_a").join(setsB, "doc_b")
+        candidates.join(broadcast(setsA), "doc_a").join(broadcast(setsB), "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("jaccard",
             round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
