@@ -46,11 +46,48 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    // Event-store workload slots mirroring the reference's performance
+    // suite (BASELINE.md): bulk append throughput (1000 events, 20
+    // partitions, chained, full validation) and a stream+ack drain.
+    val storeResults: Seq[(String, Double)] = {
+      import graft.store._
+      try {
+        val st = new EventStore(spark)
+        st.registerDeciderEvent("Bench", "E")
+        val vs = new ViewStreams(st)
+        val batch = (0 until 1000).map { i =>
+          val part = s"p${i % 20}"
+          val prev = if (i < 20) None else Some(s"e${i - 20}")
+          EventInput("E", s"e$i", "Bench", part, s"""{"i":$i}""", previous_id = prev)
+        }
+        val tA = System.nanoTime()
+        val res = st.append(batch)
+        val appendSec = (System.nanoTime() - tA) / 1e9
+        require(res.rejected.isEmpty && res.accepted.size == 1000,
+          s"append bench: ${res.rejected.size} rejected")
+        vs.registerView("bench_view", startAt = Some(new java.sql.Timestamp(0L)))
+        val tS = System.nanoTime()
+        var drained = 0
+        var got = vs.streamEvents("bench_view", limit = 20)
+        while (got.nonEmpty && drained < 100) {
+          got.foreach(e => vs.ack("bench_view", e.decider_id, e.offset))
+          drained += got.size
+          got = vs.streamEvents("bench_view", limit = 20)
+        }
+        val streamSec = (System.nanoTime() - tS) / 1e9
+        Seq("store_append_1000" -> appendSec,
+          "store_stream_ack_100" -> streamSec)
+      } catch { case e: Throwable =>
+        errors ::= ("store_bench" -> e.toString.take(300))
+        Nil
+      }
+    }
+
+    val qs = (results ++ storeResults).map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = (results ++ storeResults).collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }

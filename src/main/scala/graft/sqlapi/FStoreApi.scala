@@ -1,0 +1,97 @@
+package graft.sqlapi
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.store._
+import graft.streaming.PushSink
+
+/** 1:1 facade over the reference's 10-function SQL API
+  * (reference README.md:46-59) so a user of fstore-sql can switch by
+  * name. Thin delegation — all semantics live in graft.store /
+  * graft.streaming; reference signatures' defaults are preserved
+  * (limit = 1, seconds = 300, lock_timeout_s = 300).
+  *
+  * | reference SQL function            | here                       |
+  * |-----------------------------------|----------------------------|
+  * | register_decider_event(...)       | registerDeciderEvent       |
+  * | append_event(...)                 | appendEvent                |
+  * | get_events(decider_id, decider)   | getEvents                  |
+  * | get_last_event(decider_id)        | getLastEvent               |
+  * | register_view(...)                | registerView               |
+  * | stream_events(view, limit, secs)  | streamEvents               |
+  * | ack_event(view, decider_id, off)  | ackEvent                   |
+  * | nack_event(view, decider_id)      | nackEvent                  |
+  * | schedule_nack_event(view, id, ms) | scheduleNackEvent          |
+  * | schedule_events(view, cron, url)  | scheduleEvents             |
+  */
+final class FStoreApi(spark: SparkSession) {
+  val store = new EventStore(spark)
+  val streams = new ViewStreams(store)
+  private val scheduler = new PushSink.Scheduler
+
+  def registerDeciderEvent(decider: String, event: String,
+                           eventVersion: Long = 1L,
+                           description: Option[String] = None): DeciderRegistration =
+    store.registerDeciderEvent(decider, event, eventVersion, description)
+
+  def appendEvent(event: String, eventId: String, decider: String,
+                  deciderId: String, data: String,
+                  commandId: Option[String] = None,
+                  previousId: Option[String] = None,
+                  eventVersion: Long = 1L,
+                  isFinal: Boolean = false): Either[AppendError, EventRow] =
+    store.appendEvent(EventInput(event, eventId, decider, deciderId, data,
+      commandId, previousId, eventVersion, isFinal))
+
+  def getEvents(deciderId: String, decider: String): Dataset[EventRow] =
+    store.getEvents(deciderId, decider)
+
+  def getLastEvent(deciderId: String): Option[EventRow] =
+    store.getLastEvent(deciderId)
+
+  def registerView(view: String, startAt: Option[Timestamp] = None,
+                   lockTimeoutS: Long = 300L,
+                   poolingDelayS: Option[Long] = None,
+                   edgeFunctionUrl: Option[String] = None): ViewRegistration =
+    streams.registerView(view, startAt, lockTimeoutS, poolingDelayS, edgeFunctionUrl)
+
+  def streamEvents(view: String, limit: Int = 1, seconds: Long = 300L): Seq[EventRow] =
+    streams.streamEvents(view, limit, seconds)
+
+  def ackEvent(view: String, deciderId: String, offset: Long): Option[LockRow] =
+    streams.ack(view, deciderId, offset)
+
+  def nackEvent(view: String, deciderId: String): Option[LockRow] =
+    streams.nack(view, deciderId)
+
+  def scheduleNackEvent(view: String, deciderId: String,
+                        milliseconds: Long): Option[LockRow] =
+    streams.scheduleNack(view, deciderId, milliseconds)
+
+  /** Reference schedule_events(view, schedule, url): start/replace the
+    * view's push loop. Here the "cron schedule" is the streaming
+    * trigger interval; the sender is injectable (tests record, a real
+    * deployment posts via java.net.http).
+    */
+  def scheduleEvents(view: String, poolingDelayS: Long, url: String,
+                     send: (String, String) => Unit): Unit = {
+    import graft.streaming.DeliveryEngine
+    val reg = streams.allViews.filter(_.view == view).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"view $view not registered"))
+    // Deterministic pull-loop push: each trigger drains one
+    // stream_events batch and posts it. (The fully streaming path is
+    // DeliveryEngine.run + PushSink.start; this is the batch-polling
+    // parity shape of extensions.sql:29-57.)
+    scheduler.schedule(view, {
+      val events = streamEvents(view, limit = 100, seconds = reg.lock_timeout_s)
+      import spark.implicits._
+      val q = PushSink.start(s"push_$view",
+        DeliveryEngine.run(view, reg.lock_timeout_s,
+          events.map(DeliveryEngine.event).toDS()),
+        url, poolingDelayS, send)
+      q
+    })
+  }
+
+  def unscheduleEvents(view: String): Boolean = scheduler.unschedule(view)
+}

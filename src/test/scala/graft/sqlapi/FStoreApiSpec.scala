@@ -1,0 +1,50 @@
+package graft.sqlapi
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** README-examples-as-tests for the 1:1 API facade (mirrors the
+  * reference's tests/integration/end-to-end/test_readme_examples.sql —
+  * doc-as-golden).
+  */
+class FStoreApiSpec extends SparkSpec {
+
+  test("the reference README flow works verbatim through the facade") {
+    val api = new FStoreApi(spark)
+    var clock = 1700000000000L
+    api.store.now = () => new Timestamp(clock)
+
+    // README example 1: register the schema
+    api.registerDeciderEvent("restaurant", "restaurant-created")
+    api.registerDeciderEvent("restaurant", "menu-changed")
+
+    // README example 2-3: append a chained stream
+    val e1 = api.appendEvent("restaurant-created", "id-1", "restaurant", "r-1",
+      """{"name":"by-the-sea"}""")
+    assert(e1.isRight)
+    val e2 = api.appendEvent("menu-changed", "id-2", "restaurant", "r-1",
+      """{"menu":"fish"}""", previousId = Some("id-1"))
+    assert(e2.isRight)
+
+    // get_events returns both, ordered
+    assert(api.getEvents("r-1", "restaurant").collect().map(_.event_id).toSeq
+      === Seq("id-1", "id-2"))
+    assert(api.getLastEvent("r-1").map(_.event_id) === Some("id-2"))
+
+    // streaming consumption with ack
+    api.registerView("read-model", startAt = Some(new Timestamp(0L)))
+    clock += 1000
+    val batch1 = api.streamEvents("read-model", limit = 10)
+    assert(batch1.map(_.event_id) === Seq("id-1"))
+    api.ackEvent("read-model", "r-1", batch1.head.offset)
+    val batch2 = api.streamEvents("read-model", limit = 10)
+    assert(batch2.map(_.event_id) === Seq("id-2"))
+    api.ackEvent("read-model", "r-1", batch2.head.offset)
+    assert(api.streamEvents("read-model", limit = 10).isEmpty)
+
+    // optimistic concurrency: a second writer claiming the same head loses
+    val loser = api.appendEvent("menu-changed", "id-3", "restaurant", "r-1",
+      """{"menu":"steak"}""", previousId = Some("id-1"))
+    assert(loser.isLeft)
+  }
+}
