@@ -184,6 +184,138 @@ object EventStoreQueries {
              FROM events WHERE user_id < 10 ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // P3: point lookup by unique key (reference assertions
+    // WHERE event_id = ?, tests/utils/assertions.sql:21-23).
+    Q("es_p3_point_lookup",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("event_id") === 4242L)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts").cast("timestamp_ntz").as("ts"))
+      },
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_id = 4242""")),
+
+    // ----------------------------------------------------------------
+    // O2: top-1 latest (reference get_last_event ORDER BY offset DESC
+    // LIMIT 1, schema.sql:359-367) — TakeOrderedAndProject, k = 1.
+    Q("es_o2_latest_event",
+      (s, d) => {
+        Tables.events(s, d)
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .limit(1)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 1""")),
+
+    // ----------------------------------------------------------------
+    // F3: string construction pack — repeat/format/pad (reference
+    // format(), repeat('x',1000) stress payloads).
+    Q("es_f3_strings",
+      (s, d) => {
+        Tables.events(s, d)
+          .filter(col("user_id") < 5)
+          .select(col("event_id"),
+            format_string("evt-%05d/%s", col("event_id"), col("event_type")).as("label"),
+            repeat(lit("x"), 8).as("pad8"),
+            lpad(col("user_id").cast("string"), 4, "0").as("uid4"),
+            reverse(col("event_type")).as("rev"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             printf('evt-%05d/%s', event_id, event_type) AS label,
+             repeat('x', 8) AS pad8,
+             lpad(CAST(user_id AS VARCHAR), 4, '0') AS uid4,
+             reverse(event_type) AS rev
+             FROM events WHERE user_id < 5 ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // F7: UUID materialization. Random uuid() is inherently
+    // un-oracle-able, so the checkable form is the deterministic
+    // content-derived UUID (v4 layout carved from md5 — the standard
+    // "stable synthetic id" trick in ingest pipelines).
+    Q("es_f7_uuid",
+      (s, d) => {
+        val h = md5(concat(lit("evt:"), col("event_id").cast("string")))
+        Tables.events(s, d)
+          .filter(col("user_id") < 5)
+          .select(col("event_id"),
+            concat_ws("-",
+              substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+              substring(h, 17, 4), substring(h, 21, 12)).as("stable_uuid"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+             substr(h,17,4) || '-' || substr(h,21,12) AS stable_uuid
+             FROM (SELECT event_id, md5('evt:' || CAST(event_id AS VARCHAR)) AS h
+                   FROM events WHERE user_id < 5)
+             ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // Tumbling event-time window aggregate (SURVEY §7.6 extended
+    // surface; Spark `window()` over events.ts, checked against
+    // DuckDB time_bucket semantics via date_trunc).
+    Q("es_window_tumbling",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("day_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("day_start", "event_type")
+      },
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+             event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""")),
+
+    // ----------------------------------------------------------------
+    // Session windows (gap-based) per user — expressible relationally
+    // as gap > threshold ⇒ new session (lag + cumulative sum), so the
+    // oracle can check the exact session assignment Spark's
+    // session_window would produce (30-minute gap).
+    Q("es_session_window",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("gap_new",
+            when(col("prev_us").isNull, 1)
+              .when(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("gap_new")).over(wCum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("session_start_us"),
+            max(unix_micros(col("ts"))).as("session_end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+               SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                           lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                           > 30 * 60 * 1000000 THEN 1
+                           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                           IS NULL THEN 1 ELSE 0 END AS gap_new
+               FROM events),
+             s AS (
+               SELECT user_id, us,
+                      CAST(sum(gap_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM g)
+             SELECT user_id, session_id, count(*) AS n_events,
+                    min(us) AS session_start_us, max(us) AS session_end_us
+             FROM s GROUP BY user_id, session_id
+             ORDER BY user_id, session_id""")),
+
+    // ----------------------------------------------------------------
     // F10: sequence generator + explode (reference generate_series,
     // test_stress_conditions.sql:38).
     Q("es_f10_sequence",
