@@ -138,6 +138,37 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
+      None),
+
+    // ----------------------------------------------------------------
+    // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
+    // KMeans (seeded, deterministic) as the coarse quantizer — assign
+    // each vector to its nearest of 16 centroids, pair-join within
+    // cells, re-rank by exact cosine. Probing only the home cell
+    // trades recall for an O(n²/16) candidate set; production would
+    // probe the nProbe nearest cells the same way.
+    Q("emb_ann_ivf",
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, d)
+          .withColumn("features", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("features").fit(e)
+        val assigned = model.transform(e)
+          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+        val a = assigned.select(col("cell"), col("vec_id").as("qid"),
+          col("embedding").as("qe"))
+        val b = assigned.select(col("cell"), col("vec_id").as("cid"),
+          col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
+          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("qid"), col("cell"), col("cid"), col("sim"))
+          .orderBy("qid")
+      },
       None)
   )
 }
