@@ -41,10 +41,20 @@ import org.apache.spark.sql.functions._
 final class EventStore(val spark: SparkSession) {
   import spark.implicits._
 
-  private var deciders: Dataset[DeciderRegistration] =
-    spark.emptyDataset[DeciderRegistration]
+  // Control-plane vs data-plane split (same split the reference makes
+  // between its tiny registry/locks tables and the events heap): the
+  // schema REGISTRY is driver-resident — it is dimension-sized by
+  // construction and consulted on every append, so keeping it as a
+  // Spark dataset would cost a job per metadata question. The LOG is
+  // the data plane and always a Dataset.
+  private val decidersMap =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String, Long), DeciderRegistration]
   private var events: Dataset[EventRow] = spark.emptyDataset[EventRow]
   private var nextTxn: Long = 1L
+  /** Committed head of the global offset sequence (O(1) instead of a
+    * max() scan per append; rebuilt on load).
+    */
+  private var headOffset: Long = 0L
 
   /** Injectable clock so tests get deterministic `created_at`. */
   @volatile var now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())
@@ -59,13 +69,11 @@ final class EventStore(val spark: SparkSession) {
                            eventVersion: Long = 1L,
                            description: Option[String] = None): DeciderRegistration = {
     val row = DeciderRegistration(decider, event, eventVersion, description)
-    val exists = deciders.filter(d =>
-      d.decider == decider && d.event == event && d.event_version == eventVersion)
-    if (exists.isEmpty) deciders = deciders.union(Seq(row).toDS())
-    row
+    decidersMap.getOrElseUpdate((decider, event, eventVersion), row)
   }
 
-  def deciderRegistry: Dataset[DeciderRegistration] = deciders
+  def deciderRegistry: Dataset[DeciderRegistration] =
+    decidersMap.values.toSeq.toDS()
 
   /** Reference deciders table is append-only with silently-ignored
     * UPDATE/DELETE rules (schema.sql:59-64) — mirrored as no-op APIs
@@ -93,19 +101,15 @@ final class EventStore(val spark: SparkSession) {
     val ts = now()
     val txn = nextTxn
 
-    val inputs = batch.zipWithIndex.map { case (e, i) => (e, i.toLong) }
-      .toDS().toDF("in", "input_idx")
+    // (1) FK gate (J8): the registry is driver-resident (see header),
+    // so the composite-FK flag is stamped onto each row up front — the
+    // moral equivalent of the broadcast semi-join, without shipping a
+    // dimension table that already fits in a map.
+    val inputs = batch.zipWithIndex.map { case (e, i) =>
+      (e, i.toLong, decidersMap.contains((e.decider, e.event, e.event_version)))
+    }.toDS().toDF("in", "input_idx", "registered")
 
-    // (1) FK gate (J8): broadcast left-join against the registry; the
-    // registry is dimension-sized by construction.
-    val reg = deciders.toDF()
-      .select($"decider".as("r_decider"), $"event".as("r_event"),
-              $"event_version".as("r_version"), lit(true).as("registered"))
-    val fkChecked = inputs
-      .join(broadcast(reg),
-        $"in.decider" === $"r_decider" && $"in.event" === $"r_event" &&
-          $"in.event_version" === $"r_version", "left")
-      .select($"in", $"input_idx", coalesce($"registered", lit(false)).as("registered"))
+    val fkChecked = inputs.select($"in", $"input_idx", $"registered")
 
     // (2) Committed-log lookups, pruned to the streams the batch touches.
     val touched = inputs.select($"in.decider".as("t_decider"),
@@ -229,6 +233,7 @@ final class EventStore(val spark: SparkSession) {
     // plan (at rest the log is Parquet via save/load anyway).
     if (accepted.nonEmpty) {
       events = events.union(accepted.toDS()).localCheckpoint()
+      headOffset = accepted.last.offset
       nextTxn += 1
       onCommit(accepted)
     }
@@ -265,9 +270,7 @@ final class EventStore(val spark: SparkSession) {
 
   def allEvents: Dataset[EventRow] = events
 
-  def maxOffset(): Long =
-    events.agg(max($"offset")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+  def maxOffset(): Long = headOffset
 
   /** Immutability (M7, reference schema.sql:59-72): mutation APIs exist
     * but are silent no-ops returning 0 affected rows — the reference's
@@ -283,15 +286,19 @@ final class EventStore(val spark: SparkSession) {
   def save(dir: String, buckets: Int = 32): Unit = {
     events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
-    deciders.write.mode("overwrite").parquet(s"$dir/deciders")
+    deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
   }
 
   def load(dir: String): Unit = {
     events = spark.read.parquet(s"$dir/events").drop("bucket")
       .as[EventRow]
-    deciders = spark.read.parquet(s"$dir/deciders").as[DeciderRegistration]
-    nextTxn = events.agg(max($"transaction_id")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L) + 1
+    decidersMap.clear()
+    spark.read.parquet(s"$dir/deciders").as[DeciderRegistration]
+      .collect().foreach(d =>
+        decidersMap((d.decider, d.event, d.event_version)) = d)
+    val heads = events.agg(max($"offset"), max($"transaction_id")).collect().headOption
+    headOffset = heads.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    nextTxn = heads.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long])).getOrElse(0L) + 1
   }
 }
 
