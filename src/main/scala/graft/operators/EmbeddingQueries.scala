@@ -55,15 +55,19 @@ object EmbeddingQueries {
     // baseline every ANN variant is measured against.
     Q("emb_cosine_topk",
       (s, d) => {
+        // Top-k via the bounded-heap aggregate (map-side partial agg)
+        // instead of a window rank — the candidate matrix reduces to
+        // ≤ k pairs per query BEFORE the shuffle.
         val e = Tables.embeddings(s, d)
         val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
         a.crossJoin(b).filter(col("qid") =!= col("cid"))
           .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("rnk"), col("cid"), col("sim"))
+          .groupBy("qid")
+          .agg(graft.functions.TopKByScore.topK(5)(col("sim"), col("cid")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+            col("sc.id").as("cid"), col("sc.score").as("sim"))
           .orderBy("qid", "rnk")
       },
       Some(s"""WITH n AS (

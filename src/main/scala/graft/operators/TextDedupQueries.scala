@@ -57,7 +57,7 @@ object TextDedupQueries {
     */
   private def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val tCand = threshold - 0.001
-    val sh = shingles(docs)
+    val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // global document frequency per shingle → rarest-first order
     val df_ = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
@@ -234,7 +234,7 @@ object TextDedupQueries {
     Q("doc_minhash_lsh",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = shingles(docs)
+        val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         // 64 minhashes as ONE wide aggregation (no 64x row explosion):
         // each seed is a column min over seed-salted xxhash64 — a single
