@@ -184,6 +184,22 @@ object EventStoreQueries {
              FROM events WHERE user_id < 10 ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // Distinct aggregation (extension beyond the reference, SURVEY
+    // §2.4 note): exact distinct counts per group — the dedup-aware
+    // cardinality question every consumer-lag dashboard asks.
+    Q("es_a_distinct_users",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+               count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
     // P3: point lookup by unique key (reference assertions
     // WHERE event_id = ?, tests/utils/assertions.sql:21-23).
     Q("es_p3_point_lookup",

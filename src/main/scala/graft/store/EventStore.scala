@@ -235,6 +235,7 @@ final class EventStore(val spark: SparkSession) {
       events = events.union(accepted.toDS()).localCheckpoint()
       headOffset = accepted.last.offset
       nextTxn += 1
+      diskLayout = None // disk snapshot is stale until the next save()
       onCommit(accepted)
     }
     AppendResult(accepted, rejected)
@@ -256,9 +257,23 @@ final class EventStore(val spark: SparkSession) {
   /** Ordered scan of one entity's stream — partition-pruned when the
     * log is Parquet-partitioned by decider bucket.
     */
-  def getEvents(deciderId: String, decider: String): Dataset[EventRow] =
-    events.filter($"decider_id" === deciderId && $"decider" === decider)
+  def getEvents(deciderId: String, decider: String): Dataset[EventRow] = {
+    // When the log is parquet-at-rest, route the scan through the
+    // bucketed layout: the hash-bucket predicate prunes partition
+    // DIRECTORIES (PartitionFilters), so one stream's scan touches
+    // 1/buckets of the files before the row-group filter even runs —
+    // the Spark analogue of the reference's (decider_id, decider)
+    // index (schema.sql:56; SURVEY X1).
+    val base = diskLayout match {
+      case Some((dir, buckets)) =>
+        spark.read.parquet(s"$dir/events")
+          .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
+          .drop("bucket")
+      case None => events.toDF()
+    }
+    base.filter($"decider_id" === deciderId && $"decider" === decider)
       .orderBy($"offset").as[EventRow]
+  }
 
   /** Latest event by global offset. QUIRK preserved from the reference
     * (schema.sql:364): filters only decider_id, NOT decider — two
@@ -283,15 +298,22 @@ final class EventStore(val spark: SparkSession) {
   // Persistence: Parquet at rest, hash-bucketed by decider_id so
   // stream scans prune and the streaming join co-locates (SURVEY X1/X2).
 
+  /** (dir, buckets) when the log was loaded from / saved to parquet —
+    * enables partition-pruned stream scans in getEvents.
+    */
+  private var diskLayout: Option[(String, Int)] = None
+
   def save(dir: String, buckets: Int = 32): Unit = {
     events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+    diskLayout = Some((dir, buckets))
   }
 
-  def load(dir: String): Unit = {
+  def load(dir: String, buckets: Int = 32): Unit = {
     events = spark.read.parquet(s"$dir/events").drop("bucket")
       .as[EventRow]
+    diskLayout = Some((dir, buckets))
     decidersMap.clear()
     spark.read.parquet(s"$dir/deciders").as[DeciderRegistration]
       .collect().foreach(d =>

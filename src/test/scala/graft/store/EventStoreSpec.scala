@@ -191,6 +191,28 @@ class EventStoreSpec extends SparkSpec {
     assert(s.allEvents.count() === 1L)
   }
 
+  test("getEvents on a loaded log prunes partitions via the bucket predicate") {
+    val s = freshStore()
+    s.appendEvent(ev("e1"))
+    s.appendEvent(ev("x1", deciderId = "order-2"))
+    val dir = java.nio.file.Files.createTempDirectory("estore_prune").toString
+    s.save(dir, buckets = 8)
+    val s2 = new EventStore(spark)
+    s2.load(dir, buckets = 8)
+    val scan = s2.getEvents("order-1", "Order")
+    // correctness through the pruned path
+    assert(scan.collect().map(_.event_id).toSeq === Seq("e1"))
+    // physical plan: the bucket predicate must land in PartitionFilters
+    val plan = scan.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket predicate not pushed to partition pruning:\n$plan")
+    // appends invalidate the disk snapshot (no stale pruned reads)
+    s2.now = () => new Timestamp(1700000000001L)
+    s2.appendEvent(ev("e2", event = "OrderShipped", prev = Some("e1")))
+    assert(s2.getEvents("order-1", "Order").collect().map(_.event_id).toSeq
+      === Seq("e1", "e2"))
+  }
+
   test("save/load round-trips the log through bucketed parquet") {
     val s = freshStore()
     s.appendEvent(ev("e1"))
