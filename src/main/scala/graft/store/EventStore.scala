@@ -244,6 +244,35 @@ final class EventStore(val spark: SparkSession) {
   /** Hook for the streaming layer's lock fanout (M1). */
   @volatile var onCommit: Seq[EventRow] => Unit = _ => ()
 
+  /** Bulk commit for the distributed ingest path (BulkIngest): rows
+    * arrive already validated and offset-assigned; the commit counts
+    * and appends them without a driver round-trip of the data. The
+    * lock fanout gets only the per-partition HEADS (control-plane
+    * cardinality), not the rows.
+    */
+  private[store] def commitBulk(rows: Dataset[EventRow]): Long = {
+    val staged = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = staged.count()
+    if (n > 0) {
+      events = events.union(staged).localCheckpoint()
+      headOffset = math.max(headOffset,
+        staged.agg(max($"offset")).collect().head.getLong(0))
+      nextTxn += 1
+      diskLayout = None
+      val heads = staged.groupBy($"decider_id")
+        .agg(max_by(struct($"offset", $"is_final"), $"offset").as("h"))
+        .select($"decider_id", $"h.offset", $"h.is_final")
+        .collect()
+      if (heads.nonEmpty) {
+        val ts = now()
+        onCommit(heads.map(r => EventRow("", "", 0L, "", r.getString(0), "",
+          None, None, r.getBoolean(2), ts, r.getLong(1), -1L)).toSeq)
+      }
+    }
+    staged.unpersist()
+    n
+  }
+
   /** Broadcast only when the build side is known-bounded; the committed
     * id sets grow with the log, so leave join-strategy choice to
     * Catalyst/AQE there (it will pick SMJ once they exceed the
