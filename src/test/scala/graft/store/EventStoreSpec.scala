@@ -213,6 +213,28 @@ class EventStoreSpec extends SparkSpec {
       === Seq("e1", "e2"))
   }
 
+  test("large-payload stress: 20 chained ~1KB JSON events all land") {
+    // ≙ reference tests/performance/benchmarks/test_stress_conditions.sql:35-63
+    // (repeat('x',1000) + a 100-int json array; threshold there is >=10/20,
+    // ours is all 20 — batch commit is all-or-per-row, never partial-flaky)
+    val s = freshStore()
+    val bigPayload = {
+      val arr = (1 to 100).mkString("[", ",", "]")
+      s"""{"blob":"${"x" * 1000}","series":$arr}"""
+    }
+    val batch = (1 to 20).map { i =>
+      ev(s"big$i", event = if (i == 1) "OrderPlaced" else "OrderShipped",
+        prev = if (i == 1) None else Some(s"big${i - 1}"))
+        .copy(data = bigPayload)
+    }
+    val r = s.append(batch)
+    assert(r.rejected.isEmpty)
+    assert(r.accepted.size === 20)
+    val got = s.getEvents("order-1", "Order").collect()
+    assert(got.length === 20)
+    assert(got.forall(_.data.length > 1000))
+  }
+
   test("save/load round-trips the log through bucketed parquet") {
     val s = freshStore()
     s.appendEvent(ev("e1"))
