@@ -41,8 +41,23 @@ object EmbeddingQueries {
     call_function("cosine_sim", a, b)
   }
 
+  /** Pair-loop form: native dot over PRECOMPUTED norms — a third of
+    * the per-pair work of the fused kernel, same formula as the
+    * oracle (`dot / (nrm_a * nrm_b)`), so still bit-identical.
+    */
+  private def dotOverNorms(s: SparkSession, a: Column, b: Column,
+                           na: Column, nb: Column): Column = {
+    graft.GraftExtensions.register(s)
+    call_function("dot_product", a, b) / (na * nb)
+  }
+
+  /** Persisted: without the materialization barrier, CollapseProject
+    * inlines the norm fold into the post-join projection and
+    * re-evaluates it once per PAIR instead of once per vector.
+    */
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** DuckDB-side: the same sequential fold (list index is 1-based). */
   private val dotSql = (a: String, b: String) =>
@@ -58,11 +73,12 @@ object EmbeddingQueries {
         // Top-k via the bounded-heap aggregate (map-side partial agg)
         // instead of a window rank — the candidate matrix reduces to
         // ≤ k pairs per query BEFORE the shuffle.
-        val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val e = withNorm(Tables.embeddings(s, d))
+        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
         a.crossJoin(b).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+          .withColumn("sim", round(
+            dotOverNorms(s, col("qe"), col("ce"), col("qn"), col("cn")), 6))
           .groupBy("qid")
           .agg(graft.functions.TopKByScore.topK(5)(col("sim"), col("cid")).as("top"))
           .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
@@ -90,11 +106,12 @@ object EmbeddingQueries {
     // the "semantic dedup" filter of LLM-corpus pipelines.
     Q("emb_near_dup",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
+        val e = withNorm(Tables.embeddings(s, d))
+        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
         a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
-          .withColumn("sim", round(cosineSim(s, col("ea"), col("eb")), 6))
+          .withColumn("sim", round(
+            dotOverNorms(s, col("ea"), col("eb"), col("na"), col("nb")), 6))
           .filter(col("sim") >= 0.95)
           .select(col("vid_a"), col("vid_b"), col("sim"))
           .orderBy("vid_a", "vid_b")
