@@ -262,6 +262,22 @@ object RelationalQueries {
              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     // ----------------------------------------------------------------
+    // ROLLUP grouping sets (hierarchical subtotals — the companion to
+    // a_cube_returnflag).
+    Q("a_rollup_nation_segment",
+      (s, d) => {
+        Tables.customer(s, d)
+          .rollup("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+          .orderBy(col("c_nationkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+      },
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+             ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
+
+    // ----------------------------------------------------------------
     // W3: window frame running sum (ROWS BETWEEN ... AND CURRENT ROW).
     // The raw table contains duplicate (l_orderkey, l_linenumber) rows,
     // so we pre-aggregate to unique keys first — otherwise no total
