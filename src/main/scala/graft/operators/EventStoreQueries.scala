@@ -332,6 +332,86 @@ object EventStoreQueries {
              ORDER BY user_id, session_id""")),
 
     // ----------------------------------------------------------------
+    // As-of join (the classic "operator Spark lacks" — composed from
+    // builtins per the preference order: union + keyed window
+    // carry-forward, ONE shuffle on user_id, no per-row subquery, no
+    // range explosion). Each purchase is matched to the user's most
+    // recent STRICTLY-earlier click; clicks deduped to one per
+    // (user, ts) so the match is total. Oracle: DuckDB's native
+    // ASOF LEFT JOIN.
+    Q("es_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("click_id"), lit(null).cast("long").as("purchase_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+        // sort (ts, kind): purchases (0) sort BEFORE same-ts clicks (1),
+        // so a click at exactly the purchase timestamp is excluded —
+        // the strict `p.ts > c.ts` ASOF semantics.
+        val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .select(col("purchase_id"),
+            coalesce(col("last_click"), lit(-1L)).as("last_click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH c AS (
+               SELECT user_id, ts, max(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+             SELECT p.event_id AS purchase_id,
+                    coalesce(c.click_id, -1) AS last_click_id
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+             ORDER BY purchase_id""")),
+
+    // ----------------------------------------------------------------
+    // Exact interpolated percentiles (extension surface): Spark
+    // percentile() ≡ DuckDB quantile_cont (both linear-interpolated
+    // over the sorted set); rounded to absorb interpolation-order lsb.
+    Q("es_percentiles",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             round(quantile_cont(value, 0.99), 4) AS p99
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
+    // Sketch aggregates (extension surface; no SQL oracle — HLL/KLL
+    // sketch internals are engine-specific, so the driver records the
+    // weaker rows-only check): approximate distinct cardinality and
+    // approximate quantiles, the constant-memory forms of
+    // es_a_distinct_users / es_percentiles for 100 TB streams.
+    Q("es_approx_sketches",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("approx_q"))
+          .select(col("event_type"), col("approx_users"),
+            col("approx_q").getItem(0).as("ap50"),
+            col("approx_q").getItem(1).as("ap99"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ----------------------------------------------------------------
     // F10: sequence generator + explode (reference generate_series,
     // test_stress_conditions.sql:38).
     Q("es_f10_sequence",

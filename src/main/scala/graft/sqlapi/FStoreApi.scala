@@ -69,27 +69,36 @@ final class FStoreApi(spark: SparkSession) {
     streams.scheduleNack(view, deciderId, milliseconds)
 
   /** Reference schedule_events(view, schedule, url): start/replace the
-    * view's push loop. Here the "cron schedule" is the streaming
-    * trigger interval; the sender is injectable (tests record, a real
-    * deployment posts via java.net.http).
+    * view's push loop (extensions.sql:29-57 — pg_cron fires a
+    * stream_events call every N seconds and POSTs each event).
+    * Spark-natively the cron tick is a rate-source streaming query
+    * with `Trigger.ProcessingTime(poolingDelayS)`: each trigger drains
+    * one `stream_events` batch and posts its envelopes through the
+    * injectable sender. Like the reference, push does NOT auto-ack —
+    * un-acked events redeliver after the lease expires.
     */
   def scheduleEvents(view: String, poolingDelayS: Long, url: String,
                      send: (String, String) => Unit): Unit = {
-    import graft.streaming.DeliveryEngine
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.DeliveryEngine.Delivered
     val reg = streams.allViews.filter(_.view == view).collect().headOption
       .getOrElse(throw new IllegalArgumentException(s"view $view not registered"))
-    // Deterministic pull-loop push: each trigger drains one
-    // stream_events batch and posts it. (The fully streaming path is
-    // DeliveryEngine.run + PushSink.start; this is the batch-polling
-    // parity shape of extensions.sql:29-57.)
     scheduler.schedule(view, {
-      val events = streamEvents(view, limit = 100, seconds = reg.lock_timeout_s)
-      import spark.implicits._
-      val q = PushSink.start(s"push_$view",
-        DeliveryEngine.run(view, reg.lock_timeout_s,
-          events.map(DeliveryEngine.event).toDS()),
-        url, poolingDelayS, send)
-      q
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream
+        .queryName(s"push_$view")
+        .trigger(Trigger.ProcessingTime(poolingDelayS * 1000L))
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = streamEvents(view, limit = 100, seconds = reg.lock_timeout_s)
+          if (got.nonEmpty) {
+            import spark.implicits._
+            PushSink.envelope(got.map(e =>
+              Delivered(view, e.decider_id, e.offset, e.event_id, e.data,
+                redelivery = false)).toDS())
+              .collect().foreach(r => send(url, r.getString(0)))
+          }
+        }
+        .start()
     })
   }
 

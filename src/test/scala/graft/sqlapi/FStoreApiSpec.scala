@@ -47,4 +47,24 @@ class FStoreApiSpec extends SparkSpec {
       """{"menu":"steak"}""", previousId = Some("id-1"))
     assert(loser.isLeft)
   }
+
+  test("schedule_events pushes undelivered events to the injected sender") {
+    val api = new FStoreApi(spark)
+    var clock = 1700000000000L
+    api.store.now = () => new Timestamp(clock)
+    api.registerDeciderEvent("Order", "Placed")
+    api.registerView("push-view", startAt = Some(new Timestamp(0L)))
+    api.appendEvent("Placed", "p1", "Order", "o-1", """{"n":1}""")
+    clock += 1000
+
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    api.scheduleEvents("push-view", poolingDelayS = 1,
+      url = "http://localhost:0/fn", send = (_, body) => sent.add(body))
+    val deadline = System.currentTimeMillis() + 30000
+    while (sent.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(!sent.isEmpty)
+    assert(sent.peek().contains("\"decider_id\":\"o-1\""))
+    assert(api.unscheduleEvents("push-view"))
+    assert(!api.unscheduleEvents("push-view"))
+  }
 }
