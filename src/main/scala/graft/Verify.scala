@@ -19,8 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Output path is literally `<name>.parquet` per the driver
+      // contract (it is a directory — Spark always writes one — but a
+      // driver globbing the literal name, pyarrow.read_table, and
+      // pandas.read_parquet all accept a directory at that path).
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -392,6 +392,31 @@ object EventStoreQueries {
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ----------------------------------------------------------------
+    // Pivot (long→wide reshaping — the per-entity feature-vector
+    // construction step of training-data pipelines). Spark's pivot
+    // compiles to conditional aggregation; the oracle states that
+    // desugared form explicitly.
+    Q("es_pivot_event_counts",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          .na.fill(0L)
+          .withColumnsRenamed(Map(
+            "click" -> "n_click", "view" -> "n_view", "purchase" -> "n_purchase",
+            "signup" -> "n_signup", "error" -> "n_error"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
     // Sketch aggregates (extension surface; no SQL oracle — HLL/KLL
     // sketch internals are engine-specific, so the driver records the
     // weaker rows-only check): approximate distinct cardinality and

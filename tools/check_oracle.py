@@ -39,7 +39,8 @@ def h(df: pd.DataFrame) -> str:
 
 results = {}
 for name, sql in sorted(oracles.items()):
-    path_glob = glob.glob(f"{outdir}/{name}/*.parquet")
+    path_glob = glob.glob(f"{outdir}/{name}.parquet/*.parquet") or \
+        glob.glob(f"{outdir}/{name}/*.parquet")
     if not path_glob:
         results[name] = {"status": "NO_SPARK_RESULT"}
         continue
