@@ -63,6 +63,88 @@ object EmbeddingQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** All-pairs exact near-dup over (vec_id, embedding): pairs with
+    * cosine ≥ threshold — the oracle-checkable baseline the LSH form
+    * is verified against (and quadratic by declared design).
+    * Exposed for the planted-pair equivalence spec: the driver
+    * testdata's random vectors never exceed cos ≈ 0.51, so the
+    * registry query is vacuous there and EmbeddingNearDupSpec supplies
+    * data where pairs actually exist.
+    */
+  def nearDupExact(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(emb)
+    val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
+      .withColumn("sim", round(
+        dotOverNorms(s, col("ea"), col("eb"), col("na"), col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vid_a"), col("vid_b"), col("sim"))
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** Banded random-hyperplane-LSH near-dup (the scale path): nBands ×
+    * bitsPerBand sign-bit band signatures generate candidate pairs,
+    * exact cosine verifies them — so the output EQUALS nearDupExact
+    * whenever banding recall holds (defaults tuned for threshold
+    * ≥ 0.95: per-plane collision p = 1 − arccos(0.95)/π ≈ 0.899, a
+    * band matches with p⁶ ≈ 0.53, a true pair escapes all 32 bands
+    * with (1 − p⁶)³² ≈ 4e-11). Candidate generation shuffles
+    * O(vectors × nBands) narrow (band, sig, vec_id) rows — never the
+    * pair matrix and never the vectors; embeddings are re-joined only
+    * for the candidate set. At corpus scale raise bitsPerBand to keep
+    * per-bucket occupancy bounded and retune recall by adding bands.
+    *
+    * Plane dots run through the codegen'd DotProduct kernel against
+    * LITERAL plane vectors (splitmix64-seeded, driver-side constants)
+    * — an earlier draft derived plane components inside nested
+    * higher-order lambdas (xxhash64 per row × plane × component,
+    * interpreted) and was ~1000× slower; sign tests don't need the
+    * oracle-grade fold, only the verification cosine does.
+    */
+  def nearDupLsh(s: SparkSession, emb: DataFrame, threshold: Double,
+                 nBands: Int = 32, bitsPerBand: Int = 6): DataFrame = {
+    val dim = 64
+    // splitmix64 → uniform [-1, 1] floats; any fixed pseudo-random
+    // plane family works (recall is tuned by bands × bits, and
+    // candidates are re-verified exactly).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def plane(h: Int): Seq[Float] = (0 until dim).map(j =>
+      (mix((h.toLong << 32) | j).toDouble / Long.MaxValue.toDouble).toFloat)
+    val e = withNorm(emb)
+    graft.GraftExtensions.register(s)
+    val sigCols = (0 until nBands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val dot = call_function("dot_product",
+          col("embedding"), typedlit(plane(b * bitsPerBand + i)))
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column](_ + _).as(s"sig$b")
+    }
+    val bands = e.select(col("vec_id") +: sigCols: _*)
+      .select(col("vec_id"), posexplode(array((0 until nBands).map(b => col(s"sig$b")): _*))
+        .as(Seq("band", "sig")))
+    val candidates = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vid_a"), col("y.vec_id").as("vid_b"))
+      .distinct()
+    // exact-cosine verification of candidates only; no broadcast
+    // hint — AQE picks the build side (candidates are the small
+    // side on a real corpus, the vector table is O(corpus)).
+    val va = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    candidates.join(va, "vid_a").join(vb, "vid_b")
+      .withColumn("sim", round(
+        dotOverNorms(s, col("ea"), col("eb"), col("na"), col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vid_a"), col("vid_b"), col("sim"))
+      .orderBy("vid_a", "vid_b")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -105,17 +187,28 @@ object EmbeddingQueries {
     // Embedding near-dup: pairs above a high cosine threshold —
     // the "semantic dedup" filter of LLM-corpus pipelines.
     Q("emb_near_dup",
-      (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
-        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-        a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
-          .withColumn("sim", round(
-            dotOverNorms(s, col("ea"), col("eb"), col("na"), col("nb")), 6))
-          .filter(col("sim") >= 0.95)
-          .select(col("vid_a"), col("vid_b"), col("sim"))
-          .orderBy("vid_a", "vid_b")
-      },
+      (s, d) => nearDupExact(s, Tables.embeddings(s, d), 0.95),
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings)
+             SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.95
+             ORDER BY vid_a, vid_b""")),
+
+    // ----------------------------------------------------------------
+    // Embedding near-dup, LSH-bucketed form (the scale path) — SAME
+    // oracle as emb_near_dup: candidates from banded hyperplane LSH,
+    // verified by exact cosine, so the output equals the all-pairs
+    // form (mirrors doc_minhash_lsh vs doc_ngram_jaccard; recall
+    // analysis and plan shape in [[nearDupLsh]]'s doc). The planted-
+    // pair equivalence against nearDupExact is asserted in
+    // EmbeddingNearDupSpec — the driver testdata has no cos ≥ 0.95
+    // pairs, so this oracle checks schema/emptiness only.
+    Q("emb_near_dup_lsh",
+      (s, d) => nearDupLsh(s, Tables.embeddings(s, d), 0.95),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -67,7 +67,7 @@ object TextDedupQueries {
     // whole freq+window pipeline once per side.
     val prefixes = ex.join(df_, "shingle")
       .withColumn("pos", row_number().over(wDoc))
-      .join(broadcast(sh.select(col("doc_id"), col("n"))), "doc_id")
+      .join(sh.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 1)
       .select(col("doc_id"), col("n"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,10 +79,13 @@ object TextDedupQueries {
         greatest(col("a.n"), col("b.n")) * tCand <= least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verification: full distinct-shingle sets of candidate pairs only
+    // verification: full distinct-shingle sets of candidate pairs only.
+    // No broadcast hint — the shingle-set table is O(corpus) and would
+    // blow the broadcast ceiling at scale; the candidate side is the
+    // small one and AQE picks the build side at runtime.
     val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    candidates.join(broadcast(setsA), "doc_a").join(broadcast(setsB), "doc_b")
+    candidates.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
@@ -234,7 +237,7 @@ object TextDedupQueries {
     Q("doc_minhash_lsh",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         // 64 minhashes as ONE wide aggregation (no 64x row explosion):
         // each seed is a column min over seed-salted xxhash64 — a single
@@ -259,11 +262,11 @@ object TextDedupQueries {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         // Verify candidates with exact Jaccard on the shingle sets.
-        // (Sets broadcast at test scale; on a real corpus the candidate
-        // side is the small one and AQE flips the build side.)
+        // No broadcast hint: the shingle-set table is O(corpus); the
+        // candidate side is the small one and AQE picks the build side.
         val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
         val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        candidates.join(broadcast(setsA), "doc_a").join(broadcast(setsB), "doc_b")
+        candidates.join(setsA, "doc_a").join(setsB, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("jaccard",
             round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
