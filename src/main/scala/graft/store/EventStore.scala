@@ -49,12 +49,28 @@ final class EventStore(val spark: SparkSession) {
   // the data plane and always a Dataset.
   private val decidersMap =
     scala.collection.mutable.LinkedHashMap.empty[(String, String, Long), DeciderRegistration]
-  private var events: Dataset[EventRow] = spark.emptyDataset[EventRow]
+  @volatile private var events: Dataset[EventRow] = spark.emptyDataset[EventRow]
   private var nextTxn: Long = 1L
   /** Committed head of the global offset sequence (O(1) instead of a
     * max() scan per append; rebuilt on load).
     */
   private var headOffset: Long = 0L
+
+  /** Serializes validate-and-commit. The reference gets "two racing
+    * writers extending the same head — exactly one wins" from row
+    * locks + unique indexes inside a transaction (schema.sql:23-26,
+    * README.md:106-108); here the transaction analogue is the batch
+    * append, so the whole validate→commit span is one critical
+    * section: the loser's validation runs AFTER the winner's commit
+    * and sees its previous_id already claimed (DuplicatePreviousId).
+    * Readers are lock-free — `events` is a @volatile immutable
+    * snapshot. Append throughput is unaffected at scale: parallelism
+    * lives INSIDE the batch (validation joins and replay distribute
+    * across Spark tasks), not across concurrent driver calls, and the
+    * unbounded-input path (BulkIngest) is one serialized commit per
+    * already-validated bulk.
+    */
+  private val commitLock = new Object
 
   /** Injectable clock so tests get deterministic `created_at`. */
   @volatile var now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())
@@ -67,13 +83,14 @@ final class EventStore(val spark: SparkSession) {
     */
   def registerDeciderEvent(decider: String, event: String,
                            eventVersion: Long = 1L,
-                           description: Option[String] = None): DeciderRegistration = {
-    val row = DeciderRegistration(decider, event, eventVersion, description)
-    decidersMap.getOrElseUpdate((decider, event, eventVersion), row)
-  }
+                           description: Option[String] = None): DeciderRegistration =
+    commitLock.synchronized {
+      val row = DeciderRegistration(decider, event, eventVersion, description)
+      decidersMap.getOrElseUpdate((decider, event, eventVersion), row)
+    }
 
   def deciderRegistry: Dataset[DeciderRegistration] =
-    decidersMap.values.toSeq.toDS()
+    commitLock.synchronized(decidersMap.values.toSeq).toDS()
 
   /** Reference deciders table is append-only with silently-ignored
     * UPDATE/DELETE rules (schema.sql:59-64) — mirrored as no-op APIs
@@ -96,7 +113,7 @@ final class EventStore(val spark: SparkSession) {
     * visibility, SURVEY §7.4 item 2). Returns accepted rows with
     * assigned offsets plus the typed rejection channel.
     */
-  def append(batch: Seq[EventInput]): AppendResult = {
+  def append(batch: Seq[EventInput]): AppendResult = commitLock.synchronized {
     if (batch.isEmpty) return AppendResult(Nil, Nil)
     val ts = now()
     val txn = nextTxn
@@ -250,7 +267,7 @@ final class EventStore(val spark: SparkSession) {
     * lock fanout gets only the per-partition HEADS (control-plane
     * cardinality), not the rows.
     */
-  private[store] def commitBulk(rows: Dataset[EventRow]): Long = {
+  private[store] def commitBulk(rows: Dataset[EventRow]): Long = commitLock.synchronized {
     val staged = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = staged.count()
     if (n > 0) {
@@ -330,16 +347,16 @@ final class EventStore(val spark: SparkSession) {
   /** (dir, buckets) when the log was loaded from / saved to parquet —
     * enables partition-pruned stream scans in getEvents.
     */
-  private var diskLayout: Option[(String, Int)] = None
+  @volatile private var diskLayout: Option[(String, Int)] = None
 
-  def save(dir: String, buckets: Int = 32): Unit = {
+  def save(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
     events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
     diskLayout = Some((dir, buckets))
   }
 
-  def load(dir: String, buckets: Int = 32): Unit = {
+  def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
     events = spark.read.parquet(s"$dir/events").drop("bucket")
       .as[EventRow]
     diskLayout = Some((dir, buckets))

@@ -29,8 +29,22 @@ final class ViewStreams(val store: EventStore) {
   private val locksMap =
     scala.collection.mutable.LinkedHashMap.empty[(String, String), LockRow]
 
-  def allViews: Dataset[ViewRegistration] = viewsMap.values.toSeq.toDS()
-  def allLocks: Dataset[LockRow] = locksMap.values.toSeq.toDS()
+  /** Serializes all control-plane state access. The reference's
+    * multi-consumer safety comes from `FOR UPDATE SKIP LOCKED`
+    * (schema.sql:411; tests/integration/concurrent-access/
+    * test_lock_contention.sql:41-48 — two sessions streaming one view
+    * must never double-deliver a partition): candidate selection and
+    * lease acquisition are one atomic step. Here that step is the
+    * critical section in [[streamEvents]] — the DATA-plane joins run
+    * outside it, on partitions the caller exclusively leased, so
+    * concurrent pollers serialize only on the O(limit) map updates.
+    */
+  private val stateLock = new Object
+
+  def allViews: Dataset[ViewRegistration] =
+    stateLock.synchronized(viewsMap.values.toSeq).toDS()
+  def allLocks: Dataset[LockRow] =
+    stateLock.synchronized(locksMap.values.toSeq).toDS()
 
   private def now: Timestamp = store.now()
 
@@ -44,7 +58,7 @@ final class ViewStreams(val store: EventStore) {
     * control-plane-sized): update head offset / offset_final on match,
     * insert born-unlocked (last_offset = 0) otherwise.
     */
-  private def onEventsCommitted(accepted: Seq[EventRow]): Unit = {
+  private def onEventsCommitted(accepted: Seq[EventRow]): Unit = stateLock.synchronized {
     if (viewsMap.isEmpty || accepted.isEmpty) return
     val t = now
     val heads = accepted.groupBy(_.decider_id).map { case (_, rows) =>
@@ -78,14 +92,25 @@ final class ViewStreams(val store: EventStore) {
                    edgeFunctionUrl: Option[String] = None): ViewRegistration = {
     val t = now
     val start = startAt.getOrElse(t)
-    val row = viewsMap.get(view) match {
-      case Some(old) => old.copy(start_at = start, lock_timeout_s = lockTimeoutS,
-        pooling_delay_s = poolingDelayS, edge_function_url = edgeFunctionUrl,
-        updated_at = t)
-      case None => ViewRegistration(view, start, lockTimeoutS, poolingDelayS,
-        edgeFunctionUrl, t, t)
+    // The whole upsert-and-backfill is one critical section (the
+    // reference runs it in one transaction, schema.sql:376-393):
+    // releasing the lock between the aggregation and the matrix swap
+    // would let a concurrent append's fanout land heads that the swap
+    // then overwrites with pre-commit state. registerView is rare
+    // control-plane — holding the lock across the backfill job is the
+    // correct trade.
+    stateLock.synchronized {
+    val row = {
+      val r = viewsMap.get(view) match {
+        case Some(old) => old.copy(start_at = start, lock_timeout_s = lockTimeoutS,
+          pooling_delay_s = poolingDelayS, edge_function_url = edgeFunctionUrl,
+          updated_at = t)
+        case None => ViewRegistration(view, start, lockTimeoutS, poolingDelayS,
+          edgeFunctionUrl, t, t)
+      }
+      viewsMap(view) = r
+      r
     }
-    viewsMap(view) = row
 
     val matrix = store.allEvents
       .groupBy($"decider_id")
@@ -104,12 +129,13 @@ final class ViewStreams(val store: EventStore) {
         r.getBoolean(3), t, t)
     }
     row
+    }
   }
 
   /** Delete a view: cascades to its locks (reference FK ON DELETE
     * CASCADE, schema.sql:199).
     */
-  def deleteView(view: String): Unit = {
+  def deleteView(view: String): Unit = stateLock.synchronized {
     viewsMap.remove(view)
     locksMap.filterInPlace { case ((v, _), _) => v != view }
   }
@@ -139,19 +165,24 @@ final class ViewStreams(val store: EventStore) {
     */
   def streamEvents(view: String, limit: Int = 1, seconds: Long = 300L): Seq[EventRow] = {
     val t = now
-    // Stage 1: candidates (control-plane).
-    val leased = locksMap.values.toSeq
-      .filter(l => l.view == view && l.locked_until.getTime < t.getTime &&
-        l.last_offset < l.offset)
-      .sortBy(_.offset)
-      .take(limit)
-    if (leased.isEmpty) return Nil
-
-    // Stage 2: lease acquisition (control-plane).
-    val until = new Timestamp(t.getTime + seconds * 1000L)
-    leased.foreach { l =>
-      locksMap((view, l.decider_id)) = l.copy(locked_until = until, updated_at = t)
+    // Stages 1+2 are ONE atomic step (the FOR UPDATE SKIP LOCKED
+    // analogue): a concurrent poller entering after this section sees
+    // the leases already taken and selects disjoint partitions.
+    val leased = stateLock.synchronized {
+      // Stage 1: candidates (control-plane).
+      val cand = locksMap.values.toSeq
+        .filter(l => l.view == view && l.locked_until.getTime < t.getTime &&
+          l.last_offset < l.offset)
+        .sortBy(_.offset)
+        .take(limit)
+      // Stage 2: lease acquisition (control-plane).
+      val until = new Timestamp(t.getTime + seconds * 1000L)
+      cand.foreach { l =>
+        locksMap((view, l.decider_id)) = l.copy(locked_until = until, updated_at = t)
+      }
+      cand
     }
+    if (leased.isEmpty) return Nil
 
     // Stage 3+4: data-plane joins over the log.
     val leasedDf = leased.map(l => (l.decider_id, l.last_offset))
@@ -197,7 +228,7 @@ final class ViewStreams(val store: EventStore) {
       l.copy(locked_until = new Timestamp(now.getTime + milliseconds), updated_at = now))
 
   private def touchLock(view: String, deciderId: String)
-                       (f: LockRow => LockRow): Option[LockRow] = {
+                       (f: LockRow => LockRow): Option[LockRow] = stateLock.synchronized {
     locksMap.get((view, deciderId)).map { l =>
       val updated = f(l)
       locksMap((view, deciderId)) = updated
@@ -215,10 +246,12 @@ final class ViewStreams(val store: EventStore) {
   }
 
   def load(dir: String): Unit = {
-    viewsMap.clear(); locksMap.clear()
-    spark.read.parquet(s"$dir/views").as[ViewRegistration]
-      .collect().foreach(v => viewsMap(v.view) = v)
-    spark.read.parquet(s"$dir/locks").as[LockRow]
-      .collect().foreach(l => locksMap((l.view, l.decider_id)) = l)
+    val views = spark.read.parquet(s"$dir/views").as[ViewRegistration].collect()
+    val locks = spark.read.parquet(s"$dir/locks").as[LockRow].collect()
+    stateLock.synchronized {
+      viewsMap.clear(); locksMap.clear()
+      views.foreach(v => viewsMap(v.view) = v)
+      locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
+    }
   }
 }
