@@ -46,9 +46,20 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
+    // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits
+    // Spark's "No Partition Defined for Window" warning by design — it
+    // is the documented small-dimension twin of w4b_ntile_scalable
+    // (the partitioned form); the global-window shape is the operator
+    // under test there.
+
     // Event-store workload slots mirroring the reference's performance
     // suite (BASELINE.md): bulk append throughput (1000 events, 20
-    // partitions, chained, full validation) and a stream+ack drain.
+    // partitions, chained, full validation), a stream+ack drain, and
+    // the large-payload stress shape from the reference's
+    // tests/performance/benchmarks/test_stress_conditions.sql:35-63
+    // (20 sequential appends of ~1 KB JSON payloads, chained on one
+    // partition — per-append latency with full validation, not batch
+    // throughput).
     val storeResults: Seq[(String, Double)] = {
       import graft.store._
       try {
@@ -75,8 +86,21 @@ object Bench {
           got = vs.streamEvents("bench_view", limit = 20)
         }
         val streamSec = (System.nanoTime() - tS) / 1e9
+        // Large-payload stress: ~1 KB JSON per event, one append call
+        // per event (the reference's per-statement shape).
+        val kb = (0 until 16).map(i => s""""k$i":"${"x" * 56}"""").mkString("{", ",", "}")
+        st.registerDeciderEvent("Stress", "S")
+        val tL = System.nanoTime()
+        (0 until 20).foreach { i =>
+          val prev = if (i == 0) None else Some(s"s${i - 1}")
+          val r = st.appendEvent(EventInput("S", s"s$i", "Stress", "sp0", kb,
+            previous_id = prev))
+          require(r.isRight, s"stress append $i rejected: ${r.left.toOption.get}")
+        }
+        val stressSec = (System.nanoTime() - tL) / 1e9
         Seq("store_append_1000" -> appendSec,
-          "store_stream_ack_100" -> streamSec)
+          "store_stream_ack_100" -> streamSec,
+          "store_append_payload_20x1k" -> stressSec)
       } catch { case e: Throwable =>
         errors ::= ("store_bench" -> e.toString.take(300))
         Nil

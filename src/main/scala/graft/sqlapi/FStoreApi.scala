@@ -78,7 +78,7 @@ final class FStoreApi(spark: SparkSession) {
     * un-acked events redeliver after the lease expires.
     */
   def scheduleEvents(view: String, poolingDelayS: Long, url: String,
-                     send: (String, String) => Unit): Unit = {
+                     send: (String, String) => Unit = PushSink.HttpSender): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.DeliveryEngine.Delivered
     val reg = streams.allViews.filter(_.view == view).collect().headOption

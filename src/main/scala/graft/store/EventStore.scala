@@ -303,13 +303,14 @@ final class EventStore(val spark: SparkSession) {
   /** Ordered scan of one entity's stream — partition-pruned when the
     * log is Parquet-partitioned by decider bucket.
     */
-  def getEvents(deciderId: String, decider: String): Dataset[EventRow] = {
-    // When the log is parquet-at-rest, route the scan through the
-    // bucketed layout: the hash-bucket predicate prunes partition
-    // DIRECTORIES (PartitionFilters), so one stream's scan touches
-    // 1/buckets of the files before the row-group filter even runs —
-    // the Spark analogue of the reference's (decider_id, decider)
-    // index (schema.sql:56; SURVEY X1).
+  /** One stream's slice of the log. When the log is parquet-at-rest,
+    * the scan routes through the bucketed layout: the hash-bucket
+    * predicate prunes partition DIRECTORIES (PartitionFilters), so the
+    * scan touches 1/buckets of the files before the row-group filter
+    * even runs — the Spark analogue of the reference's
+    * (decider_id, decider) index (schema.sql:56; SURVEY X1).
+    */
+  private def streamSlice(deciderId: String): DataFrame = {
     val base = diskLayout match {
       case Some((dir, buckets)) =>
         spark.read.parquet(s"$dir/events")
@@ -317,17 +318,21 @@ final class EventStore(val spark: SparkSession) {
           .drop("bucket")
       case None => events.toDF()
     }
-    base.filter($"decider_id" === deciderId && $"decider" === decider)
-      .orderBy($"offset").as[EventRow]
+    base.filter($"decider_id" === deciderId)
   }
 
-  /** Latest event by global offset. QUIRK preserved from the reference
-    * (schema.sql:364): filters only decider_id, NOT decider — two
-    * deciders sharing an id return the globally latest of either.
+  def getEvents(deciderId: String, decider: String): Dataset[EventRow] =
+    streamSlice(deciderId).filter($"decider" === decider)
+      .orderBy($"offset").as[EventRow]
+
+  /** Latest event by global offset — same bucket-pruned path as
+    * getEvents. QUIRK preserved from the reference (schema.sql:364):
+    * filters only decider_id, NOT decider — two deciders sharing an id
+    * return the globally latest of either.
     */
   def getLastEvent(deciderId: String): Option[EventRow] =
-    events.filter($"decider_id" === deciderId)
-      .orderBy($"offset".desc).limit(1).collect().headOption
+    streamSlice(deciderId)
+      .orderBy($"offset".desc).limit(1).as[EventRow].collect().headOption
 
   def allEvents: Dataset[EventRow] = events
 

@@ -11,10 +11,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * event's JSON envelope to an edge-function URL. Spark-natively,
   * scheduling is the streaming trigger: one `StreamingQuery` per view
   * with `Trigger.ProcessingTime(pooling_delay_s)`, and the POST
-  * happens in `foreachBatch` — per micro-batch, per partition, via an
-  * injectable sender (real impl `java.net.http.HttpClient`; tests
-  * inject a recorder; nothing in this repo performs network I/O by
-  * default).
+  * happens in `foreachBatch` — per micro-batch, via an injectable
+  * sender defaulting to the real `java.net.http.HttpClient`-backed
+  * [[PushSink.HttpSender]] (tests inject a recorder; network I/O
+  * happens only when a push sink is actually started).
   */
 object PushSink {
 
@@ -25,15 +25,39 @@ object PushSink {
     delivered.select(to_json(struct(
       col("view"), col("decider_id"), col("offset"), col("data"))).as("body"))
 
-  /** Attach a push sink to a delivered-events stream. `send` runs on
-    * executors (must be serializable); batches are converted to
-    * payload strings first so the sender sees only (url, body).
+  /** Default sender: POST the JSON envelope over a real
+    * `java.net.http.HttpClient` (the reference's `net.http_post`,
+    * extensions.sql:44-48). A non-2xx/3xx response throws, failing the
+    * micro-batch — the events stay un-acked and redeliver after the
+    * lease expires, the reference's at-least-once contract. The client
+    * is lazy and transient so the sender stays serializable.
+    */
+  object HttpSender extends ((String, String) => Unit) with Serializable {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    def apply(url: String, body: String): Unit = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400)
+        throw new java.io.IOException(
+          s"push delivery failed: HTTP ${resp.statusCode()} from $url")
+    }
+  }
+
+  /** Attach a push sink to a delivered-events stream. `send` defaults
+    * to [[HttpSender]] (tests inject a recorder); batches are
+    * converted to payload strings first so the sender sees only
+    * (url, body).
     */
   def start(name: String,
             delivered: Dataset[DeliveryEngine.Delivered],
             url: String,
             poolingDelayS: Long,
-            send: (String, String) => Unit): StreamingQuery = {
+            send: (String, String) => Unit = HttpSender): StreamingQuery = {
     envelope(delivered).writeStream
       .queryName(name)
       .outputMode("append")
