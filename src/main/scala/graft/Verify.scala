@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Contract check up front: every oracle must belong to a registered
+    // query, else the driver's compare would silently skip it.
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
     var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       // Output path is literally `<name>.parquet` per the driver
