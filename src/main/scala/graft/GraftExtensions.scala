@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{BandSignatures, CosineSimilarity, DotProduct}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -24,7 +24,11 @@ object GraftExtensions {
         (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))),
       (FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-        (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+        (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+      (FunctionIdentifier("band_sigs"),
+        new ExpressionInfo(classOf[BandSignatures].getName, "band_sigs"),
+        (children: Seq[Expression]) =>
+          BandSignatures(children.head, children(1), children(2))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =

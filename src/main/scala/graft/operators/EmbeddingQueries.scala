@@ -83,51 +83,53 @@ object EmbeddingQueries {
       .orderBy("vid_a", "vid_b")
   }
 
-  /** Banded random-hyperplane-LSH near-dup (the scale path): nBands ×
-    * bitsPerBand sign-bit band signatures generate candidate pairs,
-    * exact cosine verifies them — so the output EQUALS nearDupExact
-    * whenever banding recall holds (defaults tuned for threshold
-    * ≥ 0.95: per-plane collision p = 1 − arccos(0.95)/π ≈ 0.899, a
-    * band matches with p⁶ ≈ 0.53, a true pair escapes all 32 bands
-    * with (1 − p⁶)³² ≈ 4e-11). Candidate generation shuffles
-    * O(vectors × nBands) narrow (band, sig, vec_id) rows — never the
-    * pair matrix and never the vectors; embeddings are re-joined only
-    * for the candidate set. At corpus scale raise bitsPerBand to keep
-    * per-bucket occupancy bounded and retune recall by adding bands.
-    *
-    * Plane dots run through the codegen'd DotProduct kernel against
-    * LITERAL plane vectors (splitmix64-seeded, driver-side constants)
-    * — an earlier draft derived plane components inside nested
-    * higher-order lambdas (xxhash64 per row × plane × component,
-    * interpreted) and was ~1000× slower; sign tests don't need the
-    * oracle-grade fold, only the verification cosine does.
+  /** Deterministic pseudo-random hyperplane matrix (splitmix64 →
+    * uniform [-1, 1] floats): any fixed plane family works — recall is
+    * tuned by bands × bits and candidates are re-verified exactly.
     */
-  def nearDupLsh(s: SparkSession, emb: DataFrame, threshold: Double,
-                 nBands: Int = 32, bitsPerBand: Int = 6): DataFrame = {
-    val dim = 64
-    // splitmix64 → uniform [-1, 1] floats; any fixed pseudo-random
-    // plane family works (recall is tuned by bands × bits, and
-    // candidates are re-verified exactly).
+  private[operators] def planes(nPlanes: Int, dim: Int = 64): Seq[Seq[Float]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    def plane(h: Int): Seq[Float] = (0 until dim).map(j =>
-      (mix((h.toLong << 32) | j).toDouble / Long.MaxValue.toDouble).toFloat)
+    (0 until nPlanes).map(h => (0 until dim).map(j =>
+      (mix((h.toLong << 32) | j).toDouble / Long.MaxValue.toDouble).toFloat))
+  }
+
+  /** Banded random-hyperplane-LSH near-dup (the scale path): nBands ×
+    * bitsPerBand sign-bit band signatures generate candidate pairs,
+    * exact cosine verifies them — so the output EQUALS nearDupExact
+    * whenever banding recall holds. Defaults tuned for threshold
+    * ≥ 0.95 (per-plane collision p = 1 − arccos(0.95)/π ≈ 0.899):
+    * a band matches with p¹² ≈ 0.28, a true pair escapes all 48 bands
+    * with (1 − p¹²)⁴⁸ ≈ 1.6e-7 — banding recall is exhaustive for
+    * oracle purposes. bitsPerBand sets PRECISION on unrelated vectors
+    * (random-sign band collision ≈ 2⁻¹² → ≈ 48/4096 ≈ 1.2% of all
+    * pairs become candidates; 6 bits admitted ~40% and was slower
+    * than all-pairs at sf0.1). Candidate generation shuffles
+    * O(vectors × nBands) narrow (band, sig, vec_id) rows — never the
+    * pair matrix and never the vectors; embeddings are re-joined only
+    * for the candidate set. At corpus scale raise bitsPerBand further
+    * to keep per-bucket occupancy bounded and retune recall by adding
+    * bands.
+    *
+    * All 576 plane dots run as ONE fused codegen loop
+    * ([[graft.functions.BandSignatures]]) against the literal plane
+    * matrix — as 576 dot_product columns the plan itself blows up,
+    * and as higher-order folds it runs interpreted per row × plane ×
+    * component (~1000× slower in the first draft); sign tests don't
+    * need the oracle-grade fold, only the verification cosine does.
+    */
+  def nearDupLsh(s: SparkSession, emb: DataFrame, threshold: Double,
+                 nBands: Int = 48, bitsPerBand: Int = 12): DataFrame = {
     val e = withNorm(emb)
     graft.GraftExtensions.register(s)
-    val sigCols = (0 until nBands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val dot = call_function("dot_product",
-          col("embedding"), typedlit(plane(b * bitsPerBand + i)))
-        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce[Column](_ + _).as(s"sig$b")
-    }
-    val bands = e.select(col("vec_id") +: sigCols: _*)
-      .select(col("vec_id"), posexplode(array((0 until nBands).map(b => col(s"sig$b")): _*))
-        .as(Seq("band", "sig")))
+    val bands = e.select(col("vec_id"),
+        posexplode(call_function("band_sigs", col("embedding"),
+          typedlit(planes(nBands * bitsPerBand)), lit(bitsPerBand)))
+          .as(Seq("band", "sig")))
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vid_a"), col("y.vec_id").as("vid_b"))
@@ -228,18 +230,14 @@ object EmbeddingQueries {
     Q("emb_ann_lsh",
       (s, d) => {
         val e = withNorm(Tables.embeddings(s, d))
-        // hyperplane h (16) component j (64): deterministic pseudo-random
-        // in [-1, 1) from xxhash64(h, j).
-        val planes = (0 until 16).map { h =>
-          val comps = (j: Column) => (xxhash64(lit(h), j).cast("double") / lit(Long.MaxValue.toDouble))
-          val dot = aggregate(
-            zip_with(col("embedding"), sequence(lit(0), lit(63)),
-              (x, j) => x.cast("double") * comps(j)),
-            lit(0.0), (acc, v) => acc + v)
-          when(dot >= 0, shiftleft(lit(1), h)).otherwise(0).as(s"b$h")
-        }
+        graft.GraftExtensions.register(s)
+        // ONE 16-bit hyperplane signature per vector, through the same
+        // fused band_sigs kernel as emb_near_dup_lsh (1 band × 16
+        // bits; the earlier per-plane higher-order folds ran
+        // interpreted per row × plane × component).
         val signed = e.withColumn("sig",
-          planes.reduce[Column]((x, y) => x + y))
+          element_at(call_function("band_sigs", col("embedding"),
+            typedlit(planes(16)), lit(16)), 1))
         val a = signed.select(col("sig"), col("vec_id").as("qid"),
           col("embedding").as("qe"), col("nrm").as("qn"))
         val b = signed.select(col("sig"), col("vec_id").as("cid"),
