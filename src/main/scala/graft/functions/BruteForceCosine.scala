@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Blocked brute-force exact-cosine kernels: the candidate side is
+  * broadcast once as primitive arrays and every query partition scans
+  * it with a tight fused loop — the execution-layer form of the
+  * declarative all-pairs plans in
+  * [[graft.operators.EmbeddingQueries]].
+  *
+  * Why `mapPartitions` here (normally the last resort): the inner loop
+  * of exact brute-force similarity is a dense GEMV. In the declarative
+  * form each of the |q|·|c| pairs materializes a joined row, evaluates
+  * the dot-product expression through codegen, and then pays an
+  * ObjectHashAggregate buffer update (the typed top-k Aggregator's
+  * per-row encode path) — at sf0.1 that row machinery is ~15× the cost
+  * of the arithmetic. Here the pair space never becomes rows: each
+  * query scans the broadcast block in-cache and only the ≤ k winners
+  * (or the ≥ threshold pairs) are emitted. This mirrors MLlib's
+  * blocked-BLAS designs (ALS, BlockMatrix), not a driver-side loop —
+  * queries stay fully distributed.
+  *
+  * Determinism (oracle-grade): dots are sequential ascending-index
+  * folds with both elements cast to double before multiplying —
+  * bit-identical to the `aggregate(zip_with(...))` fold, the
+  * `dot_product` codegen expression, and the DuckDB
+  * `list_sum(list_transform(...))` oracle. Rounding replicates
+  * Catalyst's `Round` on DoubleType exactly:
+  * `java.math.BigDecimal.valueOf(d).setScale(s, HALF_UP)` with
+  * NaN/Infinity passed through. Equality with the declarative twins is
+  * asserted row-for-row in EmbeddingNearDupSpec / CosineTopKSpec.
+  *
+  * Scale: broadcasting the candidate side is inherent to single-pass
+  * exact brute force (every query must see every candidate); the block
+  * bound is `maxCandidates` (default 4M rows ≈ 1 GiB at dim 64), past
+  * which this method refuses and the caller should either switch to
+  * the ANN paths (`emb_ann_lsh` / `emb_ann_ivf` — the declared scale
+  * path) or generalize to block-pairs: partition BOTH sides, cross the
+  * block ids, run this kernel per block pair, and merge per-query
+  * partial top-ks with [[TopKByScore]] (which stays associative for
+  * exactly that use).
+  */
+object BruteForceCosine {
+
+  /** Candidate block in primitive form: ids ascending, row-major
+    * float matrix, precomputed L2 norms (same sequential fold).
+    */
+  final class Block(val ids: Array[Long], val mat: Array[Float],
+                    val norms: Array[Double], val dim: Int) extends Serializable {
+    def n: Int = ids.length
+  }
+
+  /** Catalyst `Round(_, scale)` on DoubleType, exactly. */
+  def roundLikeSpark(d: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Ascending-index double-accumulated dot of row `r` of `m` with `q`. */
+  @inline private def dotRow(m: Array[Float], r: Int, q: Array[Float], dim: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val base = r * dim
+    while (i < dim) {
+      acc += m(base + i).toDouble * q(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  @inline private def selfNorm(q: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  private def collectBlock(emb: DataFrame, maxCandidates: Int): Block = {
+    val rows = emb.select("vec_id", "embedding").collect()
+    require(rows.length <= maxCandidates,
+      s"brute-force candidate side has ${rows.length} rows > $maxCandidates; " +
+        "use the ANN paths or a block-pair merge (see scaladoc)")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val n = sorted.length
+    val dim = if (n == 0) 0 else sorted(0)._2.length
+    val ids = new Array[Long](n)
+    val mat = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      ids(j) = sorted(j)._1
+      System.arraycopy(sorted(j)._2, 0, mat, j * dim, dim)
+      norms(j) = selfNorm(sorted(j)._2)
+      j += 1
+    }
+    new Block(ids, mat, norms, dim)
+  }
+
+  /** Exact cosine top-k of every vector against all others (self
+    * excluded), ties by ascending candidate id — row-for-row equal to
+    * the declarative crossJoin + TopKByScore plan.
+    * Output: (qid, rnk 1..k, cid, sim round-6) ordered by (qid, rnk).
+    */
+  def topK(s: SparkSession, emb: DataFrame, k: Int,
+           maxCandidates: Int = 4 << 20): DataFrame = {
+    import s.implicits._
+    val block = collectBlock(emb, maxCandidates)
+    val bc = s.sparkContext.broadcast(block)
+    val out = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val n = b.n
+        it.flatMap { case (qid, qe) =>
+          val qn = selfNorm(qe)
+          // bounded insertion list ordered by (sim desc, cid asc);
+          // candidates arrive in ascending cid, so an incoming tie
+          // with the current worst never displaces it.
+          val simA = new Array[Double](k)
+          val cidA = new Array[Long](k)
+          var m = 0
+          var j = 0
+          while (j < n) {
+            if (b.ids(j) != qid) {
+              val sim = roundLikeSpark(
+                dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
+              if (m < k || sim > simA(m - 1)) {
+                var p = if (m < k) m else m - 1
+                while (p > 0 && simA(p - 1) < sim) {
+                  simA(p) = simA(p - 1); cidA(p) = cidA(p - 1); p -= 1
+                }
+                simA(p) = sim; cidA(p) = b.ids(j)
+                if (m < k) m += 1
+              }
+            }
+            j += 1
+          }
+          (0 until m).map(r => (qid, r + 1, cidA(r), simA(r)))
+        }
+      }
+      .toDF("qid", "rnk", "cid", "sim")
+    out.orderBy("qid", "rnk")
+  }
+
+  /** Exact cosine near-dup pairs at `threshold` (vid_a < vid_b) —
+    * row-for-row equal to the declarative all-pairs plan. Each pair is
+    * computed once, on the partition holding its smaller id.
+    */
+  def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double,
+                   maxCandidates: Int = 4 << 20): DataFrame = {
+    import s.implicits._
+    val block = collectBlock(emb, maxCandidates)
+    val bc = s.sparkContext.broadcast(block)
+    val out = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val n = b.n
+        it.flatMap { case (qid, qe) =>
+          val qn = selfNorm(qe)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          // ids are sorted ascending: start past qid so only qid < cid
+          // pairs are scanned at all.
+          var j = java.util.Arrays.binarySearch(b.ids, qid) match {
+            case neg if neg < 0 => -neg - 1
+            case pos => pos + 1
+          }
+          while (j < n) {
+            val sim = roundLikeSpark(
+              dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
+            if (sim >= threshold) buf += ((qid, b.ids(j), sim))
+            j += 1
+          }
+          buf
+        }
+      }
+      .toDF("vid_a", "vid_b", "sim")
+    out.orderBy("vid_a", "vid_b")
+  }
+}

@@ -63,15 +63,24 @@ object EmbeddingQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** All-pairs exact near-dup over (vec_id, embedding): pairs with
-    * cosine ≥ threshold — the oracle-checkable baseline the LSH form
-    * is verified against (and quadratic by declared design).
-    * Exposed for the planted-pair equivalence spec: the driver
-    * testdata's random vectors never exceed cos ≈ 0.51, so the
-    * registry query is vacuous there and EmbeddingNearDupSpec supplies
-    * data where pairs actually exist.
+  /** All-pairs exact near-dup: executed by the blocked broadcast
+    * kernel ([[graft.functions.BruteForceCosine.nearDupPairs]] — see
+    * its scaladoc for why the pair space never becomes rows), and
+    * row-for-row equal to the declarative twin below, which
+    * EmbeddingNearDupSpec asserts on a planted-pair corpus.
     */
-  def nearDupExact(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupExact(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame =
+    graft.functions.BruteForceCosine.nearDupPairs(s, emb, threshold)
+
+  /** The declarative all-pairs plan (crossJoin + codegen dot over
+    * precomputed norms) — the semantic spec of [[nearDupExact]], kept
+    * as its equivalence twin. Quadratic by declared design: the
+    * oracle-checkable baseline the LSH form is verified against.
+    * The driver testdata's random vectors never exceed cos ≈ 0.51, so
+    * the registry query is vacuous there and EmbeddingNearDupSpec
+    * supplies data where pairs actually exist.
+    */
+  def nearDupExactPlan(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm(emb)
     val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -147,29 +156,37 @@ object EmbeddingQueries {
       .orderBy("vid_a", "vid_b")
   }
 
+  /** The declarative top-k plan — the semantic spec of the kernel
+    * form, kept as its equivalence twin (CosineTopKSpec) and as the
+    * shuffle-shaped variant the block-pair generalization would merge
+    * with: crossJoin + codegen dot, then the bounded-heap aggregate
+    * (map-side partial agg) instead of a window rank, so the candidate
+    * matrix reduces to ≤ k pairs per query BEFORE the shuffle.
+    */
+  def cosineTopKPlan(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(emb)
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    a.crossJoin(b).filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(
+        dotOverNorms(s, col("qe"), col("ce"), col("qn"), col("cn")), 6))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("cid"), col("sc.score").as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
     // Brute-force cosine top-k per query vector (k = 5): the exact
-    // baseline every ANN variant is measured against.
+    // baseline every ANN variant is measured against. Executed by the
+    // blocked broadcast kernel; CosineTopKSpec asserts row-for-row
+    // equality with the declarative twin [[cosineTopKPlan]].
     Q("emb_cosine_topk",
-      (s, d) => {
-        // Top-k via the bounded-heap aggregate (map-side partial agg)
-        // instead of a window rank — the candidate matrix reduces to
-        // ≤ k pairs per query BEFORE the shuffle.
-        val e = withNorm(Tables.embeddings(s, d))
-        val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-        val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-        a.crossJoin(b).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", round(
-            dotOverNorms(s, col("qe"), col("ce"), col("qn"), col("cn")), 6))
-          .groupBy("qid")
-          .agg(graft.functions.TopKByScore.topK(5)(col("sim"), col("cid")).as("top"))
-          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
-          .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
-            col("sc.id").as("cid"), col("sc.score").as("sim"))
-          .orderBy("qid", "rnk")
-      },
+      (s, d) => graft.functions.BruteForceCosine.topK(s, Tables.embeddings(s, d), 5),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -265,8 +282,14 @@ object EmbeddingQueries {
         import org.apache.spark.ml.functions.array_to_vector
         val e = Tables.embeddings(s, d)
           .withColumn("features", array_to_vector(col("embedding")))
+        // Coarse quantizer fit on a BOUNDED sample (deterministic
+        // limit), never the full table: at corpus scale the quantizer
+        // needs only enough points to place k centroids, and fitting
+        // on everything would make the *query* pay a full-corpus
+        // KMeans per invocation. Assignment below still covers every
+        // vector.
         val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-          .setFeaturesCol("features").fit(e)
+          .setFeaturesCol("features").fit(e.limit(4096))
         val assigned = model.transform(e)
           .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
         val a = assigned.select(col("cell"), col("vec_id").as("qid"),
