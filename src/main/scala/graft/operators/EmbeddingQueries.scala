@@ -57,7 +57,7 @@ object EmbeddingQueries {
     */
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistOnce(_))
 
   /** DuckDB-side: the same sequential fold (list index is 1-based). */
   private val dotSql = (a: String, b: String) =>

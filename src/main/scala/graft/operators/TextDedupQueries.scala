@@ -57,7 +57,7 @@ object TextDedupQueries {
     */
   private def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val tCand = threshold - 0.001
-    val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs).transform(graft.Caching.persistOnce(_))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // global document frequency per shingle → rarest-first order
     val df_ = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
@@ -70,7 +70,7 @@ object TextDedupQueries {
       .join(sh.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 1)
       .select(col("doc_id"), col("n"), col("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistOnce(_))
     // candidate pairs: shared prefix shingle + the LENGTH filter
     // (Jaccard ≥ t ⟹ t·max(n_a,n_b) ≤ min(n_a,n_b)) applied before
     // the distinct to cut the dedup shuffle.
@@ -237,7 +237,7 @@ object TextDedupQueries {
     Q("doc_minhash_lsh",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = shingles(docs).transform(graft.Caching.persistOnce(_))
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         // 64 minhashes as ONE wide aggregation (no 64x row explosion):
         // each seed is a column min over seed-salted xxhash64 — a single
@@ -256,7 +256,7 @@ object TextDedupQueries {
             s"stack(16, ${(0 until 16).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
           // persisted: the bucket self-join would recompute the 64-min
           // aggregation once per side otherwise.
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caching.persistOnce(_))
         val candidates = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -312,6 +312,110 @@ object TextDedupQueries {
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // Intra-document repetition (Gopher-style quality signal): the
+    // fraction of word 2-grams that are repeats of an earlier 2-gram
+    // in the SAME document. Pure per-row map — no shuffle at all, the
+    // 2-gram list never leaves its row.
+    Q("doc_repetition",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .withColumn("g2", when(size(col("ws")) >= 2,
+            expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i + 1]))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          .select(col("doc_id"),
+            size(col("g2")).cast("long").as("n_2grams"),
+            size(array_distinct(col("g2"))).cast("long").as("n_distinct"),
+            when(size(col("g2")) > 0,
+              round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+                / size(col("g2")), 6)).otherwise(lit(0.0)).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(len(g2) AS BIGINT) AS n_2grams,
+             CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(g2) > 0
+                  THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                  ELSE 0.0 END AS rep_ratio
+             FROM (SELECT doc_id,
+                          [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS g2
+                   FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents))
+             ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Token counting with a BPE-ish tokenizer regex (letter runs,
+    // digit runs, single other non-space chars) — the pre-training
+    // "how many tokens is this corpus" pass. Per-row map, integer
+    // exact; density is the one rounded division.
+    Q("doc_token_count",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("n_tokens").cast("double") * 100 / col("n_chars"), 6)
+              .as("tokens_per_100_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+             round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE) * 100
+                   / n_chars, 6) AS tokens_per_100_chars
+             FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Corpus vocabulary top-k: global token frequencies, top 20 with
+    // deterministic tie-break. The classic wordcount shape — explode →
+    // partial-agg (map-side combine) → final agg on the token key →
+    // TakeOrderedAndProject; the shuffle carries (token, partial
+    // count), never document text.
+    Q("doc_vocab_topk",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(20)
+      },
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                   FROM documents)
+             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""")),
+
+    // ----------------------------------------------------------------
+    // PII scrubbing: redact emails and phone numbers (regex forms
+    // shared verbatim by Java regex and DuckDB's RE2). Pure per-row
+    // map. The driver corpus contains no PII, so the oracle checks
+    // exact passthrough; PiiScrubSpec plants PII and asserts the
+    // redactions.
+    Q("doc_pii_scrub",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("text"),
+                lit(PiiPatterns.email), lit("<EMAIL>")),
+              lit(PiiPatterns.phone), lit("<PHONE>")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '${PiiPatterns.email}', '<EMAIL>', 'g'),
+               '${PiiPatterns.phone}', '<PHONE>', 'g') AS scrubbed
+             FROM documents ORDER BY doc_id"""))
   )
+}
+
+/** Redaction regexes restricted to the Java-regex ∩ RE2 common
+  * subset (no lookaround, no backrefs) so the Spark plan and the
+  * DuckDB oracle run literally the same pattern.
+  */
+object PiiPatterns {
+  val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 }
