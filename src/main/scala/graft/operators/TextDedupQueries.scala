@@ -104,6 +104,52 @@ object TextDedupQueries {
                    len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
        ORDER BY doc_a, doc_b"""
 
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every doc starts labeled with its own id; each round
+    * takes the min of its label and its neighbors' labels; fixpoint =
+    * components, label = min doc_id in the component (the canonical
+    * survivor). This is the step that turns pairwise near-dup output
+    * into an actual dedup decision.
+    *
+    * Scale: one join shuffle per round, O(component diameter) rounds —
+    * near-dup graphs are short-diameter by construction (similarity is
+    * near-transitive), so a handful of rounds; for adversarial
+    * diameters the same loop body swaps to the large-star/small-star
+    * contraction (O(log n) rounds) without changing the contract.
+    * Labels persist per round (previous round unpersisted) so each
+    * iteration reads cached state, not the whole lineage.
+    */
+  def nearDupClusters(s: SparkSession, edgesIn: DataFrame,
+                      maxRounds: Int = 20): DataFrame = {
+    val edges = edgesIn.select(col("doc_a"), col("doc_b"))
+      .transform(graft.Caching.persistOnce(_))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .transform(graft.Caching.persistOnce(_))
+    var labels = sym.select(col("doc_a").as("doc"))
+      .distinct().withColumn("lbl", col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels, sym("doc_b") === labels("doc"))
+        .groupBy(sym("doc_a").as("doc")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, "doc")
+        .select(col("doc"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), "doc")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    labels
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -313,6 +359,34 @@ object TextDedupQueries {
           .orderBy("doc_a", "doc_b")
       },
       None),
+
+    // ----------------------------------------------------------------
+    // Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.8
+    // pair graph, label = min doc_id = the canonical survivor — the
+    // "apply the dedup" step after pair detection. The oracle computes
+    // the same components via a recursive-CTE transitive closure
+    // (affordable at sf0.01 only — again the oracle as semantic spec,
+    // the Spark loop as the scale path).
+    Q("doc_neardup_clusters",
+      (s, d) => nearDupClusters(s,
+        exactJaccardPairs(Tables.documents(s, d), 0.8)),
+      Some(s"""${shingleSqlCte.replaceFirst("WITH", "WITH RECURSIVE")},
+             pairs AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                           len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8),
+             sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+             reach(a, b) AS (
+               SELECT a, b FROM sym
+               UNION
+               SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+               WHERE s.b <> r.a)
+             SELECT a AS doc_id,
+                    least(a, min(b)) AS cluster_id,
+                    (a = least(a, min(b))) AS is_canonical
+             FROM reach GROUP BY a ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
     // Intra-document repetition (Gopher-style quality signal): the
