@@ -123,24 +123,35 @@ object TextDedupQueries {
                       maxRounds: Int = 20): DataFrame = {
     val edges = edgesIn.select(col("doc_a"), col("doc_b"))
       .transform(graft.Caching.persistOnce(_))
+    // symmetrized and pre-partitioned on the per-round join key, so
+    // every round's neighbor lookup reuses this one layout instead of
+    // re-shuffling the (static) edge set.
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .transform(graft.Caching.persistOnce(_))
-    var labels = sym.select(col("doc_a").as("doc"))
+    var persisted = sym.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("doc_b") === labels("doc"))
         .groupBy(sym("doc_a").as("doc")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, "doc")
-        .select(col("doc"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // the convergence check rides in the same pass as the update (a
+      // `changed` flag per row), so each round is ONE action over the
+      // newly persisted labels — no second old-vs-new join.
+      val next = labels.withColumnRenamed("lbl", "old_lbl")
+        .join(nbrMin, "doc")
+        .select(col("doc"), least(col("old_lbl"), col("nlbl")).as("lbl"),
+          (least(col("old_lbl"), col("nlbl")) =!= col("old_lbl")).as("chg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), "doc")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("doc"), col("lbl"))
       round += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
@@ -336,13 +347,18 @@ object TextDedupQueries {
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
           .withColumn("h", xxhash64(col("w")))
         // per doc, per bit: sum(±1); simhash bit j set iff sum > 0.
-        val bits = toks
-          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
-          .withColumn("b", expr("CASE WHEN shiftright(h, int(j)) & 1 = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "j").agg(sum(col("b")).as("s"))
-        val sims = bits
-          .withColumn("bit", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), int(j)) ELSE CAST(0 AS BIGINT) END"))
-          .groupBy("doc_id").agg(sum(col("bit")).as("simhash"))
+        // All 64 bit-sums as ONE wide aggregation (the doc_minhash_lsh
+        // pattern): the shuffle carries (doc_id, 64 longs) with
+        // map-side combine over token rows — NOT a 64× bit-position
+        // row explosion, which shuffled tokens×64 rows through a
+        // (doc_id, j) key and was the scale bottleneck of this query.
+        val sumCols = (0 until 64).map(j =>
+          sum(when(expr(s"shiftright(h, $j) & 1 = 1"), 1).otherwise(-1)).as(s"s$j"))
+        val perDoc = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val simExpr = (0 until 64).map(j =>
+          s"CASE WHEN s$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        val sims = perDoc.selectExpr("doc_id", s"($simExpr) AS simhash")
         // bucket by 16-bit chunks, pair within bucket, hamming ≤ 6
         val chunks = sims.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("c"))
