@@ -271,15 +271,17 @@ object EmbeddingQueries {
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
-    // KMeans (seeded, deterministic) as the coarse quantizer — assign
-    // each vector to its nearest of 16 centroids, pair-join within
-    // cells, re-rank by exact cosine. Probing only the home cell
-    // trades recall for an O(n²/16) candidate set; production would
-    // probe the nProbe nearest cells the same way.
+    // KMeans (seeded, deterministic) as the coarse quantizer. Database
+    // vectors live in their HOME cell (the inverted file); each QUERY
+    // probes its nProbe=2 nearest cells — the standard IVF recall
+    // knob, recovering neighbors that fell just across a Voronoi
+    // boundary. The candidate join stays per-cell (O(n²·nProbe/k)),
+    // re-ranked by exact cosine.
     Q("emb_ann_ivf",
       (s, d) => {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
+        graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d)
           .withColumn("features", array_to_vector(col("embedding")))
         // Coarse quantizer fit on a BOUNDED sample (deterministic
@@ -292,16 +294,35 @@ object EmbeddingQueries {
           .setFeaturesCol("features").fit(e.limit(4096))
         val assigned = model.transform(e)
           .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-        val a = assigned.select(col("cell"), col("vec_id").as("qid"),
-          col("embedding").as("qe"))
+        // Probe list: squared-euclidean distance of every query to the
+        // 16 centroids (||q||² − 2·q·c + ||c||²; q·c through the
+        // codegen dot kernel), keep the nProbe nearest. The centroid
+        // table is k rows — broadcast is bounded by the quantizer
+        // size, not the corpus.
+        import s.implicits._
+        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          val arr = c.toArray.map(_.toFloat)
+          (i, arr.toSeq, arr.map(x => x.toDouble * x.toDouble).sum)
+        }.toSeq.toDF("cell", "cvec", "cc")
+        val nProbe = 2
+        val wProbe = Window.partitionBy("qid").orderBy(col("dist2").asc, col("cell").asc)
+        val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .withColumn("qq", dotd(col("qe"), col("qe")))
+          .crossJoin(broadcast(centers))
+          .withColumn("dist2", col("qq")
+            - lit(2.0) * call_function("dot_product", col("qe"), col("cvec"))
+            + col("cc"))
+          .withColumn("p", row_number().over(wProbe))
+          .filter(col("p") <= nProbe)
+          .select(col("cell"), col("qid"), col("qe"))
         val b = assigned.select(col("cell"), col("vec_id").as("cid"),
           col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
+        probes.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
           .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
-          .select(col("qid"), col("cell"), col("cid"), col("sim"))
+          .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
       None)

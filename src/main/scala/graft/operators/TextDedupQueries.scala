@@ -123,34 +123,34 @@ object TextDedupQueries {
                       maxRounds: Int = 20): DataFrame = {
     val edges = edgesIn.select(col("doc_a"), col("doc_b"))
       .transform(graft.Caching.persistOnce(_))
-    // symmetrized and pre-partitioned on the per-round join key, so
-    // every round's neighbor lookup reuses this one layout instead of
-    // re-shuffling the (static) edge set.
+    // Symmetrized, pre-partitioned on the per-round join key, and
+    // lineage-TRUNCATED: without localCheckpoint every round's plan
+    // re-embeds (and Catalyst re-analyzes) the entire upstream
+    // edge-detection pipeline — that re-analysis, not the data, was
+    // ~3× the round cost. Truncation per iteration is the standard
+    // iterative-graph hygiene (GraphX does the same).
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_b"))
-      .transform(graft.Caching.persistOnce(_))
-    var persisted = sym.select(col("doc_a").as("doc"))
+      .localCheckpoint(true)
+    var labels = sym.select(col("doc_a").as("doc"))
       .distinct().withColumn("lbl", col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
+      .localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("doc_b") === labels("doc"))
         .groupBy(sym("doc_a").as("doc")).agg(min(col("lbl")).as("nlbl"))
       // the convergence check rides in the same pass as the update (a
-      // `changed` flag per row), so each round is ONE action over the
-      // newly persisted labels — no second old-vs-new join.
+      // `changed` flag per row): the eager checkpoint is the round's
+      // one real job, the agg below reads the materialized result.
       val next = labels.withColumnRenamed("lbl", "old_lbl")
         .join(nbrMin, "doc")
         .select(col("doc"), least(col("old_lbl"), col("nlbl")).as("lbl"),
           (least(col("old_lbl"), col("nlbl")) =!= col("old_lbl")).as("chg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
-      persisted.unpersist()
-      persisted = next
       labels = next.select(col("doc"), col("lbl"))
       round += 1
     }
