@@ -63,6 +63,19 @@ object Media {
       val frames = payload.grouped(stride).take(maxFrames).toSeq
       Decoded(w, h, frames)
     }
+
+    /** Stub scaler: nearest-index byte sampling to the target
+      * pixel-count ratio — stands in for the SIMD image scaler; the
+      * signature (frame + src/dst dims in, scaled frame out) is the
+      * contract a real build fills.
+      */
+    def resize(frame: Array[Byte], srcW: Int, srcH: Int,
+               outW: Int, outH: Int): Array[Byte] = {
+      if (frame.isEmpty || srcW.toLong * srcH == 0L) return Array.emptyByteArray
+      val ratio = (outW.toLong * outH).toDouble / (srcW.toLong * srcH)
+      val n = math.max(1, math.ceil(frame.length * ratio).toInt)
+      Array.tabulate(n)(i => frame(((i.toLong * frame.length) / n).toInt))
+    }
   }
 
   /** Wrap a text corpus as synthetic media rows (the test harness path
@@ -100,6 +113,36 @@ object Media {
           .digest(m.content).map("%02x".format(_)).mkString
         Feature(m.media_id, m.kind, m.content.length.toLong, digest,
           d.width, d.height, d.frames.size)
+      }
+    }
+  }
+
+  final case class ResizedFrame(
+      media_id: Long,
+      frame_idx: Int,
+      src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int,
+      n_bytes: Int)
+
+  /** The resize / frame-sample pass: decode (frame-sampling at
+    * maxFrames), then scale every sampled frame to the target dims —
+    * one row per output frame, blobs never leave the partition (only
+    * the narrow per-frame stats are emitted; a training pipeline
+    * writing resized frames would emit the scaled bytes in the same
+    * row shape). Same per-partition codec lifecycle as
+    * [[extractFeatures]].
+    */
+  def resizeFrames(media: Dataset[MediaRow], outW: Int, outH: Int,
+                   maxFrames: Int = 4): Dataset[ResizedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val d = MediaCodec.decode(m.kind, m.content, maxFrames)
+        d.frames.zipWithIndex.map { case (f, i) =>
+          val scaled = MediaCodec.resize(f, d.width, d.height, outW, outH)
+          ResizedFrame(m.media_id, i, d.width, d.height, outW, outH, scaled.length)
+        }
       }
     }
   }

@@ -42,6 +42,29 @@ class MediaSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("resize pass emits one row per sampled frame at the target dims") {
+    val media = Media.synthesize(docs)
+    val frames = Media.resizeFrames(media, outW = 32, outH = 24, maxFrames = 4)
+      .orderBy("media_id", "frame_idx").collect()
+    val nFrames = Media.extractFeatures(media, maxFrames = 4)
+      .collect().map(_.n_frames_sampled.toLong).sum
+    assert(frames.length.toLong === nFrames)
+    frames.foreach { f =>
+      assert(f.out_w === 32 && f.out_h === 24)
+      assert(f.frame_idx >= 0 && f.frame_idx < 4)
+      assert(f.n_bytes >= 1)
+    }
+    // the stub scaler really scales: a frame from a larger-than-target
+    // source must shrink its byte payload by the pixel-count ratio
+    val big = frames.filter(f => f.src_w * f.src_h > 4 * 32 * 24)
+    assert(big.nonEmpty)
+    big.foreach(f => assert(f.n_bytes < f.src_w * f.src_h))
+    // determinism
+    val again = Media.resizeFrames(media, 32, 24, 4)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.toSeq === again.toSeq)
+  }
+
   test("metadata-only aggregation prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     Media.synthesize(docs).write.mode("overwrite").parquet(dir)
