@@ -294,25 +294,24 @@ object TextDedupQueries {
     Q("doc_minhash_lsh",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        graft.GraftExtensions.register(s)
         val sh = shingles(docs).transform(graft.Caching.persistOnce(_))
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        // 64 minhashes as ONE wide aggregation (no 64x row explosion):
-        // each seed is a column min over seed-salted xxhash64 — a single
-        // shuffle of (doc_id, 64 longs) with map-side partial mins.
-        val mhCols = (0 until 64).map(i =>
-          min(xxhash64(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
-        val hashed = ex.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        // 16 bands of 4 rows: band signature = hash of the 4 minhashes,
-        // unpivoted via stack (still one row-set, no extra shuffle).
-        val sigCols = (0 until 16).map(b =>
-          xxhash64(concat_ws(",",
-            col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))).as(s"sig$b"))
-        val banded = hashed.select(col("doc_id") +: sigCols: _*)
-          .selectExpr("doc_id",
-            s"stack(16, ${(0 until 16).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
-          // persisted: the bucket self-join would recompute the 64-min
-          // aggregation once per side otherwise.
+        // All 64 minhashes + 16 band signatures in ONE fused codegen
+        // loop over the shingle array ([[graft.functions
+        // .MinHashBandSigs]]): each shingle's bytes are hashed once
+        // and the per-seed values derive by splitmix64 mixing. The
+        // earlier wide-agg form exploded (doc, shingle) rows and
+        // hashed each shingle 64× through fresh concats — correct,
+        // but it shuffled every shingle occurrence and did 64× the
+        // hash work; nothing per-shingle is shuffled here at all.
+        // (Hash family changed by the fusion — harmless: candidates
+        // are re-verified with exact Jaccard below, so the OUTPUT is
+        // hash-family-independent; recall bound unchanged at 16×4.)
+        val banded = sh.select(col("doc_id"),
+            posexplode(call_function("minhash_band_sigs",
+              col("sh"), lit(16), lit(4))).as(Seq("band", "sig")))
+          // persisted: the bucket self-join would recompute the
+          // signature pass once per side otherwise.
           .transform(graft.Caching.persistOnce(_))
         val candidates = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
           .filter(col("x.doc_id") < col("y.doc_id"))
