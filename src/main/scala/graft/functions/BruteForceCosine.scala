@@ -142,6 +142,77 @@ object BruteForceCosine {
     out.orderBy("qid", "rnk")
   }
 
+  /** Block-nested-loop form of [[topK]] for candidate sides too large
+    * to broadcast at once: candidates split into `nBlocks` disjoint
+    * hash blocks (pmod of vec_id — membership needs no global sort),
+    * the kernel runs once per block against that block's bounded
+    * broadcast, and the ≤ k·nBlocks partial winners per query merge
+    * through the associative [[TopKByScore]] aggregate (map-side
+    * combine; the merge shuffle carries O(queries · k · nBlocks) rows,
+    * never a pair matrix). nBlocks passes over the query table is
+    * inherent to exact brute force once candidates exceed memory —
+    * that IS the block-nested-loop; the ANN paths remain the answer
+    * when even that is too much. Row-for-row equal to [[topK]]
+    * (CosineTopKSpec asserts it, ties included).
+    */
+  def topKBlocked(s: SparkSession, emb: DataFrame, k: Int, nBlocks: Int,
+                  maxCandidates: Int = 4 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cand = emb.select(col("vec_id"), col("embedding"))
+    val partials = (0 until nBlocks).map { b =>
+      val block = cand.filter(pmod(col("vec_id"), lit(nBlocks)) === b)
+      topKUnordered(s, emb, block, k, maxCandidates)
+    }.reduce(_.union(_))
+    partials
+      .groupBy("qid")
+      .agg(TopKByScore.topK(k)(col("sim"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("cid"), col("sc.score").as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** One kernel pass of `queries` against the broadcast of `cands`,
+    * emitting unranked (qid, cid, sim) partials for a downstream
+    * merge.
+    */
+  private def topKUnordered(s: SparkSession, queries: DataFrame, cands: DataFrame,
+                            k: Int, maxCandidates: Int): DataFrame = {
+    import s.implicits._
+    val block = collectBlock(cands, maxCandidates)
+    val bc = s.sparkContext.broadcast(block)
+    queries.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val n = b.n
+        it.flatMap { case (qid, qe) =>
+          val qn = selfNorm(qe)
+          val simA = new Array[Double](k)
+          val cidA = new Array[Long](k)
+          var m = 0
+          var j = 0
+          while (j < n) {
+            if (b.ids(j) != qid) {
+              val sim = roundLikeSpark(
+                dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
+              if (m < k || sim > simA(m - 1)) {
+                var p = if (m < k) m else m - 1
+                while (p > 0 && simA(p - 1) < sim) {
+                  simA(p) = simA(p - 1); cidA(p) = cidA(p - 1); p -= 1
+                }
+                simA(p) = sim; cidA(p) = b.ids(j)
+                if (m < k) m += 1
+              }
+            }
+            j += 1
+          }
+          (0 until m).map(r => (qid, cidA(r), simA(r)))
+        }
+      }
+      .toDF("qid", "cid", "sim")
+  }
+
   /** Exact cosine near-dup pairs at `threshold` (vid_a < vid_b) —
     * row-for-row equal to the declarative all-pairs plan. Each pair is
     * computed once, on the partition holding its smaller id.

@@ -43,6 +43,17 @@ class CosineTopKSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("block-nested-loop topK equals the single-broadcast kernel") {
+    val df = corpus.cache()
+    try {
+      val whole = graft.functions.BruteForceCosine.topK(spark, df, 5).collect().toSeq
+      val blocked = graft.functions.BruteForceCosine.topKBlocked(spark, df, 5, nBlocks = 3)
+        .collect().toSeq
+      assert(blocked == whole,
+        s"blocked ${blocked.size} rows != whole ${whole.size} rows")
+    } finally df.unpersist()
+  }
+
   test("kernel nearDup equals the declarative all-pairs plan") {
     val df = corpus.cache()
     try {
