@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs}
+import graft.functions.{BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -32,7 +32,11 @@ object GraftExtensions {
       (FunctionIdentifier("minhash_band_sigs"),
         new ExpressionInfo(classOf[MinHashBandSigs].getName, "minhash_band_sigs"),
         (children: Seq[Expression]) =>
-          MinHashBandSigs(children.head, children(1), children(2))))
+          MinHashBandSigs(children.head, children(1), children(2))),
+      (FunctionIdentifier("nearest_cells"),
+        new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+        (children: Seq[Expression]) =>
+          NearestCells(children.head, children(1), children(2))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -279,46 +279,34 @@ object EmbeddingQueries {
     // re-ranked by exact cosine.
     Q("emb_ann_ivf",
       (s, d) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d)
-          .withColumn("features", array_to_vector(col("embedding")))
-        // Coarse quantizer fit on a BOUNDED sample (deterministic
-        // limit), never the full table: at corpus scale the quantizer
-        // needs only enough points to place k centroids, and fitting
-        // on everything would make the *query* pay a full-corpus
-        // KMeans per invocation. Assignment below still covers every
-        // vector.
-        val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-          .setFeaturesCol("features").fit(e.limit(4096))
-        val assigned = model.transform(e)
-          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-        // Probe list: squared-euclidean distance of every query to the
-        // 16 centroids (||q||² − 2·q·c + ||c||²; q·c through the
-        // codegen dot kernel), keep the nProbe nearest. The centroid
-        // table is k rows — broadcast is bounded by the quantizer
-        // size, not the corpus.
+        // Coarse quantizer: deterministic driver-side Lloyd's on a
+        // BOUNDED sample — a k-cell quantizer is 16×64 floats, a
+        // driver micro-task, never a distributed ML fit on the full
+        // table (at corpus scale that would make the query pay a
+        // full-corpus KMeans per invocation). The fitted centroid
+        // matrix becomes a plan LITERAL.
         import s.implicits._
-        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          val arr = c.toArray.map(_.toFloat)
-          (i, arr.toSeq, arr.map(x => x.toDouble * x.toDouble).sum)
-        }.toSeq.toDF("cell", "cvec", "cc")
-        val nProbe = 2
-        val wProbe = Window.partitionBy("qid").orderBy(col("dist2").asc, col("cell").asc)
-        val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .withColumn("qq", dotd(col("qe"), col("qe")))
-          .crossJoin(broadcast(centers))
-          .withColumn("dist2", col("qq")
-            - lit(2.0) * call_function("dot_product", col("qe"), col("cvec"))
-            + col("cc"))
-          .withColumn("p", row_number().over(wProbe))
-          .filter(col("p") <= nProbe)
-          .select(col("cell"), col("qid"), col("qe"))
-        val b = assigned.select(col("cell"), col("vec_id").as("cid"),
-          col("embedding").as("ce"))
+        val sample = e.select(col("embedding")).limit(4096)
+          .as[Array[Float]].collect()
+        val centers = graft.functions.KMeansLite.fit(sample, k = 16, iters = 5, seed = 42L)
+        val cLit = typedlit(centers.map(_.toSeq).toSeq)
+        // Cell assignment (database side, home cell) and the probe
+        // list (query side, nProbe=2 nearest cells — the standard IVF
+        // recall knob, recovering neighbors just across a Voronoi
+        // boundary) both run through the nearest_cells codegen kernel
+        // against the literal matrix: one fused loop in the scan
+        // projection, NO centroid crossJoin, NO per-vector window
+        // rank, nothing shuffled for assignment at all.
+        val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
+            .as("cell"))
+        val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            explode(call_function("nearest_cells", col("embedding"), cLit, lit(2)))
+              .as("cell"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        probes.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
+        probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
           .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
