@@ -477,6 +477,48 @@ object TextDedupQueries {
              GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""")),
 
     // ----------------------------------------------------------------
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 8-word-gram with a held-out benchmark set (here the
+    // deterministic doc_id % 7 == 0 slice stands in for the benchmark
+    // suite) and count the distinct leaked grams per document — the
+    // standard pre-training "did eval data leak into train" pass.
+    // Scale: the shuffle key is the 8-gram; in production the
+    // benchmark side is a bounded eval suite (a natural broadcast —
+    // AQE picks that up on its own, no hint needed), and the corpus
+    // side streams through the join; per-doc gram lists never
+    // materialize cross-row.
+    Q("doc_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .withColumn("g8", when(size(col("ws")) >= 8,
+            expr("""array_distinct(transform(sequence(0, size(ws) - 8),
+                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))"""))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+          .select(explode(col("g8")).as("g")).distinct()
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), explode(col("g8")).as("g"))
+        corpus.join(bench, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(ws) >= 8
+                                THEN list_distinct([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                                                    FOR i IN range(1, len(ws) - 6)])
+                                ELSE [] END AS s
+                    FROM w),
+             bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+             corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 7 <> 0)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM corpus WHERE g IN (SELECT g FROM bench)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // PII scrubbing: redact emails and phone numbers (regex forms
     // shared verbatim by Java regex and DuckDB's RE2). Pure per-row
     // map. The driver corpus contains no PII, so the oracle checks
