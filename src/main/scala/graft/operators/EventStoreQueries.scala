@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,6 +19,57 @@ import org.apache.spark.sql.expressions.Window
 object EventStoreQueries {
 
   val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // Funnel analysis over the event log: how far does each user get
+    // through signup → view → click → purchase in TIME order (each
+    // stage strictly after the previous stage's first occurrence)?
+    // The staged-min shape: each stage is one key-partitioned
+    // aggregate joined to the previous stage's firsts — four shuffles
+    // on user_id, no window over the whole log, no per-user event
+    // collection (the classic scalable funnel, vs. collect_list+UDF).
+    Q("es_funnel_stages",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def firstAfter(typ: String, prev: DataFrame, prevT: String, out: String) =
+          e.filter(col("event_type") === typ)
+            .join(prev.select(col("user_id"), col(prevT)), "user_id")
+            .filter(col("ts") > col(prevT))
+            .groupBy("user_id").agg(min(col("ts")).as(out))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = firstAfter("view", s1, "t1", "t2")
+        val s3 = firstAfter("click", s2, "t2", "t3")
+        val s4 = firstAfter("purchase", s3, "t3", "t4")
+        s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+          .join(s4.select("user_id", "t4"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+              + when(col("t3").isNotNull, 1).otherwise(0)
+              + when(col("t4").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+             s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                    WHERE event_type = 'signup' GROUP BY user_id),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+             s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN s3 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+             SELECT s1.user_id,
+                    CAST(1 + (s2.user_id IS NOT NULL)::INT
+                           + (s3.user_id IS NOT NULL)::INT
+                           + (s4.user_id IS NOT NULL)::INT AS INT) AS stage
+             FROM s1
+             LEFT JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id)
+             LEFT JOIN s4 USING (user_id)
+             ORDER BY user_id""")),
 
     // ----------------------------------------------------------------
     // A3: DISTINCT ON / last-per-partition (reference schema.sql:290-294)
