@@ -22,12 +22,13 @@ object EventStoreQueries {
 
     // ----------------------------------------------------------------
     // Funnel analysis over the event log: how far does each user get
-    // through signup → view → click → purchase in TIME order (each
-    // stage strictly after the previous stage's first occurrence)?
-    // The staged-min shape: each stage is one key-partitioned
-    // aggregate joined to the previous stage's firsts — four shuffles
-    // on user_id, no window over the whole log, no per-user event
-    // collection (the classic scalable funnel, vs. collect_list+UDF).
+    // through signup → view → click → purchase in TIME order, each
+    // stage strictly after the previous stage's first occurrence and
+    // within a 3-day conversion window of it? The staged-min shape:
+    // each stage is one key-partitioned aggregate joined to the
+    // previous stage's firsts — four shuffles on user_id, no window
+    // over the whole log, no per-user event collection (the classic
+    // scalable funnel, vs. collect_list+UDF).
     Q("es_funnel_stages",
       (s, d) => {
         val e = Tables.events(s, d)
@@ -35,7 +36,8 @@ object EventStoreQueries {
         def firstAfter(typ: String, prev: DataFrame, prevT: String, out: String) =
           e.filter(col("event_type") === typ)
             .join(prev.select(col("user_id"), col(prevT)), "user_id")
-            .filter(col("ts") > col(prevT))
+            .filter(col("ts") > col(prevT) &&
+              col("ts") <= col(prevT) + expr("INTERVAL 3 DAYS"))
             .groupBy("user_id").agg(min(col("ts")).as(out))
         val s1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("t1"))
@@ -56,11 +58,14 @@ object EventStoreQueries {
              s1 AS (SELECT user_id, min(ts) AS t1 FROM e
                     WHERE event_type = 'signup' GROUP BY user_id),
              s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
-                    WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+                    WHERE e.event_type = 'view' AND e.ts > s1.t1
+                      AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY e.user_id),
              s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
-                    WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+                    WHERE e.event_type = 'click' AND e.ts > s2.t2
+                      AND e.ts <= s2.t2 + INTERVAL 3 DAY GROUP BY e.user_id),
              s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN s3 USING (user_id)
-                    WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+                      AND e.ts <= s3.t3 + INTERVAL 3 DAY GROUP BY e.user_id)
              SELECT s1.user_id,
                     CAST(1 + (s2.user_id IS NOT NULL)::INT
                            + (s3.user_id IS NOT NULL)::INT
