@@ -33,7 +33,7 @@ object TextDedupQueries {
     df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .select(col("doc_id"),
         expr("""array_distinct(transform(sequence(0, size(ws) - 3),
-                 i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])))""").as("sh"))
+                 i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
 
   private val shingleSqlCte =
@@ -413,7 +413,7 @@ object TextDedupQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .withColumn("g2", when(size(col("ws")) >= 2,
-            expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i + 1]))"))
+            expr("transform(sequence(0, size(ws) - 2), i -> array_join(slice(ws, i + 1, 2), ' '))"))
             .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
           .select(col("doc_id"),
             size(col("g2")).cast("long").as("n_2grams"),
@@ -493,8 +493,7 @@ object TextDedupQueries {
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .withColumn("g8", when(size(col("ws")) >= 8,
             expr("""array_distinct(transform(sequence(0, size(ws) - 8),
-                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
-                                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))"""))
+                     i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
             .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
         val bench = docs.filter(col("doc_id") % 7 === 0)
           .select(explode(col("g8")).as("g")).distinct()
