@@ -489,12 +489,16 @@ object TextDedupQueries {
     // materialize cross-row.
     Q("doc_decontaminate",
       (s, d) => {
+        // persisted: the benchmark and corpus branches both read the
+        // 8-gram projection — one computation, not one per branch.
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .withColumn("g8", when(size(col("ws")) >= 8,
             expr("""array_distinct(transform(sequence(0, size(ws) - 8),
                      i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
             .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          .select(col("doc_id"), col("g8"))
+          .transform(graft.Caching.persistOnce(_))
         val bench = docs.filter(col("doc_id") % 7 === 0)
           .select(explode(col("g8")).as("g")).distinct()
         val corpus = docs.filter(col("doc_id") % 7 =!= 0)
