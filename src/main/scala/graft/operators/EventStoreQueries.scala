@@ -77,6 +77,38 @@ object EventStoreQueries {
              ORDER BY user_id""")),
 
     // ----------------------------------------------------------------
+    // Cohort retention over the event log: users grouped by the week
+    // of their first purchase, counted in each later week they
+    // purchased again. Two aggregates on the user key + one count on
+    // the (cohort, offset) key — the distinct-activity table is the
+    // only wide shuffle, and it carries (user, week) pairs, never
+    // events.
+    Q("es_retention_cohorts",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        act.join(first, "user_id")
+          .select(col("cohort").cast("timestamp_ntz").as("cohort_week"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+                           date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+                         FROM events WHERE event_type = 'purchase'),
+             act AS (SELECT DISTINCT user_id, wk FROM e),
+             first AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id)
+             SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+                    CAST(datediff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+                    CAST(count(*) AS BIGINT) AS n_active
+             FROM act a JOIN first f USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----------------------------------------------------------------
     // A3: DISTINCT ON / last-per-partition (reference schema.sql:290-294)
     // — the lock-matrix "head of every partition" aggregate. Window
     // rank-1 per key; scalable: partitioned window, no global sort.
