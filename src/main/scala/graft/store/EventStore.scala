@@ -118,6 +118,107 @@ final class EventStore(val spark: SparkSession) {
     val ts = now()
     val txn = nextTxn
 
+    val collected =
+      (if (batch.size <= EventStore.SmallBatchMax) smallBatchValidate(batch)
+       else distributedValidate(batch)).sortBy(_._2)
+    val rejected: Seq[AppendError] = collected.collect {
+      case (e, _, code) if code.nonEmpty => code match {
+        case "final"              => AppendError.StreamFinalized(e.event_id)
+        case "null_prev"          => AppendError.NullPreviousOnNonFirst(e.event_id)
+        case "prev_not_in_stream" => AppendError.PreviousNotInStream(e.event_id)
+        case "fk"                 => AppendError.UnregisteredEvent(e.event_id)
+        case "dup_event_id"       => AppendError.DuplicateEventId(e.event_id)
+        case "dup_prev_id"        => AppendError.DuplicatePreviousId(e.event_id)
+      }
+    }.toSeq
+    val acceptedInputs = collected.filter(_._3.isEmpty)
+
+    // (4) Offset assignment: global monotonic sequence continued from
+    // the committed head (SURVEY §7.4.1). Input order is the canonical
+    // order, mirroring BIGSERIAL's assignment at insert time.
+    val base = maxOffset()
+    val accepted = acceptedInputs.zipWithIndex.map { case ((e, _, _), i) =>
+      EventRow(e.event, e.event_id, e.event_version, e.decider, e.decider_id,
+        e.data, e.command_id, e.previous_id, e.is_final, ts,
+        base + 1 + i, txn)
+    }.toSeq
+
+    // (5) Atomic commit: the union becomes visible as one new `events`
+    // value (≙ one Delta commit / one micro-batch). localCheckpoint
+    // truncates the union lineage so N appends don't build an N-deep
+    // plan (at rest the log is Parquet via save/load anyway).
+    if (accepted.nonEmpty) {
+      events = events.union(accepted.toDS()).localCheckpoint()
+      headOffset = accepted.last.offset
+      nextTxn += 1
+      diskLayout = None // disk snapshot is stale until the next save()
+      onCommit(accepted)
+    }
+    AppendResult(accepted, rejected)
+  }
+
+  /** Driver-side fast path for bounded batches (≤ SmallBatchMax): the
+    * committed-log facts the flag columns encode are ≤ batch-size
+    * values, so they come from TWO narrow jobs against the cached log
+    * (a per-stream state aggregate and an id/prev membership filter)
+    * instead of the join/window/flatMapGroups pipeline — per-call
+    * latency drops to the two filters + the commit. The replay itself
+    * is [[EventStore.replayStream]], the same code the distributed
+    * path executes, so the semantics cannot diverge.
+    */
+  private def smallBatchValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
+    val inputs = batch.zipWithIndex.map { case (e, i) =>
+      (e, i.toLong, decidersMap.contains((e.decider, e.event, e.event_version)))
+    }
+    val streams = inputs.map(t => (t._1.decider, t._1.decider_id)).distinct
+    val streamPred = streams.map { case (dk, di) =>
+      $"decider" === dk && $"decider_id" === di
+    }.reduce(_ || _)
+    // job 1: per-stream committed state (exists / finalized)
+    val state: Map[(String, String), (Boolean, Long)] = events.toDF()
+      .filter(streamPred)
+      .groupBy($"decider", $"decider_id")
+      .agg(max(when($"is_final", 1).otherwise(0)).as("fin"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getInt(2) == 1, r.getLong(3)))
+      .toMap
+    // job 2: committed id/prev membership for the batch's keys
+    val batchIds = inputs.map(_._1.event_id).distinct
+    val batchPrevs = inputs.flatMap(_._1.previous_id).distinct
+    // event_id ∈ batchPrevs feeds the prev-existence check; event_id ∈
+    // batchIds and previous_id ∈ batchPrevs feed the two dup checks.
+    val idPred = $"event_id".isin((batchIds ++ batchPrevs).distinct: _*) ||
+      (if (batchPrevs.nonEmpty) $"previous_id".isin(batchPrevs: _*) else lit(false))
+    val hits = events.toDF().filter(idPred)
+      .select($"event_id", $"previous_id", $"decider", $"decider_id").collect()
+    val idsSet = batchIds.toSet
+    val prevsSet = batchPrevs.toSet
+    val committedIds = hits.map(_.getString(0)).filter(idsSet).toSet
+    val committedPrevs = hits.flatMap(r => Option(r.getString(1))).filter(prevsSet).toSet
+    // prev_in_stream: the claimed previous event exists in the SAME stream
+    val inStream: Set[(String, String, String)] =
+      hits.map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    // intra-batch duplicate event_id rank (input order)
+    val eidRank = scala.collection.mutable.Map.empty[String, Int]
+    val flagged = inputs.map { case (e, idx, registered) =>
+      val rank = eidRank.updateWith(e.event_id)(c => Some(c.getOrElse(0) + 1)).get
+      val (fin, n) = state.getOrElse((e.decider, e.decider_id), (false, 0L))
+      EventStore.Flagged(e, idx, registered,
+        prev_in_stream = e.previous_id.exists(p => inStream((p, e.decider, e.decider_id))),
+        dup_event_id = committedIds(e.event_id),
+        dup_prev_id = e.previous_id.exists(committedPrevs),
+        finalized = fin, n_committed = n, eid_rank = rank)
+    }
+    flagged.groupBy(f => (f.in.decider, f.in.decider_id))
+      .values.toSeq.flatMap(EventStore.replayStream)
+  }
+
+  /** Distributed validation pipeline for large batches (the scale
+    * path): set-level joins against the key-pruned log, a window for
+    * intra-batch duplicate ranking, and per-stream replay inside
+    * flatMapGroups.
+    */
+  private def distributedValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
     // (1) FK gate (J8): the registry is driver-resident (see header),
     // so the composite-FK flag is stamped onto each row up front — the
     // moral equivalent of the broadcast semi-join, without shipping a
@@ -189,73 +290,10 @@ final class EventStore(val spark: SparkSession) {
     val validated: Dataset[(EventInput, Long, String)] = typed
       .groupByKey(f => (f.in.decider, f.in.decider_id))
       .flatMapGroups { (_: (String, String), rows: Iterator[EventStore.Flagged]) =>
-        val sorted = rows.toSeq.sortBy(_.input_idx)
-        var exists = sorted.headOption.exists(_.n_committed > 0)
-        var finalized = sorted.headOption.exists(_.finalized)
-        val localIds = scala.collection.mutable.Set.empty[String]
-        val localPrevs = scala.collection.mutable.Set.empty[String]
-        sorted.iterator.map { f =>
-          val e = f.in
-          // Trigger firing order is alphabetical in the reference
-          // (t_check_final..., t_check_first..., t_check_previous...,
-          // schema.sql:91-146), then constraints.
-          val err: String =
-            if (finalized) "final"
-            else if (e.previous_id.isEmpty && exists) "null_prev"
-            else if (e.previous_id.nonEmpty &&
-                     !f.prev_in_stream && !e.previous_id.exists(localIds.contains))
-              "prev_not_in_stream"
-            else if (!f.registered) "fk"
-            else if (f.dup_event_id || f.eid_rank > 1 || localIds.contains(e.event_id))
-              "dup_event_id"
-            else if (f.dup_prev_id || e.previous_id.exists(localPrevs.contains))
-              "dup_prev_id"
-            else ""
-          if (err.isEmpty) {
-            exists = true
-            if (e.is_final) finalized = true
-            localIds += e.event_id
-            e.previous_id.foreach(localPrevs += _)
-          }
-          (e, f.input_idx, err)
-        }
+        EventStore.replayStream(rows.toSeq).iterator
       }
 
-    val collected = validated.collect().sortBy(_._2)
-    val rejected: Seq[AppendError] = collected.collect {
-      case (e, _, code) if code.nonEmpty => code match {
-        case "final"              => AppendError.StreamFinalized(e.event_id)
-        case "null_prev"          => AppendError.NullPreviousOnNonFirst(e.event_id)
-        case "prev_not_in_stream" => AppendError.PreviousNotInStream(e.event_id)
-        case "fk"                 => AppendError.UnregisteredEvent(e.event_id)
-        case "dup_event_id"       => AppendError.DuplicateEventId(e.event_id)
-        case "dup_prev_id"        => AppendError.DuplicatePreviousId(e.event_id)
-      }
-    }.toSeq
-    val acceptedInputs = collected.filter(_._3.isEmpty)
-
-    // (4) Offset assignment: global monotonic sequence continued from
-    // the committed head (SURVEY §7.4.1). Input order is the canonical
-    // order, mirroring BIGSERIAL's assignment at insert time.
-    val base = maxOffset()
-    val accepted = acceptedInputs.zipWithIndex.map { case ((e, _, _), i) =>
-      EventRow(e.event, e.event_id, e.event_version, e.decider, e.decider_id,
-        e.data, e.command_id, e.previous_id, e.is_final, ts,
-        base + 1 + i, txn)
-    }.toSeq
-
-    // (5) Atomic commit: the union becomes visible as one new `events`
-    // value (≙ one Delta commit / one micro-batch). localCheckpoint
-    // truncates the union lineage so N appends don't build an N-deep
-    // plan (at rest the log is Parquet via save/load anyway).
-    if (accepted.nonEmpty) {
-      events = events.union(accepted.toDS()).localCheckpoint()
-      headOffset = accepted.last.offset
-      nextTxn += 1
-      diskLayout = None // disk snapshot is stale until the next save()
-      onCommit(accepted)
-    }
-    AppendResult(accepted, rejected)
+    validated.collect().toSeq
   }
 
   /** Hook for the streaming layer's lock fanout (M1). */
@@ -384,4 +422,51 @@ object EventStore {
                            prev_in_stream: Boolean, dup_event_id: Boolean,
                            dup_prev_id: Boolean, finalized: Boolean,
                            n_committed: Long, eid_rank: Int)
+
+  /** Batches at or below this size validate through the driver-side
+    * fast path (two narrow lookup jobs + [[replayStream]] locally);
+    * larger batches run the distributed join/window pipeline. The
+    * semantics are identical — replayStream IS the shared replay — the
+    * fast path only changes where the (bounded) flag computation runs.
+    */
+  val SmallBatchMax = 64
+
+  /** Per-stream sequential replay: the reference's trigger pipeline in
+    * alphabetical firing order (t_check_final..., t_check_first...,
+    * t_check_previous..., schema.sql:91-146), then constraints, with
+    * intra-batch visibility (earlier accepted rows of the same stream
+    * count as existing; an accepted final blocks later rows). Pure —
+    * executed inside flatMapGroups on executors for large batches and
+    * directly on the driver for small ones (same code = same
+    * semantics).
+    */
+  def replayStream(rows: Seq[Flagged]): Seq[(EventInput, Long, String)] = {
+    val sorted = rows.sortBy(_.input_idx)
+    var exists = sorted.headOption.exists(_.n_committed > 0)
+    var finalized = sorted.headOption.exists(_.finalized)
+    val localIds = scala.collection.mutable.Set.empty[String]
+    val localPrevs = scala.collection.mutable.Set.empty[String]
+    sorted.map { f =>
+      val e = f.in
+      val err: String =
+        if (finalized) "final"
+        else if (e.previous_id.isEmpty && exists) "null_prev"
+        else if (e.previous_id.nonEmpty &&
+                 !f.prev_in_stream && !e.previous_id.exists(localIds.contains))
+          "prev_not_in_stream"
+        else if (!f.registered) "fk"
+        else if (f.dup_event_id || f.eid_rank > 1 || localIds.contains(e.event_id))
+          "dup_event_id"
+        else if (f.dup_prev_id || e.previous_id.exists(localPrevs.contains))
+          "dup_prev_id"
+        else ""
+      if (err.isEmpty) {
+        exists = true
+        if (e.is_final) finalized = true
+        localIds += e.event_id
+        e.previous_id.foreach(localPrevs += _)
+      }
+      (e, f.input_idx, err)
+    }
+  }
 }
