@@ -166,7 +166,7 @@ final class EventStore(val spark: SparkSession) {
     * is [[EventStore.replayStream]], the same code the distributed
     * path executes, so the semantics cannot diverge.
     */
-  private def smallBatchValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
+  private[store] def smallBatchValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
     val inputs = batch.zipWithIndex.map { case (e, i) =>
       (e, i.toLong, decidersMap.contains((e.decider, e.event, e.event_version)))
     }
@@ -218,7 +218,7 @@ final class EventStore(val spark: SparkSession) {
     * intra-batch duplicate ranking, and per-stream replay inside
     * flatMapGroups.
     */
-  private def distributedValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
+  private[store] def distributedValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
     // (1) FK gate (J8): the registry is driver-resident (see header),
     // so the composite-FK flag is stamped onto each row up front — the
     // moral equivalent of the broadcast semi-join, without shipping a
