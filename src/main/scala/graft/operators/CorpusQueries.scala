@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs AFTER dedup/quality filtering (TextDedupQueries): sliding-window
+  * chunking, deterministic stratified sampling, BM25 relevance ranking,
+  * and corpus-level boilerplate detection.
+  *
+  * Scale design (100 TB):
+  *  - chunking is a pure per-row flatMap (sequence + posexplode) — no
+  *    shuffle at all; at cluster scale it pipelines straight into the
+  *    tokenizer sink;
+  *  - stratified sampling is a deterministic hash filter — no
+  *    sample()/rand() (non-reproducible across retries of a failed
+  *    task), no shuffle, fully pushdown-friendly;
+  *  - BM25 keeps the per-term statistics tiny (|query terms| rows) and
+  *    broadcasts them; the corpus-side pass is one projection + one
+  *    partial-aggregated groupBy on doc_id;
+  *  - boilerplate detection shuffles the 5-gram inverted index once,
+  *    keyed by the gram string — never doc bodies — and map-side
+  *    partial counts collapse the heavy hitters (exactly the rows that
+  *    matter) before the shuffle.
+  */
+object CorpusQueries {
+
+  private val ChunkLen = 20
+  private val ChunkStride = 15
+
+  /** Sliding-window word chunking: fixed window of 20 words, stride 15
+    * (25% overlap), final partial window kept. The shape every
+    * pretraining pipeline needs between cleaning and tokenization.
+    */
+  private def chunkSliding(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start_word")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("start_word").cast("long").as("start_word"),
+        least(lit(ChunkLen), size(col("ws")) - col("start_word")).cast("int").as("n_words"),
+        array_join(slice(col("ws"), col("start_word") + 1, lit(ChunkLen)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * through an LCG hash of doc_id — reproducible across task retries
+    * and across engines (no rand()), and the filter sits directly on
+    * the scan so column pruning + predicate evaluation happen before
+    * any wide operator.
+    */
+  private def sampleStratified(docs: DataFrame): DataFrame = {
+    val bucket = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % 100).cast("int")
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 60)
+      .otherwise(45)
+    docs
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val Bm25Terms = Seq("spark", "window", "merge")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 ranking of the corpus against a fixed query-term set.
+    * Corpus stats (N, avgdl) and per-term document frequencies are a
+    * handful of rows — broadcast; the per-doc pass is one projection
+    * (tokenize once, count term occurrences with a higher-order
+    * filter, no explode of the token array) followed by a partial-agg
+    * groupBy on doc_id and a global top-k (TakeOrderedAndProject).
+    */
+  private def bm25TopK(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("double").as("dl"))
+    val perTerm = toks
+      .select(col("doc_id"), col("dl"), col("ws"),
+        explode(typedLit(Bm25Terms)).as("term"))
+      .withColumn("tf", size(expr("filter(ws, x -> x = term)")).cast("double"))
+      .filter(col("tf") > 0)
+      .drop("ws")
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfs = perTerm.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    perTerm
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      // constants written as literals (2.2, 0.25) so the double bits
+      // match the oracle SQL exactly — `K1 + 1` computed in Scala can
+      // differ from DuckDB's parse of "2.2" by one ulp
+      .withColumn("contrib",
+        idf * col("tf") * lit(2.2) /
+          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Corpus-level boilerplate detection: for each document, the share
+    * of its distinct 3-grams that also occur in >= 3 distinct
+    * documents. High ratios flag templated/boilerplate text that
+    * per-document repetition scores (doc_repetition) cannot see.
+    */
+  private def boilerplateOverlap(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(0, size(ws) - 3),
+                 i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .transform(graft.Caching.persistOnce(_))
+    val shared = grams.groupBy("g")
+      .agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= 3)
+      .select("g")
+    grams
+      .join(shared, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("share_ratio",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("doc_chunk_sliding",
+      (s, d) => chunkSliding(Tables.documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 15)) AS start_word FROM w)
+             SELECT doc_id, CAST(start_word // 15 AS INT) AS chunk_id, start_word,
+                    CAST(least(20, len(ws) - start_word) AS INT) AS n_words,
+                    array_to_string(ws[start_word + 1 : start_word + 20], ' ') AS chunk_text
+             FROM s ORDER BY doc_id, chunk_id""")),
+
+    Q("doc_sample_stratified",
+      (s, d) => sampleStratified(Tables.documents(s, d)),
+      Some("""SELECT doc_id, lang,
+                     CAST((doc_id * 1103515245 + 12345) % 100 AS INT) AS bucket
+             FROM documents
+             WHERE (doc_id * 1103515245 + 12345) % 100 <
+                   CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 60 ELSE 45 END
+             ORDER BY doc_id""")),
+
+    Q("doc_bm25_topk",
+      (s, d) => bm25TopK(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             d AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM t),
+             c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+             q AS (SELECT unnest(['spark', 'window', 'merge']) AS term),
+             tf AS (SELECT doc_id, dl, term,
+                           CAST(len(list_filter(ws, x -> x = term)) AS DOUBLE) AS tf
+                    FROM d, q),
+             df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM tf WHERE tf > 0 GROUP BY term),
+             sc AS (SELECT tf.doc_id,
+                           sum(ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                               * tf.tf * 2.2
+                               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl))) AS s
+                    FROM tf, c, df
+                    WHERE tf.term = df.term AND tf.tf > 0
+                    GROUP BY tf.doc_id)
+             SELECT doc_id, round(s, 6) AS score FROM sc
+             ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    Q("doc_boilerplate_overlap",
+      (s, d) => boilerplateOverlap(Tables.documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             g AS (SELECT doc_id,
+                          unnest(list_distinct([array_to_string(ws[i : i + 2], ' ')
+                                                FOR i IN range(1, len(ws) - 1)])) AS g
+                   FROM w),
+             shared AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 3),
+             per_doc AS (SELECT doc_id, count(*) AS n_grams, count(s.g) AS n_shared
+                         FROM g LEFT JOIN shared s USING (g) GROUP BY doc_id)
+             SELECT doc_id, n_grams, n_shared,
+                    round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS share_ratio
+             FROM per_doc ORDER BY doc_id"""))
+  )
+}

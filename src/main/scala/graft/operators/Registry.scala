@@ -10,6 +10,7 @@ object Registry {
     RelationalQueries.all ++
       EventStoreQueries.all ++
       TextDedupQueries.all ++
+      CorpusQueries.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 

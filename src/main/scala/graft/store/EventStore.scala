@@ -151,7 +151,9 @@ final class EventStore(val spark: SparkSession) {
       events = events.union(accepted.toDS()).localCheckpoint()
       headOffset = accepted.last.offset
       nextTxn += 1
-      diskLayout = None // disk snapshot is stale until the next save()
+      // the disk snapshot stays live: streamSlice reads it up to
+      // flushedOffset and unions the in-memory tail past it, so
+      // bucket-pruned scans keep working between incremental flushes
       onCommit(accepted)
     }
     AppendResult(accepted, rejected)
@@ -313,7 +315,6 @@ final class EventStore(val spark: SparkSession) {
       headOffset = math.max(headOffset,
         staged.agg(max($"offset")).collect().head.getLong(0))
       nextTxn += 1
-      diskLayout = None
       val heads = staged.groupBy($"decider_id")
         .agg(max_by(struct($"offset", $"is_final"), $"offset").as("h"))
         .select($"decider_id", $"h.offset", $"h.is_final")
@@ -351,9 +352,14 @@ final class EventStore(val spark: SparkSession) {
   private def streamSlice(deciderId: String): DataFrame = {
     val base = diskLayout match {
       case Some((dir, buckets)) =>
-        spark.read.parquet(s"$dir/events")
+        // disk holds offsets <= flushedOffset; anything appended since
+        // the last save/saveIncrement only exists in the in-memory log,
+        // so union the (usually empty) unflushed tail for consistency
+        val disk = spark.read.parquet(s"$dir/events")
           .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
           .drop("bucket")
+        val tail = events.filter($"offset" > flushedOffset).toDF()
+        disk.unionByName(tail)
       case None => events.toDF()
     }
     base.filter($"decider_id" === deciderId)
@@ -392,11 +398,67 @@ final class EventStore(val spark: SparkSession) {
     */
   @volatile private var diskLayout: Option[(String, Int)] = None
 
+  /** Offset up to which the log at `diskLayout` already holds our
+    * events — the watermark [[saveIncrement]] flushes from.
+    */
+  @volatile private var flushedOffset: Long = 0L
+
   def save(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
     events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
     diskLayout = Some((dir, buckets))
+    flushedOffset = headOffset
+  }
+
+  /** Incremental flush: append only events past the flushed watermark
+    * into the same bucketed layout. At 100 TB a full-log rewrite per
+    * checkpoint is impossible — the flush must be proportional to the
+    * NEW data, which this is (one filtered scan of the in-memory tail,
+    * appended under `bucket=`-partitioned dirs). The cost is small
+    * files accumulating per bucket — [[compact]] is the repair.
+    * Falls back to a full [[save]] when `dir` was never initialized.
+    * Returns the number of events flushed.
+    */
+  def saveIncrement(dir: String, buckets: Int = 32): Long = commitLock.synchronized {
+    if (!diskLayout.exists(_._1 == dir)) { save(dir, buckets); return headOffset }
+    val since = flushedOffset
+    val tail = events.filter($"offset" > since)
+    val n = tail.count()
+    if (n > 0) {
+      tail.withColumn("bucket", pmod(hash($"decider_id"), lit(diskLayout.get._2)))
+        .write.partitionBy("bucket").mode("append").parquet(s"$dir/events")
+      deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+      flushedOffset = headOffset
+    }
+    n
+  }
+
+  /** Compact the on-disk log: rewrite each bucket partition as one
+    * parquet file, rows sorted by (decider_id, offset) so row-group
+    * min/max stats make decider_id predicates skip inside the bucket
+    * too (the scan prunes twice: directory-level on the hash bucket,
+    * row-group-level on the sorted key). The rewrite is
+    * shuffle-bounded by the log size, runs fully distributed, and
+    * swaps directories only after the compacted copy is complete —
+    * readers never observe a partial log.
+    */
+  def compact(dir: String): Unit = commitLock.synchronized {
+    require(diskLayout.exists(_._1 == dir), s"no saved log at $dir")
+    val eventsPath = s"$dir/events"
+    val tmpPath = s"$dir/events_compacting"
+    spark.read.parquet(eventsPath)
+      .repartition(col("bucket"))
+      .sortWithinPartitions($"bucket", $"decider_id", $"offset")
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmpPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(eventsPath), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(eventsPath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/events_old")
+    require(fs.rename(live, old), s"compact: could not retire $eventsPath")
+    require(fs.rename(tmp, live), s"compact: could not publish $tmpPath")
+    fs.delete(old, true)
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
@@ -410,6 +472,7 @@ final class EventStore(val spark: SparkSession) {
     val heads = events.agg(max($"offset"), max($"transaction_id")).collect().headOption
     headOffset = heads.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     nextTxn = heads.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long])).getOrElse(0L) + 1
+    flushedOffset = headOffset
   }
 }
 

@@ -1,0 +1,76 @@
+package graft.store
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path => JPath}
+import scala.jdk.CollectionConverters._
+
+/** Incremental flush + compaction: increments must be proportional to
+  * new data (append, not rewrite), compaction must collapse each
+  * bucket to one sorted file, and neither may lose or reorder events.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def parquetFiles(root: JPath): Seq[JPath] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+
+  private def mkStore(): EventStore = {
+    val st = new EventStore(spark)
+    st.registerDeciderEvent("C", "E")
+    st
+  }
+
+  private def append(st: EventStore, from: Int, until: Int): Unit = {
+    val batch = (from until until).map { i =>
+      val part = s"p${i % 3}"
+      val prev = if (i < 3) None else Some(s"e${i - 3}")
+      EventInput("E", s"e$i", "C", part, s"""{"i":$i}""", previous_id = prev)
+    }
+    val res = st.append(batch)
+    assert(res.rejected.isEmpty, s"rejected: ${res.rejected}")
+  }
+
+  test("saveIncrement appends only the tail; compact collapses buckets to one sorted file") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)
+    val afterSave = parquetFiles(JPath.of(dir, "events")).size
+
+    // three incremental flushes → small files pile up, full rewrites don't happen
+    for (k <- 1 to 3) {
+      append(st, 30 * k, 30 * (k + 1))
+      val n = st.saveIncrement(dir)
+      assert(n == 30, s"increment $k flushed $n")
+    }
+    assert(st.saveIncrement(dir) == 0, "empty increment must be a no-op")
+    val beforeCompact = parquetFiles(JPath.of(dir, "events")).size
+    assert(beforeCompact > afterSave, "increments should add files, not rewrite")
+
+    st.compact(dir)
+    val bucketDirs = Files.list(JPath.of(dir, "events")).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    for (b <- bucketDirs)
+      assert(parquetFiles(b).size == 1, s"bucket $b not collapsed to one file")
+
+    // nothing lost: a fresh store loading the compacted log sees all 120
+    // events with intact per-stream chains
+    val st2 = new EventStore(spark)
+    st2.load(dir, buckets = 4)
+    val chains = Seq("p0", "p1", "p2")
+      .map(part => part -> st2.getEvents(part, "C").collect().toSeq).toMap
+    assert(chains.values.map(_.size).sum == 120)
+    for ((part, chain) <- chains) {
+      assert(chain.map(_.offset) == chain.map(_.offset).sorted, s"$part out of order")
+      assert(chain.head.previous_id.isEmpty)
+      for (Seq(a, b) <- chain.sliding(2))
+        assert(b.previous_id.contains(a.event_id), s"$part chain broken at ${b.event_id}")
+    }
+    // and the loaded store keeps appending from the right head; the
+    // unflushed tail is visible through getEvents before any flush
+    append(st2, 120, 123)
+    assert(st2.getEvents("p0", "C").count() == 41)
+  }
+}
