@@ -33,18 +33,26 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // SPARK_GRAFT_BENCH_REPS > 1 reports the MIN across reps per query —
+    // this host sees waves of hypervisor contention that inflate single
+    // samples up to 15x (BASELINE.md), and min-of-N is the standard
+    // de-noising for that. Default 1 keeps the driver-run cost unchanged.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors ::= (name -> e.toString.take(300)); false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      val samples = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors ::= (name -> e.toString.take(300)); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
+      }
+      name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else samples.min)
     }
     // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits
     // Spark's "No Partition Defined for Window" warning by design — it

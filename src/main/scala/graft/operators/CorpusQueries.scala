@@ -137,6 +137,27 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  private val SeqLen = 256
+
+  /** Sequence packing: concatenate the corpus in doc_id order and cut
+    * it into fixed 256-word training sequences — each document's
+    * placement is (start_offset, first_seq, last_seq). The running
+    * word offset is the scale problem: `sum() OVER (ORDER BY doc_id)`
+    * is a one-task window, so the offset comes from
+    * GlobalIndex.withOrderedPrefixSum (parallel range-partitioned
+    * sort, one Long per partition to the driver).
+    */
+  private def packSequences(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    graft.store.GlobalIndex
+      .withOrderedPrefixSum(words, Seq(col("doc_id").asc), "n_words", "start_offset")
+      .select(col("doc_id"), col("n_words"), col("start_offset"),
+        expr(s"start_offset div $SeqLen").as("first_seq"),
+        expr(s"(start_offset + n_words - 1) div $SeqLen").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("doc_chunk_sliding",
       (s, d) => chunkSliding(Tables.documents(s, d)),
@@ -176,6 +197,21 @@ object CorpusQueries {
                     GROUP BY tf.doc_id)
              SELECT doc_id, round(s, 6) AS score FROM sc
              ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    Q("doc_pack_sequences",
+      (s, d) => packSequences(Tables.documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id,
+                                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                         FROM documents),
+             c AS (SELECT doc_id, n_words,
+                          CAST(coalesce(sum(n_words) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS BIGINT) AS start_offset
+                   FROM w)
+             SELECT doc_id, n_words, start_offset,
+                    start_offset // 256 AS first_seq,
+                    (start_offset + n_words - 1) // 256 AS last_seq
+             FROM c ORDER BY doc_id""")),
 
     Q("doc_boilerplate_overlap",
       (s, d) => boilerplateOverlap(Tables.documents(s, d)),

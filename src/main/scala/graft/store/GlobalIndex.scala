@@ -61,4 +61,57 @@ object GlobalIndex {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Adds `sumCol` = base + EXCLUSIVE prefix sum of `weightCol` (must
+    * be LongType) over the total order given by `sortCols` — the
+    * weighted generalization of [[withOrderedIndex]] (which is the
+    * weight-1 case). This is the scalable form of
+    * `sum(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` minus the
+    * current row: an unpartitioned running sum runs on ONE task in
+    * Spark, while this runs a parallel range-partitioned sort, ships
+    * one Long per partition to the driver, and streams each partition
+    * once. Used by sequence packing (doc_pack_sequences), where the
+    * prefix sum IS the token offset of each document in the
+    * concatenated corpus.
+    */
+  def withOrderedPrefixSum(df: DataFrame, sortCols: Seq[Column],
+                           weightCol: String, sumCol: String,
+                           base: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val widx = df.schema.fieldIndex(weightCol)
+    require(df.schema(widx).dataType ==
+      org.apache.spark.sql.types.LongType, s"$weightCol must be LongType")
+    val sorted = df
+      .repartitionByRange(math.max(spark.sparkContext.defaultParallelism, 1), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sorted
+      .select(spark_partition_id().as("pid"), col(weightCol))
+      .groupBy("pid").agg(sum(weightCol).as("w"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val prefix = new Array[Long](nParts)
+    var acc = base
+    var i = 0
+    while (i < nParts) {
+      prefix(i) = acc
+      acc += totals.getOrElse(i, 0L)
+      i += 1
+    }
+    val prefixB = spark.sparkContext.broadcast(prefix)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        sumCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val summed = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var local = prefixB.value(pid)
+      rows.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ local)
+        local += r.getLong(widx)
+        out
+      }
+    }
+    spark.createDataFrame(summed, schema)
+  }
 }

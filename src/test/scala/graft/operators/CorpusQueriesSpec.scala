@@ -76,6 +76,19 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(scored.intersect(noTerm).isEmpty)
   }
 
+  test("sequence packing offsets are contiguous and partition the corpus") {
+    val rows = Registry.byName("doc_pack_sequences").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var expect = 0L
+    for (r <- rows.sortBy(_.getLong(0))) {
+      assert(r.getLong(2) == expect, s"doc ${r.getLong(0)} offset gap")
+      assert(r.getLong(3) == r.getLong(2) / 256)
+      assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 256)
+      assert(r.getLong(3) <= r.getLong(4))
+      expect += r.getLong(1)
+    }
+  }
+
   test("boilerplate overlap is a valid ratio and counts every doc") {
     val rows = Registry.byName("doc_boilerplate_overlap").run(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf).count()

@@ -32,6 +32,20 @@ class GlobalIndexSpec extends SparkSpec {
     assert(bounds.getLong(1) === 1000L + orders.count() - 1)
   }
 
+  test("ordered prefix sum equals the window running sum minus current row") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), (col("o_orderkey") % 7).as("w")) // varied weights, some zero
+    val viaWindow = orders.withColumn("ps",
+      coalesce(sum("w").over(Window.orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val viaPrefix = GlobalIndex.withOrderedPrefixSum(orders,
+      Seq(col("o_orderkey").asc), "w", "ps")
+    val mismatch = viaWindow.select("o_orderkey", "ps")
+      .join(viaPrefix.select(col("o_orderkey"), col("ps").as("ps2")), "o_orderkey")
+      .filter(col("ps") =!= col("ps2"))
+    assert(mismatch.count() === 0L)
+  }
+
   test("result is spread across multiple partitions (no single-task sort)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey")
