@@ -70,40 +70,48 @@ object CorpusQueries {
   private val K1 = 1.2
   private val B = 0.75
 
-  /** BM25 ranking of the corpus against a fixed query-term set.
-    * Corpus stats (N, avgdl) and per-term document frequencies are a
-    * handful of rows — broadcast; the per-doc pass is one projection
-    * (tokenize once, count term occurrences with a higher-order
-    * filter, no explode of the token array) followed by a partial-agg
-    * groupBy on doc_id and a global top-k (TakeOrderedAndProject).
+  /** BM25 ranking of the corpus against a fixed query-term set, in ONE
+    * corpus scan: tokenize once into a narrow (doc_id, dl, tf0..tfk)
+    * frame (persisted — every downstream consumer reads the cache, not
+    * parquet), derive corpus stats (N, avgdl) and per-term document
+    * frequencies as a single 1-row broadcast aggregate, and score as a
+    * pure projection — zero groupBy on doc_id, the only wide op is the
+    * final global top-k (TakeOrderedAndProject). The naive shape
+    * (explode per term + rejoin stats + groupBy doc) scans the corpus
+    * three times and shuffles it once; this scans once and shuffles
+    * only k-per-partition candidates.
     */
   private def bm25TopK(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(expr(s"filter(ws, x -> x = '$t')")).cast("double").as(s"tf$i")
+    }
+    val tfs = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).cast("double").as("dl"))
-    val perTerm = toks
-      .select(col("doc_id"), col("dl"), col("ws"),
-        explode(typedLit(Bm25Terms)).as("term"))
-      .withColumn("tf", size(expr("filter(ws, x -> x = term)")).cast("double"))
-      .filter(col("tf") > 0)
-      .drop("ws")
-    val stats = toks.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val dfs = perTerm.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    perTerm
-      .join(broadcast(dfs), "term")
-      .crossJoin(broadcast(stats))
-      // constants written as literals (2.2, 0.25) so the double bits
-      // match the oracle SQL exactly — `K1 + 1` computed in Scala can
-      // differ from DuckDB's parse of "2.2" by one ulp
-      .withColumn("contrib",
-        idf * col("tf") * lit(2.2) /
-          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum(col("contrib")), 6).as("score"))
+      .select(col("doc_id") +: size(col("ws")).cast("double").as("dl") +: tfCols: _*)
+      .transform(graft.Caching.persistOnce(_))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(col("dl")).as("avgdl") +:
+        Bm25Terms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, 1)).cast("double").as(s"df$i"))
+    val stats = tfs.agg(statAggs.head, statAggs.tail: _*)
+    // constants written as literals (2.2, 0.25) so the double bits
+    // match the oracle SQL exactly — `K1 + 1` computed in Scala can
+    // differ from DuckDB's parse of "2.2" by one ulp
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      when(tf > 0,
+        log((col("n_docs") - df + 0.5) / (df + 0.5) + 1) * tf * lit(2.2) /
+          (tf + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    tfs.crossJoin(broadcast(stats))
+      .withColumn("score_raw", Bm25Terms.indices.map(contrib).reduce(_ + _))
+      // idf > 0 always (the +1 inside ln), so score_raw > 0 iff the doc
+      // contains at least one query term — same population the oracle's
+      // tf > 0 grouping keeps
+      .filter(col("score_raw") > 0)
+      .select(col("doc_id"), round(col("score_raw"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(20)
   }
