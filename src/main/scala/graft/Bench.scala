@@ -106,9 +106,31 @@ object Bench {
           require(r.isRight, s"stress append $i rejected: ${r.left.toOption.get}")
         }
         val stressSec = (System.nanoTime() - tL) / 1e9
+        // Incremental flush + compaction over the populated log: full
+        // snapshot, 200 appended events flushed incrementally (cost
+        // must track the 200, not the 1220), then bucket compaction.
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
+        val tSv = System.nanoTime()
+        st.save(dir, buckets = 32)
+        val saveSec = (System.nanoTime() - tSv) / 1e9
+        val more = (0 until 200).map { i =>
+          val part = s"q${i % 10}"
+          val prev = if (i < 10) None else Some(s"q${i - 10}")
+          EventInput("E", s"q$i", "Bench", part, s"""{"i":$i}""", previous_id = prev)
+        }
+        require(st.append(more).rejected.isEmpty, "incremental batch rejected")
+        val tInc = System.nanoTime()
+        require(st.saveIncrement(dir) == 200L, "increment size mismatch")
+        val incSec = (System.nanoTime() - tInc) / 1e9
+        val tCp = System.nanoTime()
+        st.compact(dir)
+        val compactSec = (System.nanoTime() - tCp) / 1e9
         Seq("store_append_1000" -> appendSec,
           "store_stream_ack_100" -> streamSec,
-          "store_append_payload_20x1k" -> stressSec)
+          "store_append_payload_20x1k" -> stressSec,
+          "store_save_full" -> saveSec,
+          "store_save_increment_200" -> incSec,
+          "store_compact" -> compactSec)
       } catch { case e: Throwable =>
         errors ::= ("store_bench" -> e.toString.take(300))
         Nil

@@ -33,7 +33,7 @@ object CorpusQueries {
     * (25% overlap), final partial window kept. The shape every
     * pretraining pipeline needs between cleaning and tokenization.
     */
-  private def chunkSliding(docs: DataFrame): DataFrame =
+  private[operators] def chunkSliding(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),

@@ -55,7 +55,7 @@ object TextDedupQueries {
     * round(·, 6) ≥ t filter can't admit a pair the prefix theory was
     * allowed to drop.
     */
-  private def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val tCand = threshold - 0.001
     val sh = shingles(docs).transform(graft.Caching.persistOnce(_))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
