@@ -36,23 +36,27 @@ object CorpusPipeline {
     * holding the scrubbed body. Input needs (doc_id, text); extra
     * columns pass through.
     */
-  def prepareDocs(docs: DataFrame, benchmark: Option[DataFrame],
-                  cfg: Config = Config()): DataFrame = {
-    // 1. PII scrub — pure projection
+  /** Stages 1-2 (scrub + quality gate): pure projection + filter, so
+    * valid on STREAMING DataFrames too — CorpusIngest reuses it as the
+    * front of the streaming pipeline.
+    */
+  def scrubAndGate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val scrubbed = docs.withColumn("text",
       regexp_replace(
         regexp_replace(col("text"), lit(PiiPatterns.email), lit("<EMAIL>")),
         lit(PiiPatterns.phone), lit("<PHONE>")))
-
-    // 2. Quality gate — pure filter on cheap word stats
-    val words = scrubbed
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")))
-    val quality = words
+    scrubbed
+      .withColumn("n_words", size(split(col("text"), " ")))
       .filter(col("n_words") >= cfg.minWords)
       .filter((length(col("text")) - col("n_words") + 1).cast("double") /
         col("n_words") <= cfg.maxAvgWordLen)
-      .drop("ws", "n_words")
+      .drop("n_words")
+  }
+
+  def prepareDocs(docs: DataFrame, benchmark: Option[DataFrame],
+                  cfg: Config = Config()): DataFrame = {
+    // 1-2. PII scrub + quality gate
+    val quality = scrubAndGate(docs, cfg)
       .transform(graft.Caching.persistOnce(_))
 
     // 3. Exact dedup — one shuffle of (digest, doc_id); survivor = min id

@@ -33,7 +33,10 @@ object CorpusQueries {
     * (25% overlap), final partial window kept. The shape every
     * pretraining pipeline needs between cleaning and tokenization.
     */
-  private[operators] def chunkSliding(docs: DataFrame): DataFrame =
+  /** Sort-free core — safe on STREAMING DataFrames too (pure per-row
+    * flatMap); the registry query adds the presentation orderBy.
+    */
+  private[graft] def chunkSlidingCore(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -46,7 +49,9 @@ object CorpusQueries {
         least(lit(ChunkLen), size(col("ws")) - col("start_word")).cast("int").as("n_words"),
         array_join(slice(col("ws"), col("start_word") + 1, lit(ChunkLen)), " ")
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+
+  private[graft] def chunkSliding(docs: DataFrame): DataFrame =
+    chunkSlidingCore(docs).orderBy("doc_id", "chunk_id")
 
   /** Deterministic stratified sampling: per-language keep rates applied
     * through an LCG hash of doc_id — reproducible across task retries
