@@ -240,27 +240,42 @@ object EmbeddingQueries {
 
     // ----------------------------------------------------------------
     // LSH-bucketed ANN (the scale path; Spark-only — the deterministic
-    // pseudo-random hyperplanes are engine-specific): 16 random
-    // hyperplanes → 16-bit sign signature per vector → pair join
-    // within buckets, re-ranked by exact cosine. Reports each bucketed
-    // query's top-1 exact-cosine neighbor among its bucket mates.
+    // pseudo-random hyperplanes are engine-specific): banded sign
+    // signatures → per-band bucket join → exact-cosine re-rank.
+    // Reports each query's top-1 exact-cosine neighbor among its
+    // bucket mates; AnnRecallSpec pins recall/coverage floors.
     Q("emb_ann_lsh",
       (s, d) => {
         val e = withNorm(Tables.embeddings(s, d))
         graft.GraftExtensions.register(s)
-        // ONE 16-bit hyperplane signature per vector, through the same
-        // fused band_sigs kernel as emb_near_dup_lsh (1 band × 16
-        // bits; the earlier per-plane higher-order folds ran
-        // interpreted per row × plane × component).
-        val signed = e.withColumn("sig",
-          element_at(call_function("band_sigs", col("embedding"),
-            typedlit(planes(16)), lit(16)), 1))
-        val a = signed.select(col("sig"), col("vec_id").as("qid"),
-          col("embedding").as("qe"), col("nrm").as("qn"))
-        val b = signed.select(col("sig"), col("vec_id").as("cid"),
-          col("embedding").as("ce"), col("nrm").as("cn"))
+        // 4 bands × 8-bit sign signatures via the fused band_sigs
+        // kernel, exploded to one (band, sig) bucket row per band;
+        // candidates are bucket mates in ANY band (union + dedup),
+        // re-ranked by exact cosine. A single wide 16-bit band (this
+        // query's first form) has near-zero collision probability on
+        // uncorrelated vectors — AnnRecallSpec measured coverage 0.0
+        // at sf0.001 — while narrow OR-ed bands trade a few more
+        // candidates for real coverage: the standard multi-band LSH
+        // construction, same as emb_near_dup_lsh. Persisted so the
+        // self-join does not recompute the plane dots per side.
+        // 8 bands × 6 bits tuned for the MODERATE-similarity regime
+        // (top-1 cos ≈ 0.5 on this corpus → per-plane collision 2/3,
+        // per-band 0.667^6 ≈ 0.09, ≥1-of-8 ≈ 0.52): more, narrower
+        // bands is the standard knob when neighbors are not near-dups.
+        // Candidate mass stays ~an eighth of the corpus per query.
+        val nBands = 8; val bits = 6
+        val signed = e.select(col("vec_id"), col("embedding"),
+            posexplode(call_function("band_sigs", col("embedding"),
+              typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
+          .transform(graft.Caching.persistOnce(_))
+        val a = signed.select(col("band"), col("sig"), col("vec_id").as("qid"),
+          col("embedding").as("qe"))
+        val b = signed.select(col("band"), col("sig"), col("vec_id").as("cid"),
+          col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+        a.join(b, Seq("band", "sig")).filter(col("qid") =!= col("cid"))
+          .select("qid", "qe", "cid", "ce")
+          .dropDuplicates("qid", "cid") // candidate union across bands
           .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
@@ -273,7 +288,7 @@ object EmbeddingQueries {
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
     // KMeans (seeded, deterministic) as the coarse quantizer. Database
     // vectors live in their HOME cell (the inverted file); each QUERY
-    // probes its nProbe=2 nearest cells — the standard IVF recall
+    // probes its nProbe=3 nearest cells — the standard IVF recall
     // knob, recovering neighbors that fell just across a Voronoi
     // boundary. The candidate join stays per-cell (O(n²·nProbe/k)),
     // re-ranked by exact cosine.
@@ -293,7 +308,7 @@ object EmbeddingQueries {
         val centers = graft.functions.KMeansLite.fit(sample, k = 16, iters = 5, seed = 42L)
         val cLit = typedlit(centers.map(_.toSeq).toSeq)
         // Cell assignment (database side, home cell) and the probe
-        // list (query side, nProbe=2 nearest cells — the standard IVF
+        // list (query side, nProbe=3 nearest cells — the standard IVF
         // recall knob, recovering neighbors just across a Voronoi
         // boundary) both run through the nearest_cells codegen kernel
         // against the literal matrix: one fused loop in the scan
@@ -303,7 +318,7 @@ object EmbeddingQueries {
           element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
             .as("cell"))
         val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            explode(call_function("nearest_cells", col("embedding"), cLit, lit(2)))
+            explode(call_function("nearest_cells", col("embedding"), cLit, lit(3)))
               .as("cell"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
         probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Quantified recall of the two ANN scale paths against exact
+  * brute-force top-1 (computed on the driver — 500 vectors at
+  * sf0.001). ANN is useful only if its recall is KNOWN; this pins a
+  * floor so a regression in the hashing/quantizer kernels shows up as
+  * a number, not a hunch.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** qid -> (top-1 cid, top-1 sim), exact, with the queries' rounding
+    * and (sim desc, cid asc) tie-break.
+    */
+  private lazy val exactTop1: Map[Long, (Long, Double)] = {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x).sum)
+    }.toMap
+    vecs.map { case (qid, q) =>
+      val best = vecs.filter(_._1 != qid).map { case (cid, c) =>
+        val dot = q.zip(c).map { case (a, b) => a.toDouble * b }.sum
+        (BigDecimal(dot / (norms(qid) * norms(cid)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }.maxBy { case (sim, cid) => (sim, -cid) }
+      qid -> (best._2, best._1)
+    }.toMap
+  }
+
+  /** (exact-top-1 recall, coverage, fraction of answered queries whose
+    * returned similarity is >= 90% of the exact top-1 similarity).
+    * On THIS corpus (uncorrelated random vectors, top-1 sim ~0.5 amid
+    * dense near-ties) exact recall@1 is the adversarial metric; the
+    * approximation ratio is the standard ANN quality measure.
+    */
+  private def metricsOf(name: String): (Double, Double, Double) = {
+    val got = Registry.byName(name).run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hits = got.count { case (qid, (cid, _)) => exactTop1(qid)._1 == cid }
+    val close = got.count { case (qid, (_, sim)) => sim >= 0.9 * exactTop1(qid)._2 }
+    (hits.toDouble / exactTop1.size,
+      got.size.toDouble / exactTop1.size,
+      if (got.isEmpty) 0.0 else close.toDouble / got.size)
+  }
+
+  // Floors sit a margin under the values measured on this corpus —
+  // uncorrelated random vectors are ANN's adversarial case (no cluster
+  // structure to exploit; sublinear probing fundamentally caps recall),
+  // so these numbers quantify the cost/recall knob, not a defect.
+  // Measured at pinning time: IVF 0.582/1.000/0.784, LSH (8 bands × 6
+  // bits) 0.380/1.000/0.598.
+
+  test("IVF ANN (nProbe=3) covers every query and approximates top-1 well") {
+    val (recall, coverage, close) = metricsOf("emb_ann_ivf")
+    info(f"emb_ann_ivf recall@1=$recall%.3f coverage=$coverage%.3f approx90=$close%.3f")
+    assert(coverage == 1.0, "IVF must emit a candidate for every query")
+    assert(recall >= 0.45, f"IVF recall@1 degraded: $recall%.3f")
+    assert(close >= 0.65, f"IVF approximation ratio degraded: $close%.3f")
+  }
+
+  test("banded LSH ANN covers every query and approximates top-1 well") {
+    val (recall, coverage, close) = metricsOf("emb_ann_lsh")
+    info(f"emb_ann_lsh recall@1=$recall%.3f coverage=$coverage%.3f approx90=$close%.3f")
+    // the first (single 16-bit band) form of the query had coverage
+    // 0.000 here — this floor is what caught it
+    assert(coverage >= 0.95, f"LSH coverage collapsed: $coverage%.3f")
+    assert(recall >= 0.25, f"LSH recall@1 degraded: $recall%.3f")
+    assert(close >= 0.45, f"LSH approximation ratio degraded: $close%.3f")
+  }
+}
