@@ -141,6 +141,128 @@ object RelationalQueries {
              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
     // ----------------------------------------------------------------
+    // Cross-nation volume matrix (TPC-H Q7 shape): two ROLES of the
+    // same dimension (supplier nation vs customer nation) — broadcast
+    // twice under different aliases; the fact-side join stays one
+    // shuffle on the orderkey.
+    Q("q7_nation_volume",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val supp = Tables.supplier(s, d)
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(n1), supp("s_nationkey") === col("sk"))
+          .join(broadcast(n2), cust("c_nationkey") === col("ck"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("ship_year"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "ship_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, ship_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                          CAST(year(l_shipdate) AS INT) AS ship_year,
+                          l_extendedprice, l_discount
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                   WHERE n1.n_name <> n2.n_name)
+             GROUP BY supp_nation, cust_nation, ship_year
+             ORDER BY supp_nation, cust_nation, ship_year""")),
+
+    // ----------------------------------------------------------------
+    // Product-profit by nation/year (TPC-H Q9 shape, p_retailprice as
+    // the cost stand-in — the testdata has no partsupp table)
+    Q("q9_product_profit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val part = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        val supp = Tables.supplier(s, d)
+        val nation = Tables.nation(s, d)
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).as("ship_year"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+              - dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+            .cast("double").as("profit"))
+          .orderBy("n_name", "ship_year")
+      },
+      Some("""SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+             WHERE p_type = 'ECONOMY'
+             GROUP BY n_name, ship_year
+             ORDER BY n_name, ship_year""")),
+
+    // ----------------------------------------------------------------
+    // Returned-item report (TPC-H Q10 shape): selective fact filter
+    // pushed to the scan, top-20 customers by lost revenue
+    Q("q10_returned_items",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val nation = Tables.nation(s, d)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name, revenue FROM (
+             SELECT c_custkey, c_name, n_name,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+             WHERE l_returnflag = 'R'
+             GROUP BY c_custkey, c_name, n_name)
+             ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+    // ----------------------------------------------------------------
+    // Large-quantity orders (TPC-H Q18 shape): HAVING over a fact
+    // aggregate, then join the qualifying keys back to the dimensions.
+    // The duplicate (l_orderkey, l_linenumber) rows in the testdata
+    // are harmless here — both engines sum the same physical rows.
+    Q("q18_large_orders",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+          .limit(50)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty FROM (
+             SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300)
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""")),
+
+    // ----------------------------------------------------------------
     // J2: left-semi join (EXISTS / IN-subquery shape, schema.sql:426-427)
     Q("j2_semi_join",
       (s, d) => {
