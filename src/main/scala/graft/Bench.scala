@@ -40,12 +40,44 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[(String, String)]
+
+    // Total shuffle bytes written by a completed query, summed over
+    // every exchange in the (adaptive) executed plan — the number the
+    // 100 TB design cares about more than local wall time, reported
+    // per query so a plan regression (new shuffle, lost broadcast)
+    // shows up in the bench artifact itself.
+    def shuffleBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val own = plan.metrics.collect {
+        case (k, m) if k == "shuffleBytesWritten" => m.value
+      }.sum
+      val nested = plan match {
+        case a: AdaptiveSparkPlanExec => shuffleBytes(a.executedPlan)
+        case q: QueryStageExec => shuffleBytes(q.plan)
+        case _ => 0L
+      }
+      own + nested + plan.children.map(shuffleBytes).sum
+    }
+
+    var shuffleMb = List.empty[(String, Double)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples = (0 until reps).map { _ =>
+      val samples = (0 until reps).map { rep =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            // materialize through the df's OWN QueryExecution (drain
+            // every partition executor-side — same full-pipeline,
+            // no-driver-funnel semantics as the noop sink, which runs
+            // a SEPARATE write QueryExecution whose metrics we could
+            // not read back)
+            val df = fn(spark, sfDir)
+            df.queryExecution.toRdd.foreach(_ => ())
+            if (rep == 0)
+              shuffleMb ::= (name ->
+                shuffleBytes(df.queryExecution.executedPlan) / 1e6)
+            true
+          }
           catch { case e: Throwable =>
             errors ::= (name -> e.toString.take(300)); false
           }
@@ -141,8 +173,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val shJson = shuffleMb.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = (results ++ storeResults).collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -264,18 +264,26 @@ object EmbeddingQueries {
         // bands is the standard knob when neighbors are not near-dups.
         // Candidate mass stays ~an eighth of the corpus per query.
         val nBands = 8; val bits = 6
-        val signed = e.select(col("vec_id"), col("embedding"),
+        // The band self-join ships ONLY (band, sig, vec_id) — never the
+        // vectors: joining embeddings through the band join would move
+        // 2 × nBands copies of the corpus through the shuffle (the
+        // bench's shuffle_mb metric caught exactly that in the first
+        // draft). Vectors are re-joined once, for the deduped
+        // candidate pairs only — same discipline as nearDupLsh.
+        val signed = e.select(col("vec_id"),
             posexplode(call_function("band_sigs", col("embedding"),
               typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
           .transform(graft.Caching.persistOnce(_))
-        val a = signed.select(col("band"), col("sig"), col("vec_id").as("qid"),
-          col("embedding").as("qe"))
-        val b = signed.select(col("band"), col("sig"), col("vec_id").as("cid"),
-          col("embedding").as("ce"))
+        val candidates = signed.select(col("band"), col("sig"), col("vec_id").as("qid"))
+          .join(signed.select(col("band"), col("sig"), col("vec_id").as("cid")),
+            Seq("band", "sig"))
+          .filter(col("qid") =!= col("cid"))
+          .select("qid", "cid")
+          .distinct() // candidate union across bands
+        val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        a.join(b, Seq("band", "sig")).filter(col("qid") =!= col("cid"))
-          .select("qid", "qe", "cid", "ce")
-          .dropDuplicates("qid", "cid") // candidate union across bands
+        candidates.join(va, "qid").join(vb, "cid")
           .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
