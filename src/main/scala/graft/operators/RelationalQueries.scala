@@ -409,7 +409,17 @@ object RelationalQueries {
         val w = Window.partitionBy("l_suppkey")
           .orderBy("first_ship", "l_orderkey", "l_linenumber")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // ONE data shuffle: hash-partitioning on l_suppkey alone
+        // satisfies both the 3-key aggregation (a subset partitioning
+        // still co-locates every group) and the window's
+        // partitionBy(l_suppkey) — without the explicit repartition
+        // the plan exchanges the full set twice (groupBy keys, then
+        // window key): 35.9 MB vs 21.7 MB at sf0.1 by the bench's
+        // shuffle_mb metric (the remainder is the contractual
+        // presentation sort). Projected first so only 5 columns ship.
         Tables.lineitem(s, d)
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+          .repartition(col("l_suppkey"))
           .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
           .agg(sum(dec2(col("l_quantity"))).as("qty"),
                min(col("l_shipdate")).as("first_ship"))
