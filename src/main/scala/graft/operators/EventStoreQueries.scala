@@ -378,6 +378,31 @@ object EventStoreQueries {
              FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""")),
 
     // ----------------------------------------------------------------
+    // Hopping (sliding) windows: 2-day width, 1-day hop — every event
+    // lands in exactly two windows. The oracle replays Spark's
+    // epoch-aligned window generation as an unnest of the two
+    // qualifying starts; the Spark side is the native overlapping
+    // `window(ts, width, hop)` generate + one partial-agg shuffle.
+    Q("es_window_hopping",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+             x AS (SELECT unnest([date_trunc('day', t) - INTERVAL 1 DAY,
+                                  date_trunc('day', t)]) AS w_start,
+                          event_type, value
+                   FROM e)
+             SELECT w_start, event_type, count(*) AS n,
+                    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ----------------------------------------------------------------
     // Session windows (gap-based) per user — expressible relationally
     // as gap > threshold ⇒ new session (lag + cumulative sum), so the
     // oracle can check the exact session assignment Spark's
