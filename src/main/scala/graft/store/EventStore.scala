@@ -357,7 +357,7 @@ final class EventStore(val spark: SparkSession) {
         // so union the (usually empty) unflushed tail for consistency
         val disk = spark.read.parquet(s"$dir/events")
           .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
-          .drop("bucket")
+          .drop("bucket", "day")
         val tail = events.filter($"offset" > flushedOffset).toDF()
         disk.unionByName(tail)
       case None => events.toDF()
@@ -368,6 +368,31 @@ final class EventStore(val spark: SparkSession) {
   def getEvents(deciderId: String, decider: String): Dataset[EventRow] =
     streamSlice(deciderId).filter($"decider" === decider)
       .orderBy($"offset").as[EventRow]
+
+  /** All events with `created_at >= from` — the view-backfill access
+    * path (register_view's event-time seek, schema.sql:376-393). At
+    * rest the scan prunes whole `day=` partition DIRECTORIES before
+    * the row-group filter runs (yyyy-MM-dd strings compare in date
+    * order), so a backfill from yesterday touches 1/history of a
+    * year-deep log; the unflushed in-memory tail is unioned like every
+    * other read.
+    */
+  def eventsSince(from: Timestamp): Dataset[EventRow] = {
+    // UTC explicitly — sessions set spark.sql.session.timeZone=UTC, so
+    // the day= partition values are UTC days
+    val fromDay = java.time.Instant.ofEpochMilli(from.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val base = diskLayout match {
+      case Some((dir, _)) =>
+        val disk = spark.read.parquet(s"$dir/events")
+          .filter($"day" >= fromDay)
+          .drop("bucket", "day")
+        val tail = events.filter($"offset" > flushedOffset).toDF()
+        disk.unionByName(tail)
+      case None => events.toDF()
+    }
+    base.filter($"created_at" >= lit(from)).as[EventRow]
+  }
 
   /** Latest event by global offset — same bucket-pruned path as
     * getEvents. QUIRK preserved from the reference (schema.sql:364):
@@ -403,9 +428,19 @@ final class EventStore(val spark: SparkSession) {
     */
   @volatile private var flushedOffset: Long = 0L
 
+  /** Partition columns of the at-rest layout: hash bucket of the
+    * stream key (identity scans prune it) × UTC day of created_at
+    * (time-range scans prune it) — the two access paths the reference
+    * serves with its (decider_id, decider) and offset btrees
+    * (schema.sql:56). Day is derived, never stored in the row.
+    */
+  private def withLayoutCols(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
+      .withColumn("day", date_format($"created_at", "yyyy-MM-dd"))
+
   def save(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
-    events.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events")
+    withLayoutCols(events.toDF(), buckets)
+      .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/events")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
     diskLayout = Some((dir, buckets))
     flushedOffset = headOffset
@@ -426,8 +461,8 @@ final class EventStore(val spark: SparkSession) {
     val tail = events.filter($"offset" > since)
     val n = tail.count()
     if (n > 0) {
-      tail.withColumn("bucket", pmod(hash($"decider_id"), lit(diskLayout.get._2)))
-        .write.partitionBy("bucket").mode("append").parquet(s"$dir/events")
+      withLayoutCols(tail.toDF(), diskLayout.get._2)
+        .write.partitionBy("bucket", "day").mode("append").parquet(s"$dir/events")
       deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
       flushedOffset = headOffset
     }
@@ -448,9 +483,9 @@ final class EventStore(val spark: SparkSession) {
     val eventsPath = s"$dir/events"
     val tmpPath = s"$dir/events_compacting"
     spark.read.parquet(eventsPath)
-      .repartition(col("bucket"))
-      .sortWithinPartitions($"bucket", $"decider_id", $"offset")
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmpPath)
+      .repartition(col("bucket"), col("day"))
+      .sortWithinPartitions($"bucket", $"day", $"decider_id", $"offset")
+      .write.partitionBy("bucket", "day").mode("overwrite").parquet(tmpPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(eventsPath), spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(eventsPath)
@@ -462,7 +497,7 @@ final class EventStore(val spark: SparkSession) {
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
-    events = spark.read.parquet(s"$dir/events").drop("bucket")
+    events = spark.read.parquet(s"$dir/events").drop("bucket", "day")
       .as[EventRow]
     diskLayout = Some((dir, buckets))
     decidersMap.clear()

@@ -49,11 +49,12 @@ class CompactionSpec extends SparkSpec {
     assert(beforeCompact > afterSave, "increments should add files, not rewrite")
 
     st.compact(dir)
-    val bucketDirs = Files.list(JPath.of(dir, "events")).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
-    assert(bucketDirs.nonEmpty)
-    for (b <- bucketDirs)
-      assert(parquetFiles(b).size == 1, s"bucket $b not collapsed to one file")
+    val leafDirs = Files.walk(JPath.of(dir, "events")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("day="))
+      .toSeq
+    assert(leafDirs.nonEmpty)
+    for (leaf <- leafDirs)
+      assert(parquetFiles(leaf).size == 1, s"partition $leaf not collapsed to one file")
 
     // nothing lost: a fresh store loading the compacted log sees all 120
     // events with intact per-stream chains
