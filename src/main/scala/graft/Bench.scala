@@ -171,7 +171,9 @@ object Bench {
 
     val qs = (results ++ storeResults).map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    // one entry per query even when reps > 1 fail repeatedly —
+    // duplicate keys make the JSON object ill-formed for strict parsers
+    val errJson = errors.distinctBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val shJson = shuffleMb.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
       .mkString("{", ",", "}")

@@ -104,7 +104,10 @@ object CorpusPipeline {
     */
   def prepare(docs: DataFrame, benchmark: Option[DataFrame],
               cfg: Config = Config()): DataFrame = {
-    val chunks = CorpusQueries.chunkSliding(prepareDocs(docs, benchmark, cfg))
+    // sort-free core: the prefix sum below re-range-partitions anyway,
+    // so the presentation orderBy of the registry form would be a
+    // full extra sort exchange thrown away immediately
+    val chunks = CorpusQueries.chunkSlidingCore(prepareDocs(docs, benchmark, cfg))
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_words").cast("long").as("n_words"))
     graft.store.GlobalIndex

@@ -60,7 +60,12 @@ object CorpusQueries {
     * any wide operator.
     */
   private def sampleStratified(docs: DataFrame): DataFrame = {
-    val bucket = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % 100).cast("int")
+    // doc_id is reduced mod a prime BEFORE the LCG multiply: the raw
+    // product overflows Long past doc_id ≈ 8.4e9 (silent wrap in
+    // Spark, an error in DuckDB and under ANSI mode) — at exactly the
+    // corpus scale this operator targets
+    val bucket = (((col("doc_id") % 1000003L) * lit(1103515245L) + lit(12345L)) % 100)
+      .cast("int")
     val rate = when(col("lang") === "en", 20)
       .when(col("lang") === "zh", 60)
       .otherwise(45)
@@ -129,6 +134,10 @@ object CorpusQueries {
   private def boilerplateOverlap(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      // guard: sequence(0, size-3) DESCENDS for docs under 3 words and
+      // slice(ws, 0, _) then throws at runtime; the oracle's
+      // range(1, len-1) just goes empty — dropping such docs matches it
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         expr("""array_distinct(transform(sequence(0, size(ws) - 3),
                  i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("gs"))
@@ -184,9 +193,9 @@ object CorpusQueries {
     Q("doc_sample_stratified",
       (s, d) => sampleStratified(Tables.documents(s, d)),
       Some("""SELECT doc_id, lang,
-                     CAST((doc_id * 1103515245 + 12345) % 100 AS INT) AS bucket
+                     CAST(((doc_id % 1000003) * 1103515245 + 12345) % 100 AS INT) AS bucket
              FROM documents
-             WHERE (doc_id * 1103515245 + 12345) % 100 <
+             WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 100 <
                    CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 60 ELSE 45 END
              ORDER BY doc_id""")),
 

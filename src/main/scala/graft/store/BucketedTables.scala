@@ -39,8 +39,11 @@ object BucketedTables {
     * plan audits (PLANS_r*.md).
     */
   def isShuffleFree(df: DataFrame): Boolean = {
+    // any Exchange EXCEPT a broadcast is a shuffle — hash, range
+    // (orderBy/repartitionByRange) and SinglePartition (global agg)
+    // all move data; matching only hashpartitioning would pass those
     val physical = df.queryExecution.executedPlan.toString()
-    !physical.contains("Exchange hashpartitioning") &&
-      !physical.contains("ShuffleExchange")
+      .replace("BroadcastExchange", "__broadcast__")
+    !physical.contains("Exchange")
   }
 }

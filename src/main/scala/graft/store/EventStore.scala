@@ -378,10 +378,12 @@ final class EventStore(val spark: SparkSession) {
     * other read.
     */
   def eventsSince(from: Timestamp): Dataset[EventRow] = {
-    // UTC explicitly — sessions set spark.sql.session.timeZone=UTC, so
-    // the day= partition values are UTC days
+    // the day= partition values were written by date_format under the
+    // SESSION timezone — derive the cutoff day under the same zone, or
+    // pruning would silently drop qualifying events on non-UTC sessions
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
     val fromDay = java.time.Instant.ofEpochMilli(from.getTime)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      .atZone(zone).toLocalDate.toString
     val base = diskLayout match {
       case Some((dir, _)) =>
         val disk = spark.read.parquet(s"$dir/events")
@@ -475,25 +477,41 @@ final class EventStore(val spark: SparkSession) {
     * too (the scan prunes twice: directory-level on the hash bucket,
     * row-group-level on the sorted key). The rewrite is
     * shuffle-bounded by the log size, runs fully distributed, and
-    * swaps directories only after the compacted copy is complete —
-    * readers never observe a partial log.
+    * publishes via directory rename only after the compacted copy is
+    * complete. Caveat: the two renames leave a sub-second window where
+    * the path is absent — a reader launching a NEW scan exactly then
+    * fails and must retry (on a real deployment the swap would go
+    * through a manifest/metastore pointer instead; in-flight jobs that
+    * already listed files are unaffected until the old files are
+    * deleted).
     */
   def compact(dir: String): Unit = commitLock.synchronized {
     require(diskLayout.exists(_._1 == dir), s"no saved log at $dir")
     val eventsPath = s"$dir/events"
     val tmpPath = s"$dir/events_compacting"
-    spark.read.parquet(eventsPath)
-      .repartition(col("bucket"), col("day"))
-      .sortWithinPartitions($"bucket", $"day", $"decider_id", $"offset")
-      .write.partitionBy("bucket", "day").mode("overwrite").parquet(tmpPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(eventsPath), spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(eventsPath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
     val old = new org.apache.hadoop.fs.Path(s"$dir/events_old")
+    // a crashed earlier compact may have left debris — clear it so the
+    // renames below cannot be blocked by a stale directory
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    spark.read.parquet(eventsPath)
+      .repartition(col("bucket"), col("day"))
+      .sortWithinPartitions($"bucket", $"day", $"decider_id", $"offset")
+      .write.partitionBy("bucket", "day").mode("overwrite").parquet(tmpPath)
+    // after load(), the in-memory `events` plan lazily READS the very
+    // files being retired — materialize the (bounded) unflushed tail
+    // now, then rebase `events` onto the compacted copy below, or every
+    // post-compact read would hit deleted files
+    val tail = events.filter($"offset" > flushedOffset).localCheckpoint(true)
     require(fs.rename(live, old), s"compact: could not retire $eventsPath")
     require(fs.rename(tmp, live), s"compact: could not publish $tmpPath")
     fs.delete(old, true)
+    events = spark.read.parquet(eventsPath).drop("bucket", "day").as[EventRow]
+      .union(tail)
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {

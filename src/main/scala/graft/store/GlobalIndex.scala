@@ -20,46 +20,14 @@ object GlobalIndex {
 
   /** Adds `indexCol` = base + 0-based dense rank of the row in the
     * total order given by `sortCols` (which must be a total order —
-    * ties across rows make the result nondeterministic).
+    * ties across rows make the result nondeterministic). The weight-1
+    * case of [[withOrderedPrefixSum]].
     */
   def withOrderedIndex(df: DataFrame, sortCols: Seq[Column], indexCol: String,
                        base: Long = 0L): DataFrame = {
-    val spark = df.sparkSession
-    // Persisted so the count job and the index job see the SAME range
-    // partitioning (RangePartitioner samples its bounds; recomputation
-    // must not re-draw them between the two passes).
-    val sorted = df
-      .repartitionByRange(math.max(df.sparkSession.sparkContext.defaultParallelism, 1), sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted
-      .select(spark_partition_id().as("pid"))
-      .groupBy("pid").count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val nParts = sorted.rdd.getNumPartitions
-    val prefix = new Array[Long](nParts)
-    var acc = base
-    var i = 0
-    while (i < nParts) {
-      prefix(i) = acc
-      acc += counts.getOrElse(i, 0L)
-      i += 1
-    }
-    val prefixB = spark.sparkContext.broadcast(prefix)
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        indexCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var local = prefixB.value(pid)
-      rows.map { r =>
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ local)
-        local += 1L
-        out
-      }
-    }
-    spark.createDataFrame(indexed, schema)
+    val w = "__graft_unit_weight"
+    withOrderedPrefixSum(df.withColumn(w, lit(1L)), sortCols, w, indexCol, base)
+      .drop(w)
   }
 
   /** Adds `sumCol` = base + EXCLUSIVE prefix sum of `weightCol` (must
@@ -81,6 +49,12 @@ object GlobalIndex {
     val widx = df.schema.fieldIndex(weightCol)
     require(df.schema(widx).dataType ==
       org.apache.spark.sql.types.LongType, s"$weightCol must be LongType")
+    // Persisted so the totals job and the sum job see the SAME range
+    // partitioning (RangePartitioner samples its bounds; recomputation
+    // must not re-draw them between the two passes). Deliberately NOT
+    // unpersisted here: the returned frame still reads these blocks,
+    // and an early unpersist would recompute under freshly-sampled
+    // bounds that no longer match the driver's prefix array.
     val sorted = df
       .repartitionByRange(math.max(spark.sparkContext.defaultParallelism, 1), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
