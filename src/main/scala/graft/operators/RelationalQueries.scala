@@ -470,12 +470,15 @@ object RelationalQueries {
         val indexed = graft.store.GlobalIndex.withOrderedIndex(
           cust.select("c_custkey", "c_acctbal"),
           Seq(col("c_acctbal").asc, col("c_custkey").asc), "idx")
+        // m is a driver-side constant: branch here rather than shipping a
+        // `when(lit(m) === 0, …)` into the plan (Spark warns on the
+        // trivially-true predicate and the dead branch survives codegen).
+        val bucket =
+          if (m == 0) (col("idx") / small).cast("long") + 1
+          else when(col("idx") < m * big, (col("idx") / big).cast("long") + 1)
+            .otherwise(lit(m) + ((col("idx") - m * big) / small).cast("long") + 1)
         indexed
-          .withColumn("quartile",
-            when(lit(m) === 0, (col("idx") / small).cast("long") + 1)
-              .otherwise(when(col("idx") < m * big, (col("idx") / big).cast("long") + 1)
-                .otherwise(lit(m) + ((col("idx") - m * big) / small).cast("long") + 1))
-              .cast("int"))
+          .withColumn("quartile", bucket.cast("int"))
           .select("c_custkey", "quartile")
           .orderBy("c_custkey")
       },
