@@ -41,6 +41,51 @@ final class ViewStreams(val store: EventStore) {
     */
   private val stateLock = new Object
 
+  /** Durable control plane (reference transactional ACK semantics,
+    * schema.sql:436-446): when open, every views/locks mutation below
+    * appends one journal record inside the critical section, so a
+    * crash at ANY point rewinds at most the in-flight mutation —
+    * ACKed offsets survive without an explicit [[save]]. `None` keeps
+    * the original memory-only behavior (tests, ephemeral pipelines).
+    */
+  private var journal: Option[ControlJournal] = None
+
+  /** Open (or take over) the durable journal at `dir` and replace the
+    * in-memory control plane with its replayed state. Enforces the
+    * single-writer rule: a second live ViewStreams on the same journal
+    * gets [[ControlJournal.OwnershipHeldException]] until the holder's
+    * lease expires (the reference's `FOR UPDATE SKIP LOCKED` analogue
+    * at process granularity — within a process, `stateLock` already
+    * serializes pollers).
+    */
+  def openJournal(dir: String,
+                  ownerId: String = java.util.UUID.randomUUID().toString,
+                  leaseMs: Long = 60000L): Unit = stateLock.synchronized {
+    require(journal.isEmpty, "journal already open; call closeJournal() first")
+    val j = new ControlJournal(dir, spark.sparkContext.hadoopConfiguration,
+      ownerId, () => now, leaseMs)
+    j.acquire()
+    val (views, locks) = j.replay()
+    viewsMap.clear(); locksMap.clear()
+    views.foreach(v => viewsMap(v.view) = v)
+    locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
+    journal = Some(j)
+  }
+
+  /** Checkpoint (snapshot + truncate) and release the writer lease. */
+  def closeJournal(): Unit = stateLock.synchronized {
+    journal.foreach { j =>
+      j.checkpoint(viewsMap.values.toSeq, locksMap.values.toSeq)
+      j.release()
+    }
+    journal = None
+  }
+
+  private def journalLocks(rows: Seq[LockRow]): Unit =
+    if (rows.nonEmpty) journal.foreach(_.append(ControlJournal.Record(
+      ControlJournal.OpLocksUpsert,
+      locks = rows.map(ControlJournal.JLock.of).toArray)))
+
   def allViews: Dataset[ViewRegistration] =
     stateLock.synchronized(viewsMap.values.toSeq).toDS()
   def allLocks: Dataset[LockRow] =
@@ -64,15 +109,19 @@ final class ViewStreams(val store: EventStore) {
     val heads = accepted.groupBy(_.decider_id).map { case (_, rows) =>
       rows.maxBy(_.offset)
     }
+    val written = Seq.newBuilder[LockRow]
     for (v <- viewsMap.keys; e <- heads) {
-      locksMap.get((v, e.decider_id)) match {
-        case Some(l) => locksMap((v, e.decider_id)) =
+      val updated = locksMap.get((v, e.decider_id)) match {
+        case Some(l) =>
           l.copy(offset = e.offset, offset_final = e.is_final, updated_at = t)
-        case None => locksMap((v, e.decider_id)) =
+        case None =>
           LockRow(v, e.decider_id, e.offset, 0L,
             new Timestamp(t.getTime - 1), e.is_final, t, t)
       }
+      locksMap((v, e.decider_id)) = updated
+      written += updated
     }
+    journalLocks(written.result())
   }
 
   // ------------------------------------------------------------------
@@ -128,6 +177,13 @@ final class ViewStreams(val store: EventStore) {
         r.getLong(1), r.getLong(2), new Timestamp(t.getTime - 1),
         r.getBoolean(3), t, t)
     }
+    journal.foreach { j =>
+      j.append(ControlJournal.Record(ControlJournal.OpViewUpsert,
+        view = ControlJournal.JView.of(row)))
+      j.append(ControlJournal.Record(ControlJournal.OpLocksReplace, name = view,
+        locks = locksMap.collect { case ((v, _), l) if v == view =>
+          ControlJournal.JLock.of(l) }.toArray))
+    }
     row
     }
   }
@@ -138,6 +194,9 @@ final class ViewStreams(val store: EventStore) {
   def deleteView(view: String): Unit = stateLock.synchronized {
     viewsMap.remove(view)
     locksMap.filterInPlace { case ((v, _), _) => v != view }
+    // one record, cascade implied on replay (reference FK ON DELETE CASCADE)
+    journal.foreach(_.append(
+      ControlJournal.Record(ControlJournal.OpViewDelete, name = view)))
   }
 
   // ------------------------------------------------------------------
@@ -177,9 +236,12 @@ final class ViewStreams(val store: EventStore) {
         .take(limit)
       // Stage 2: lease acquisition (control-plane).
       val until = new Timestamp(t.getTime + seconds * 1000L)
-      cand.foreach { l =>
-        locksMap((view, l.decider_id)) = l.copy(locked_until = until, updated_at = t)
+      val taken = cand.map { l =>
+        val upd = l.copy(locked_until = until, updated_at = t)
+        locksMap((view, l.decider_id)) = upd
+        upd
       }
+      journalLocks(taken)
       cand
     }
     if (leased.isEmpty) return Nil
@@ -232,6 +294,7 @@ final class ViewStreams(val store: EventStore) {
     locksMap.get((view, deciderId)).map { l =>
       val updated = f(l)
       locksMap((view, deciderId)) = updated
+      journalLocks(Seq(updated))
       updated
     }
   }
@@ -243,6 +306,11 @@ final class ViewStreams(val store: EventStore) {
   def save(dir: String): Unit = {
     allViews.write.mode("overwrite").parquet(s"$dir/views")
     allLocks.write.mode("overwrite").parquet(s"$dir/locks")
+    // a parquet snapshot supersedes the journal tail — fold in a
+    // checkpoint so the journal stays bounded between explicit saves
+    stateLock.synchronized {
+      journal.foreach(_.checkpoint(viewsMap.values.toSeq, locksMap.values.toSeq))
+    }
   }
 
   def load(dir: String): Unit = {
