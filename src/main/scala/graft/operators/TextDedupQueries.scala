@@ -104,6 +104,45 @@ object TextDedupQueries {
                    len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
        ORDER BY doc_a, doc_b"""
 
+  /** DuckDB twin of the doc_simhash pipeline: identical md5-digit bit
+    * votes, 16-bit chunk assembly, chunk-bucketed pairing, and hamming
+    * filter. The hex digit → int step uses strpos over the hex
+    * alphabet (portable; Spark uses conv, same value).
+    */
+  private def simhashOracleSql: String = {
+    val digits = (0 until 16).map(dd =>
+      s"strpos('0123456789abcdef', substring(hx, ${dd + 1}, 1)) - 1 AS d$dd")
+      .mkString(", ")
+    val votes = (0 until 64).map(j =>
+      s"SUM(CASE WHEN ((d${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val chunkCols = (0 until 4).map { c =>
+      val bits = (0 until 16).map(k =>
+        s"CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+      s"($bits) AS c$c"
+    }.mkString(", ")
+    val hamming = (0 until 4).map(i =>
+      s"bit_count(xor(x.c$i, y.c$i))").mkString(" + ")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents),
+       th AS (SELECT doc_id, md5(w) AS hx FROM toks),
+       digits AS (SELECT doc_id, $digits FROM th),
+       votes AS (SELECT doc_id, $votes FROM digits GROUP BY doc_id),
+       chunks AS (SELECT doc_id, $chunkCols FROM votes),
+       ex AS (SELECT doc_id, c0, c1, c2, c3, g.c,
+                     CASE g.c WHEN 0 THEN c0 WHEN 1 THEN c1
+                              WHEN 2 THEN c2 ELSE c3 END AS chunk
+              FROM chunks, (SELECT unnest([0, 1, 2, 3]) AS c) g),
+       pairs AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST($hamming AS INTEGER) AS hamming
+         FROM ex x JOIN ex y ON x.c = y.c AND x.chunk = y.chunk
+                            AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b, hamming FROM pairs
+       WHERE hamming <= 6 ORDER BY doc_a, doc_b"""
+  }
+
   /** Connected components over a near-dup pair graph by min-label
     * propagation: every doc starts labeled with its own id; each round
     * takes the min of its label and its neighbors' labels; fixpoint =
@@ -333,18 +372,29 @@ object TextDedupQueries {
       Some(exactJaccardSql(0.8))),
 
     // ----------------------------------------------------------------
-    // SimHash near-dup sketch (Spark-only; no SQL oracle — the 64-bit
-    // hash mix is engine-specific). 64-bit simhash from token hashes;
-    // near-dups = hamming distance ≤ 6 among docs sharing a 16-bit
-    // chunk (chunk-bucketing avoids all-pairs, pigeonhole over 4
-    // chunks covers distance ≤ 6 incompletely but deterministically —
-    // the standard production trade).
+    // SimHash near-dup sketch. 64-bit simhash from per-token bit
+    // votes; near-dups = hamming distance ≤ 6 among docs sharing a
+    // 16-bit chunk (chunk-bucketing avoids all-pairs; pigeonhole over
+    // 4 chunks covers distance ≤ 6 incompletely but deterministically
+    // — the standard production trade).
+    //
+    // The token hash is the md5 hex prefix, digit-sliced: bit j of the
+    // sketch comes from bit (j mod 4) of hex digit (j div 4). md5 is
+    // the one 64-bit-capable hash Spark and DuckDB compute identically
+    // (xxhash64 exists only on the Spark side), which is what makes
+    // this operator ORACLE-CHECKABLE — the hash choice is a pluggable
+    // constant; the verified machinery is the vote aggregation,
+    // chunk bucketing, and hamming filter. The sketch lives in four
+    // 16-bit chunk ints rather than one signed 64-bit value so the
+    // oracle needs no 1<<63 overflow gymnastics on the DuckDB side.
     Q("doc_simhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val toks = docs.select(col("doc_id"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-          .withColumn("h", xxhash64(col("w")))
+          .withColumn("hx", md5(col("w")))
+        val toksD = (0 until 16).foldLeft(toks)((df, dd) =>
+          df.withColumn(s"d$dd", expr(s"int(conv(substring(hx, ${dd + 1}, 1), 16, 10))")))
         // per doc, per bit: sum(±1); simhash bit j set iff sum > 0.
         // All 64 bit-sums as ONE wide aggregation (the doc_minhash_lsh
         // pattern): the shuffle carries (doc_id, 64 longs) with
@@ -352,28 +402,29 @@ object TextDedupQueries {
         // row explosion, which shuffled tokens×64 rows through a
         // (doc_id, j) key and was the scale bottleneck of this query.
         val sumCols = (0 until 64).map(j =>
-          sum(when(expr(s"shiftright(h, $j) & 1 = 1"), 1).otherwise(-1)).as(s"s$j"))
-        val perDoc = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-        val simExpr = (0 until 64).map(j =>
-          s"CASE WHEN s$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
-          .mkString(" + ")
-        val sims = perDoc.selectExpr("doc_id", s"($simExpr) AS simhash")
+          sum(when(expr(s"(shiftright(d${j / 4}, ${j % 4}) & 1) = 1"), 1).otherwise(-1))
+            .as(s"s$j"))
+        val perDoc = toksD.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        def chunkExpr(c: Int): String = (0 until 16).map { k =>
+          s"CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END"
+        }.mkString(" + ")
+        val sims = perDoc.selectExpr(
+          "doc_id" +: (0 until 4).map(c => s"(${chunkExpr(c)}) AS c$c"): _*)
         // bucket by 16-bit chunks, pair within bucket, hamming ≤ 6
-        val chunks = sims.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("c"))
-          .withColumn("chunk", expr("shiftright(simhash, int(c) * 16) & 65535"))
-        val pairs = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+        val chunks = sims.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+          col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+            .as(Seq("c", "chunk")))
+        val hamming = (0 until 4).map(i =>
+          bit_count(expr(s"x.c$i ^ y.c$i"))).reduce(_ + _).cast("int")
+        chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
+            hamming.as("hamming"))
           .distinct()
-        pairs
-          .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
           .filter(col("hamming") <= 6)
-          .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(simhashOracleSql)),
 
     // ----------------------------------------------------------------
     // Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.8
