@@ -258,12 +258,19 @@ object EmbeddingQueries {
         // candidates for real coverage: the standard multi-band LSH
         // construction, same as emb_near_dup_lsh. Persisted so the
         // self-join does not recompute the plane dots per side.
-        // 8 bands × 6 bits tuned for the MODERATE-similarity regime
-        // (top-1 cos ≈ 0.5 on this corpus → per-plane collision 2/3,
-        // per-band 0.667^6 ≈ 0.09, ≥1-of-8 ≈ 0.52): more, narrower
-        // bands is the standard knob when neighbors are not near-dups.
-        // Candidate mass stays ~an eighth of the corpus per query.
-        val nBands = 8; val bits = 6
+        // 8 bands × 8 bits with 1-bit MULTI-PROBE on the query side,
+        // tuned for the MODERATE-similarity regime (top-1 cos ≈ 0.5 on
+        // this corpus → per-plane collision 2/3). Exact-bucket-only at
+        // these parameters would collide the true top-1 with prob
+        // 1−(1−(2/3)^8)^8 ≈ 0.27; probing each band's bucket PLUS its
+        // 8 hamming-1 neighbors lifts the per-band hit rate to
+        // p^8 + 8·p^7·(1−p) ≈ 0.195 → ≥1-of-8 ≈ 0.82, while a random
+        // pair (cos ≈ 0) lands in a probed bucket with only
+        // 9/2^8 ≈ 0.035 per band (~25% of the corpus as candidates
+        // after the 8-band union) — multi-probe buys recall at a far
+        // better candidate budget than adding bands, because probes
+        // reuse the same signatures (Lv et al., multi-probe LSH).
+        val nBands = 8; val bits = 8
         // The band self-join ships ONLY (band, sig, vec_id) — never the
         // vectors: joining embeddings through the band join would move
         // 2 × nBands copies of the corpus through the shuffle (the
@@ -274,12 +281,19 @@ object EmbeddingQueries {
             posexplode(call_function("band_sigs", col("embedding"),
               typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
           .transform(graft.Caching.persistOnce(_))
-        val candidates = signed.select(col("band"), col("sig"), col("vec_id").as("qid"))
+        // query side: the home sig plus its `bits` 1-bit flips; the
+        // database side stays exact, so the probe expansion multiplies
+        // only the (band, sig, vec_id) rows, never the vectors
+        val probeSigs = expr(("sig" +: (0 until bits).map(b => s"sig ^ ${1L << b}"))
+          .mkString("array(", ", ", ")"))
+        val probes = signed.select(col("band"),
+          explode(probeSigs).as("sig"), col("vec_id").as("qid"))
+        val candidates = probes
           .join(signed.select(col("band"), col("sig"), col("vec_id").as("cid")),
             Seq("band", "sig"))
           .filter(col("qid") =!= col("cid"))
           .select("qid", "cid")
-          .distinct() // candidate union across bands
+          .distinct() // candidate union across bands and probes
         val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)

@@ -52,8 +52,9 @@ class AnnRecallSpec extends SparkSpec {
   // uncorrelated random vectors are ANN's adversarial case (no cluster
   // structure to exploit; sublinear probing fundamentally caps recall),
   // so these numbers quantify the cost/recall knob, not a defect.
-  // Measured at pinning time: IVF 0.582/1.000/0.784, LSH (8 bands × 6
-  // bits) 0.380/1.000/0.598.
+  // Measured at pinning time: IVF 0.582/1.000/0.784, LSH (8 bands × 8
+  // bits, 1-bit multi-probe) 0.690/1.000/0.868 — up from
+  // 0.380/1.000/0.598 for the exact-bucket 8×6 form.
 
   test("IVF ANN (nProbe=3) covers every query and approximates top-1 well") {
     val (recall, coverage, close) = metricsOf("emb_ann_ivf")
@@ -69,7 +70,7 @@ class AnnRecallSpec extends SparkSpec {
     // the first (single 16-bit band) form of the query had coverage
     // 0.000 here — this floor is what caught it
     assert(coverage >= 0.95, f"LSH coverage collapsed: $coverage%.3f")
-    assert(recall >= 0.25, f"LSH recall@1 degraded: $recall%.3f")
-    assert(close >= 0.45, f"LSH approximation ratio degraded: $close%.3f")
+    assert(recall >= 0.55, f"LSH recall@1 degraded: $recall%.3f")
+    assert(close >= 0.75, f"LSH approximation ratio degraded: $close%.3f")
   }
 }
