@@ -100,7 +100,11 @@ object Bench {
     // (20 sequential appends of ~1 KB JSON payloads, chained on one
     // partition — per-append latency with full validation, not batch
     // throughput).
-    val storeResults: Seq[(String, Double)] = {
+    // One full store-bench pass per rep (fresh store + temp dir each —
+    // the slots mutate state, so reps cannot share an instance), then
+    // min per slot: single samples of the store slots were the ones
+    // the host's contention waves inflated 4x in committed artifacts.
+    def runStoreBench(): Seq[(String, Double)] = {
       import graft.store._
       try {
         val st = new EventStore(spark)
@@ -168,6 +172,11 @@ object Bench {
         Nil
       }
     }
+    val storeResults: Seq[(String, Double)] =
+      (0 until reps).map(_ => runStoreBench()).reduce { (a, b) =>
+        if (a.size != b.size) Seq(a, b).maxBy(_.size) // a rep failed → keep the complete one
+        else a.zip(b).map { case ((k, x), (_, y)) => k -> math.min(x, y) }
+      }
 
     val qs = (results ++ storeResults).map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -178,7 +187,21 @@ object Bench {
     val shJson = shuffleMb.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = (results ++ storeResults).collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
+    // The driver captures a bounded TAIL of stdout — round 5's committed
+    // artifact lost its head because one enriched line outgrew the
+    // window. So: shuffle detail goes on its OWN earlier line, the
+    // contract line (metric/queries/errors) prints LAST and compact,
+    // and the full combined JSON is also written to BENCH_LATEST.json
+    // so the numbers survive in the repo regardless of capture windows.
+    val contractLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
+    println(contractLine)
     spark.stop()
   }
 }
