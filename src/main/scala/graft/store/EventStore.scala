@@ -1,6 +1,8 @@
 package graft.store
 
 import java.sql.Timestamp
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -355,7 +357,7 @@ final class EventStore(val spark: SparkSession) {
         // disk holds offsets <= flushedOffset; anything appended since
         // the last save/saveIncrement only exists in the in-memory log,
         // so union the (usually empty) unflushed tail for consistency
-        val disk = spark.read.parquet(s"$dir/events")
+        val disk = spark.read.parquet(eventsPath(dir))
           .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
           .drop("bucket", "day")
         val tail = events.filter($"offset" > flushedOffset).toDF()
@@ -386,7 +388,7 @@ final class EventStore(val spark: SparkSession) {
       .atZone(zone).toLocalDate.toString
     val base = diskLayout match {
       case Some((dir, _)) =>
-        val disk = spark.read.parquet(s"$dir/events")
+        val disk = spark.read.parquet(eventsPath(dir))
           .filter($"day" >= fromDay)
           .drop("bucket", "day")
         val tail = events.filter($"offset" > flushedOffset).toDF()
@@ -440,10 +442,27 @@ final class EventStore(val spark: SparkSession) {
     df.withColumn("bucket", pmod(hash($"decider_id"), lit(buckets)))
       .withColumn("day", date_format($"created_at", "yyyy-MM-dd"))
 
+  /** Resolve the live events directory through the `_current` manifest
+    * pointer (see [[EventStore.resolveEventsPath]]).
+    */
+  private def eventsPath(dir: String): String =
+    EventStore.resolveEventsPath(dir, spark.sparkContext.hadoopConfiguration)
+
+  /** Full snapshots publish MVCC-style: write a NEW `events_v<N>`
+    * directory, then atomically flip the `_current` pointer — a reader
+    * resolving the pointer never observes a half-written or absent
+    * directory (the reference's readers never see a vacuum mid-swap
+    * either; this is the manifest-indirection analogue). The
+    * immediately-previous version is RETAINED so in-flight scans that
+    * already listed its files finish; versions older than that are
+    * deleted.
+    */
   def save(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
+    val newVer = EventStore.nextVersionName(dir, spark.sparkContext.hadoopConfiguration)
     withLayoutCols(events.toDF(), buckets)
-      .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/events")
+      .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+    EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration)
     diskLayout = Some((dir, buckets))
     flushedOffset = headOffset
   }
@@ -463,8 +482,11 @@ final class EventStore(val spark: SparkSession) {
     val tail = events.filter($"offset" > since)
     val n = tail.count()
     if (n > 0) {
+      // appends land INSIDE the current version dir (additive — new
+      // files appearing mid-listing is benign); only full rewrites
+      // (save/compact) bump the version pointer
       withLayoutCols(tail.toDF(), diskLayout.get._2)
-        .write.partitionBy("bucket", "day").mode("append").parquet(s"$dir/events")
+        .write.partitionBy("bucket", "day").mode("append").parquet(eventsPath(dir))
       deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
       flushedOffset = headOffset
     }
@@ -477,45 +499,34 @@ final class EventStore(val spark: SparkSession) {
     * too (the scan prunes twice: directory-level on the hash bucket,
     * row-group-level on the sorted key). The rewrite is
     * shuffle-bounded by the log size, runs fully distributed, and
-    * publishes via directory rename only after the compacted copy is
-    * complete. Caveat: the two renames leave a sub-second window where
-    * the path is absent — a reader launching a NEW scan exactly then
-    * fails and must retry (on a real deployment the swap would go
-    * through a manifest/metastore pointer instead; in-flight jobs that
-    * already listed files are unaffected until the old files are
-    * deleted).
+    * publishes MVCC-style through the `_current` manifest pointer:
+    * the compacted copy lands in a fresh `events_v<N>` directory and
+    * one atomic pointer flip makes it live — there is NO window where
+    * a new reader's listing can fail, and in-flight scans on the
+    * previous version finish against its retained files (deleted only
+    * by the NEXT rewrite).
     */
   def compact(dir: String): Unit = commitLock.synchronized {
     require(diskLayout.exists(_._1 == dir), s"no saved log at $dir")
-    val eventsPath = s"$dir/events"
-    val tmpPath = s"$dir/events_compacting"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(eventsPath), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(eventsPath)
-    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    val old = new org.apache.hadoop.fs.Path(s"$dir/events_old")
-    // a crashed earlier compact may have left debris — clear it so the
-    // renames below cannot be blocked by a stale directory
-    fs.delete(old, true)
-    fs.delete(tmp, true)
-    spark.read.parquet(eventsPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val curPath = eventsPath(dir)
+    val newVer = EventStore.nextVersionName(dir, conf)
+    spark.read.parquet(curPath)
       .repartition(col("bucket"), col("day"))
       .sortWithinPartitions($"bucket", $"day", $"decider_id", $"offset")
-      .write.partitionBy("bucket", "day").mode("overwrite").parquet(tmpPath)
-    // after load(), the in-memory `events` plan lazily READS the very
-    // files being retired — materialize the (bounded) unflushed tail
-    // now, then rebase `events` onto the compacted copy below, or every
-    // post-compact read would hit deleted files
+      .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
+    // after load(), the in-memory `events` plan lazily READS the files
+    // of the version being retired — materialize the (bounded)
+    // unflushed tail now, then rebase `events` onto the compacted copy,
+    // so post-compact reads never depend on retired files
     val tail = events.filter($"offset" > flushedOffset).localCheckpoint(true)
-    require(fs.rename(live, old), s"compact: could not retire $eventsPath")
-    require(fs.rename(tmp, live), s"compact: could not publish $tmpPath")
-    fs.delete(old, true)
-    events = spark.read.parquet(eventsPath).drop("bucket", "day").as[EventRow]
+    EventStore.publishVersion(dir, newVer, conf)
+    events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
       .union(tail)
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
-    events = spark.read.parquet(s"$dir/events").drop("bucket", "day")
+    events = spark.read.parquet(eventsPath(dir)).drop("bucket", "day")
       .as[EventRow]
     diskLayout = Some((dir, buckets))
     decidersMap.clear()
@@ -530,6 +541,66 @@ final class EventStore(val spark: SparkSession) {
 }
 
 object EventStore {
+  // ------------------------------------------------------------------
+  // Manifest-pointer publication for the at-rest log. `_current` names
+  // the live `events_v<N>` directory; rewrites publish a new version
+  // and flip the pointer atomically (temp-file + rename). External
+  // readers resolve through [[resolveEventsPath]] too, so the same
+  // no-vacuum guarantee holds outside this class.
+
+  private val PointerFile = "_current"
+  private val VersionName = """events_v(\d+)""".r
+
+  /** The live events directory under `dir`: the version the `_current`
+    * pointer names, or the legacy unversioned `$dir/events` when no
+    * pointer exists (logs written before versioning read unchanged).
+    */
+  def resolveEventsPath(dir: String, conf: Configuration): String =
+    readPointer(dir, conf).map(v => s"$dir/$v").getOrElse(s"$dir/events")
+
+  private def readPointer(dir: String, conf: Configuration): Option[String] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val p = new HPath(s"$dir/$PointerFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private[store] def nextVersionName(dir: String, conf: Configuration): String = {
+    val cur = readPointer(dir, conf)
+    val n = cur match {
+      case Some(VersionName(d)) => d.toLong + 1
+      case _ => 1L // no pointer yet, or legacy literal "events"
+    }
+    s"events_v$n"
+  }
+
+  /** Atomically flip `_current` to `newVer`, then delete every version
+    * directory except the new one and its immediate predecessor (kept
+    * for scans that listed files before the flip).
+    */
+  private[store] def publishVersion(dir: String, newVer: String,
+                                    conf: Configuration): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val prev = readPointer(dir, conf)
+    val tmp = new HPath(s"$dir/.tmp-$PointerFile")
+    val out = fs.create(tmp, true)
+    try out.write(newVer.getBytes("UTF-8")) finally out.close()
+    val ptr = new HPath(s"$dir/$PointerFile")
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"could not publish version pointer at $dir")
+    val keep = Set(newVer) ++ prev
+    fs.listStatus(new HPath(dir)).foreach { st =>
+      st.getPath.getName match {
+        case v @ VersionName(_) if !keep(v) => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
   /** Row shape after the join-based validation stages, consumed by the
     * per-stream sequential replay. Top-level so Spark can derive an
     * Encoder (local case classes cannot get TypeTags).

@@ -36,7 +36,9 @@ class CompactionSpec extends SparkSpec {
     val st = mkStore()
     append(st, 0, 30)
     st.save(dir, buckets = 4)
-    val afterSave = parquetFiles(JPath.of(dir, "events")).size
+    def live: JPath = JPath.of(EventStore.resolveEventsPath(dir,
+      spark.sparkContext.hadoopConfiguration))
+    val afterSave = parquetFiles(live).size
 
     // three incremental flushes → small files pile up, full rewrites don't happen
     for (k <- 1 to 3) {
@@ -45,11 +47,11 @@ class CompactionSpec extends SparkSpec {
       assert(n == 30, s"increment $k flushed $n")
     }
     assert(st.saveIncrement(dir) == 0, "empty increment must be a no-op")
-    val beforeCompact = parquetFiles(JPath.of(dir, "events")).size
+    val beforeCompact = parquetFiles(live).size
     assert(beforeCompact > afterSave, "increments should add files, not rewrite")
 
     st.compact(dir)
-    val leafDirs = Files.walk(JPath.of(dir, "events")).iterator().asScala
+    val leafDirs = Files.walk(live).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("day="))
       .toSeq
     assert(leafDirs.nonEmpty)
@@ -73,5 +75,48 @@ class CompactionSpec extends SparkSpec {
     // unflushed tail is visible through getEvents before any flush
     append(st2, 120, 123)
     assert(st2.getEvents("p0", "C").count() == 41)
+  }
+
+  test("compact publishes through the manifest pointer: no reader vacuum, old version retained") {
+    val dir = Files.createTempDirectory("graft-compact-mvcc").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = mkStore()
+    append(st, 0, 60)
+    st.save(dir, buckets = 4)
+    def live: String = EventStore.resolveEventsPath(dir, conf)
+    val v1 = live
+    assert(v1.endsWith("events_v1"))
+
+    // a reader that listed the pre-compact version's files (plan built
+    // against v1) — the reference's MVCC keeps such readers working
+    val preCompactReader = spark.read.parquet(v1)
+
+    // hammer the pointer from a concurrent reader while compact runs:
+    // every resolution must land on a complete, readable directory
+    @volatile var done = false
+    @volatile var readerFailure: Option[Throwable] = None
+    var reads = 0
+    val reader = new Thread(() => {
+      try while (!done) {
+        assert(spark.read.parquet(live).count() == 60L)
+        reads += 1
+      } catch { case t: Throwable => readerFailure = Some(t) }
+    })
+    reader.start()
+    try st.compact(dir) finally { done = true; reader.join(60000) }
+    assert(readerFailure.isEmpty, s"concurrent reader failed: $readerFailure")
+    assert(reads > 0, "reader never completed a scan during compact")
+
+    assert(live.endsWith("events_v2"), "pointer must name the compacted version")
+    assert(spark.read.parquet(live).count() == 60L)
+    // the pre-flip version's files still exist for in-flight scans
+    assert(preCompactReader.count() == 60L)
+
+    // the NEXT rewrite retires v1: only v2 (prev) and v3 (new) remain
+    st.compact(dir)
+    assert(live.endsWith("events_v3"))
+    val versions = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("events_v")).sorted.toSeq
+    assert(versions === Seq("events_v2", "events_v3"))
   }
 }
