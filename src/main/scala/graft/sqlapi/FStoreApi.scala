@@ -80,26 +80,67 @@ final class FStoreApi(spark: SparkSession) {
   def scheduleEvents(view: String, poolingDelayS: Long, url: String,
                      send: (String, String) => Unit = PushSink.HttpSender): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.streaming.DeliveryEngine.Delivered
-    val reg = streams.allViews.filter(_.view == view).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(s"view $view not registered"))
+    val reg = registeredView(view)
     scheduler.schedule(view, {
       spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         .writeStream
         .queryName(s"push_$view")
         .trigger(Trigger.ProcessingTime(poolingDelayS * 1000L))
         .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-          val got = streamEvents(view, limit = 100, seconds = reg.lock_timeout_s)
-          if (got.nonEmpty) {
-            import spark.implicits._
-            PushSink.envelope(got.map(e =>
-              Delivered(view, e.decider_id, e.offset, e.event_id, e.data,
-                redelivery = false)).toDS())
-              .collect().foreach(r => send(url, r.getString(0)))
-          }
+          pullAndPost(view, reg.lock_timeout_s, url, send)
         }
         .start()
     })
+  }
+
+  /** Reference signature parity: schedule_events(view, schedule, url)
+    * where `schedule` is any pg_cron string (extensions.sql:29-57,
+    * default '1 seconds'). Interval grammar maps to the
+    * ProcessingTime streaming path above; a 5-field cron expression
+    * drives a [[graft.streaming.CronRunner]] firing one pull+post per
+    * tick — exactly the statement pg_cron executes for the reference.
+    * `clock`/`sleeper` are injectable for virtual-time tests.
+    */
+  def scheduleEvents(view: String, schedule: String, url: String,
+                     send: (String, String) => Unit,
+                     clock: () => Long,
+                     sleeper: Long => Unit): Unit =
+    graft.streaming.Schedule.parse(schedule) match {
+      case graft.streaming.Schedule.Every(ms) =>
+        scheduleEvents(view, math.max(1L, ms / 1000L), url, send)
+      case c: graft.streaming.Schedule.Cron =>
+        val reg = registeredView(view)
+        scheduler.scheduleJob(view) {
+          val runner = new graft.streaming.CronRunner(c,
+            () => pullAndPost(view, reg.lock_timeout_s, url, send), clock, sleeper)
+          runner.start()
+          () => runner.stop()
+        }
+    }
+
+  def scheduleEvents(view: String, schedule: String, url: String): Unit =
+    scheduleEvents(view, schedule, url, PushSink.HttpSender,
+      () => System.currentTimeMillis(), Thread.sleep)
+
+  private def registeredView(view: String): ViewRegistration =
+    streams.allViews.filter(_.view == view).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"view $view not registered"))
+
+  /** One push tick: drain a stream_events batch and POST each envelope
+    * (the reference's scheduled statement body; no auto-ack — un-acked
+    * events redeliver after the lease expires).
+    */
+  private def pullAndPost(view: String, lockTimeoutS: Long, url: String,
+                          send: (String, String) => Unit): Unit = {
+    import graft.streaming.DeliveryEngine.Delivered
+    val got = streamEvents(view, limit = 100, seconds = lockTimeoutS)
+    if (got.nonEmpty) {
+      import spark.implicits._
+      PushSink.envelope(got.map(e =>
+        Delivered(view, e.decider_id, e.offset, e.event_id, e.data,
+          redelivery = false)).toDS())
+        .collect().foreach(r => send(url, r.getString(0)))
+    }
   }
 
   def unscheduleEvents(view: String): Boolean = scheduler.unschedule(view)

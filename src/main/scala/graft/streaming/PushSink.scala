@@ -73,19 +73,29 @@ object PushSink {
     * extensions.sql:61-110); unschedule stops it (113-126).
     */
   final class Scheduler {
-    private val running = scala.collection.mutable.Map.empty[String, StreamingQuery]
+    // one stop-thunk per view — a slot can hold a StreamingQuery OR any
+    // other cancellable job (the cron runner)
+    private val running = scala.collection.mutable.Map.empty[String, () => Unit]
 
     def schedule(view: String, q: => StreamingQuery): StreamingQuery =
       synchronized {
-        running.remove(view).foreach(_.stop())
+        running.remove(view).foreach(_.apply())
         val started = q
-        running(view) = started
+        running(view) = () => started.stop()
         started
       }
 
+    /** Generalized slot: `start` launches the job and returns its stop
+      * thunk (used by the cron-schedule push path).
+      */
+    def scheduleJob(view: String)(start: => (() => Unit)): Unit = synchronized {
+      running.remove(view).foreach(_.apply())
+      running(view) = start
+    }
+
     def unschedule(view: String): Boolean = synchronized {
       running.remove(view) match {
-        case Some(q) => q.stop(); true
+        case Some(stop) => stop(); true
         case None => false
       }
     }
