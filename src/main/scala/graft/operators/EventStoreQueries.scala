@@ -531,24 +531,57 @@ object EventStoreQueries {
              FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // ----------------------------------------------------------------
-    // Sketch aggregates (extension surface; no SQL oracle — HLL/KLL
-    // sketch internals are engine-specific, so the driver records the
-    // weaker rows-only check): approximate distinct cardinality and
-    // approximate quantiles, the constant-memory forms of
-    // es_a_distinct_users / es_percentiles for 100 TB streams.
+    // Sketch aggregates (extension surface): approximate distinct
+    // cardinality and approximate quantiles, the constant-memory forms
+    // of es_a_distinct_users / es_percentiles for 100 TB streams.
+    //
+    // HLL/KLL sketch INTERNALS are engine-specific, so raw estimates
+    // cannot hash-match DuckDB. Instead the query emits its own
+    // error-bound attestation: exact values plus one boolean per
+    // estimate, true iff the sketch landed inside its DOCUMENTED error
+    // (HLL: 3·rsd relative, rsd = 0.05 default; approx_percentile:
+    // ±0.01 rank). The oracle computes the exact values and literal
+    // TRUEs — a sketch drifting out of bounds breaks the hash match,
+    // so the driver row carries a real rows+bounds check rather than
+    // rows-only. The exact twins cost one extra aggregation pass here;
+    // at 100 TB a user runs the sketch alone — the attested form is
+    // the verification query.
     Q("es_approx_sketches",
       (s, d) => {
-        Tables.events(s, d)
-          .groupBy("event_type")
+        val ev = Tables.events(s, d)
+        val sk = ev.groupBy("event_type")
           .agg(
             approx_count_distinct(col("user_id")).as("approx_users"),
-            expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("approx_q"))
-          .select(col("event_type"), col("approx_users"),
-            col("approx_q").getItem(0).as("ap50"),
-            col("approx_q").getItem(1).as("ap99"))
+            expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("aq"),
+            count_distinct(col("user_id")).as("exact_users"),
+            count(col("value")).as("n_vals"))
+          .select(col("event_type"), col("exact_users"), col("approx_users"),
+            col("aq").getItem(0).as("ap50"), col("aq").getItem(1).as("ap99"),
+            col("n_vals"))
+        // exact rank of each approximate quantile (one more pass over
+        // events, broadcast of the per-type sketch row)
+        val ranks = ev.join(broadcast(sk.select("event_type", "ap50", "ap99")),
+            "event_type")
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("ap99"), 1L).otherwise(0L)).as("lt99"),
+            sum(when(col("value") <= col("ap99"), 1L).otherwise(0L)).as("le99"))
+        val eps = 0.01 // documented rank tolerance (accuracy = 10000, plus slack)
+        sk.join(ranks, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") <=
+              greatest(lit(1.0), col("exact_users") * 3 * 0.05)).as("hll_within"),
+            coalesce(col("lt50") <= ceil(lit(0.5 + eps) * col("n_vals")) &&
+              col("le50") >= floor(lit(0.5 - eps) * col("n_vals")), lit(true)).as("p50_ok"),
+            coalesce(col("lt99") <= ceil(lit(0.99 + eps) * col("n_vals")) &&
+              col("le99") >= floor(lit(0.99 - eps) * col("n_vals")), lit(true)).as("p99_ok"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS hll_within, TRUE AS p50_ok, TRUE AS p99_ok
+             FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ----------------------------------------------------------------
     // F10: sequence generator + explode (reference generate_series,
