@@ -38,7 +38,11 @@ object Bench {
     // samples up to 15x (BASELINE.md), and min-of-N is the standard
     // de-noising for that. Default 1 keeps the driver-run cost unchanged.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
+    // iteration aid; also skips the store slots). Unset for driver runs.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyFilter.forall(_.contains(n)))
     var errors = List.empty[(String, String)]
 
     // Total shuffle bytes written by a completed query, summed over
@@ -173,7 +177,8 @@ object Bench {
       }
     }
     val storeResults: Seq[(String, Double)] =
-      (0 until reps).map(_ => runStoreBench()).reduce { (a, b) =>
+      if (onlyFilter.isDefined) Nil
+      else (0 until reps).map(_ => runStoreBench()).reduce { (a, b) =>
         if (a.size != b.size) Seq(a, b).maxBy(_.size) // a rep failed → keep the complete one
         else a.zip(b).map { case ((k, x), (_, y)) => k -> math.min(x, y) }
       }
