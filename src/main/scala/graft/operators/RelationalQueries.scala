@@ -263,6 +263,213 @@ object RelationalQueries {
              ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""")),
 
     // ----------------------------------------------------------------
+    // Correlated EXISTS with a NON-EQUI residual (TPC-H Q4 shape):
+    // left-semi on the order key PLUS l_shipdate > o_orderdate. Spark
+    // keeps this one equi-semi-join with a band residual — no
+    // per-order subquery execution; the probe side is pre-filtered by
+    // the date window before the shuffle.
+    Q("q4_order_priority",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d)
+        ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+               AND o_orderdate < TIMESTAMP '1996-07-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----------------------------------------------------------------
+    // Scan-only filter aggregate, no join, no grouping (TPC-H Q6
+    // shape): the whole query is one parquet scan with every predicate
+    // pushed + a map-side partial sum — the minimal-plan baseline the
+    // join queries are judged against.
+    Q("q6_revenue_forecast",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.02, 0.04) && col("l_quantity") < 10)
+          .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+               AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10""")),
+
+    // ----------------------------------------------------------------
+    // Join + CASE-bucketed counts (TPC-H Q12 shape; l_returnflag
+    // stands in for the ship mode this schema lacks): per flag, how
+    // many high- vs low-priority orders shipped in the window.
+    Q("q12_priority_shipping",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val ord = Tables.orders(s, d)
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .groupBy("l_returnflag")
+          // count-of-non-null, not sum-of-0/1: both engines agree it is
+          // BIGINT (DuckDB widens SUM of ints past int64)
+          .agg(count(when(isHigh, lit(1))).as("high_line_count"),
+            count(when(!isHigh, lit(1))).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+             count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // LEFT OUTER join with an ON-side filter + double aggregation
+    // (TPC-H Q13 shape): customers keyed by how many qualifying orders
+    // they have — including the zero-order customers an inner join
+    // would drop — then the distribution of those counts.
+    Q("q13_customer_distribution",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             GROUP BY c_custkey)
+             GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ----------------------------------------------------------------
+    // Conditional-revenue ratio (TPC-H Q14 shape): one join month,
+    // promo share of revenue as 100 * conditional-sum / sum — both
+    // sums exact decimal, the one division done in double and rounded.
+    Q("q14_promo_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        val part = Tables.part(s, d)
+        val disc = dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .agg(round(lit(100) * sum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+            sum(disc).cast("double"), 4).as("promo_revenue"))
+      },
+      Some("""SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+               AND l_shipdate < TIMESTAMP '1997-07-01'""")),
+
+    // ----------------------------------------------------------------
+    // Correlated scalar-aggregate compare (TPC-H Q17 shape): items
+    // ordered below 20% of their part's average quantity. The
+    // correlated avg subquery becomes ONE per-part aggregate joined
+    // back — per-key agg-join decorrelation (j9 is the window variant;
+    // this is the join variant, the right one when the aggregate side
+    // compresses well below the probe side).
+    Q("q17_small_quantity_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val part = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)
+        val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"))
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .join(perPart, li("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 4)
+            .as("avg_yearly"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             JOIN (SELECT l_partkey AS a_partkey,
+                          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+                   FROM lineitem GROUP BY l_partkey) ON l_partkey = a_partkey
+             WHERE p_brand = 'Brand#13' AND p_size < 15
+               AND l_quantity < 0.2 * avg_qty""")),
+
+    // ----------------------------------------------------------------
+    // Disjunctive join predicate (TPC-H Q19 shape): OR of three
+    // brand/size/quantity conjunction branches on top of the part-key
+    // equi-join. Catalyst must still extract the equi condition for
+    // the join and evaluate the disjunction as a post-join filter —
+    // the classic test that OR branches don't force a nested loop.
+    Q("q19_disjunctive_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val part = Tables.part(s, d)
+        val branches =
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 30))
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey") && branches)
+          .agg(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ----------------------------------------------------------------
+    // Global-scalar threshold + NOT EXISTS (TPC-H Q22 shape): segments
+    // of above-average-balance customers who never ordered. The scalar
+    // average broadcasts as a 1-row cross join; the NOT EXISTS is a
+    // left-anti join on the customer key.
+    Q("q22_sales_opportunity",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             FROM customer
+             WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                FROM customer WHERE c_acctbal > 0)
+               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----------------------------------------------------------------
     // J2: left-semi join (EXISTS / IN-subquery shape, schema.sql:426-427)
     Q("j2_semi_join",
       (s, d) => {
@@ -473,6 +680,9 @@ object RelationalQueries {
         // m is a driver-side constant: branch here rather than shipping a
         // `when(lit(m) === 0, …)` into the plan (Spark warns on the
         // trivially-true predicate and the dead branch survives codegen).
+        // `col / small` divides as DOUBLE; the floor-on-cast is exact
+        // while idx stays under 2^53 (~9e15 rows) — far beyond any real
+        // table, but use floor(integral division) if that ever changes.
         val bucket =
           if (m == 0) (col("idx") / small).cast("long") + 1
           else when(col("idx") < m * big, (col("idx") / big).cast("long") + 1)
