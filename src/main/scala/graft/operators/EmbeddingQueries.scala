@@ -181,6 +181,81 @@ object EmbeddingQueries {
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
+    // Per-label centroids (cluster prototypes — the per-class summary
+    // a training pipeline feeds to hard-negative mining / dataset
+    // cartography). Determinism: component sums use FIXED-POINT
+    // micro-unit accumulation — floor(v · 1e6) per component summed as
+    // BIGINT is exact and order-independent, where a double sum would
+    // drift by partition order (the same discipline as the decimal
+    // money sums in RelationalQueries). One shuffle of (label, dim)
+    // pairs with map-side combine; 64 · |labels| result rows.
+    Q("emb_label_centroids",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          // no rounding: numerator and denominator are exact integers
+          // (< 2^53) held in doubles, so ONE IEEE division is correctly
+          // rounded and bit-identical on both engines — rounding would
+          // only reintroduce a half-way-tie mode mismatch
+          .agg((sum(floor(col("v").cast("double") * 1e6)) /
+              (count(lit(1)) * lit(1e6))).as("centroid"))
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label, i - 1 AS dim,
+             sum(floor(CAST(embedding[i] AS DOUBLE) * 1e6)) / (count(*) * 1e6) AS centroid
+             FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+             GROUP BY label, i ORDER BY label, dim""")),
+
+    // ----------------------------------------------------------------
+    // Int8 scalar quantization with reconstruction-error attestation
+    // (the index-compression step before ANN at 100 TB: 4 bytes/dim →
+    // 1). Per-dimension min/max (exact, order-independent) define the
+    // 255-level grid; codes use floor(x + 0.5) — round-half-up spelled
+    // in floor so both engines agree bit-for-bit. The emitted check is
+    // the quantizer's CONTRACT: max |v − dequant(code)| ≤ scale/2
+    // per vector, plus the fixed-point-accumulated MSE. Stats are 64
+    // rows broadcast; one exploded shuffle keyed (vec_id) brings the
+    // per-component errors back together.
+    Q("emb_scalar_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val comps = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "vf")))
+          .withColumn("v", col("vf").cast("double"))
+        val stats = comps.groupBy("dim")
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .withColumn("scale",
+            when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0).otherwise(lit(1.0)))
+        val coded = comps.join(broadcast(stats), "dim")
+          .withColumn("code", floor((col("v") - col("mn")) / col("scale") + 0.5))
+          .withColumn("err", abs(col("v") - (col("mn") + col("code") * col("scale"))))
+        coded.groupBy("vec_id")
+          .agg(
+            // exact-integer numerator / one IEEE division — no rounding
+            // (see emb_label_centroids for why round() would hurt)
+            (sum(floor(col("err") * col("err") * lit(1e12))) / lit(64e12)).as("mse"),
+            (max(col("err")) <= max(col("scale")) * 0.5000001).as("within_half_step"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH comps AS (
+               SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g),
+             stats AS (
+               SELECT dim, min(v) AS mn, max(v) AS mx,
+                      CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / 255.0 ELSE 1.0 END AS scale
+               FROM comps GROUP BY dim),
+             coded AS (
+               SELECT vec_id, v, scale,
+                      floor((v - mn) / scale + 0.5) AS code,
+                      abs(v - (mn + floor((v - mn) / scale + 0.5) * scale)) AS err
+               FROM comps JOIN stats USING (dim))
+             SELECT vec_id,
+                    sum(floor(err * err * 1e12)) / 64e12 AS mse,
+                    max(err) <= max(scale) * 0.5000001 AS within_half_step
+             FROM coded GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ----------------------------------------------------------------
     // Brute-force cosine top-k per query vector (k = 5): the exact
     // baseline every ANN variant is measured against. Executed by the
     // blocked broadcast kernel; CosineTopKSpec asserts row-for-row

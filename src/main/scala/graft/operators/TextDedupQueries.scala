@@ -234,6 +234,39 @@ object TextDedupQueries {
              FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Duplication-rate dashboard by source: share of each source's
+    // docs whose normalized fingerprint occurs more than once
+    // CORPUS-WIDE (a crawl-quality triage view — which feeds are
+    // copying whom). Two aggregations: fingerprint occurrence counts
+    // (shuffle keyed by digest, map-side combined), then per-source
+    // rates; the ratio divides two exact longs in double and rounds.
+    Q("doc_dup_rate_by_source",
+      (s, d) => {
+        val fp = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          md5(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " ")).as("fingerprint"))
+        val counts = fp.groupBy("fingerprint").agg(count(lit(1)).as("occ"))
+        fp.join(counts, "fingerprint")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("occ") > 1, lit(1))).as("n_dup"),
+            round(count(when(col("occ") > 1, lit(1))).cast("double") /
+              count(lit(1)), 6).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH fp AS (
+               SELECT doc_id, source,
+                      md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g')) AS fingerprint
+               FROM documents),
+             counts AS (SELECT fingerprint, count(*) AS occ FROM fp GROUP BY fingerprint)
+             SELECT source, count(*) AS n_docs,
+                    count(CASE WHEN occ > 1 THEN 1 END) AS n_dup,
+                    round(CAST(count(CASE WHEN occ > 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS dup_rate
+             FROM fp JOIN counts USING (fingerprint)
+             GROUP BY source ORDER BY source""")),
+
+    // ----------------------------------------------------------------
     // Corpus stats per (lang, source): doc counts, exact char sums,
     // word totals — the partition-level quality dashboard query.
     Q("doc_text_stats",
