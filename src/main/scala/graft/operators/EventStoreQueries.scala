@@ -179,6 +179,35 @@ object EventStoreQueries {
     // ----------------------------------------------------------------
     // W1: LAG ordering check (reference tests/utils/assertions.sql:94-103)
     // — per-stream gap inspection, partitioned window (scalable).
+    // RANGE-interval window frame (time-based moving aggregate): each
+    // event's trailing-7-day average value within its user's stream.
+    // The frame is VALUE-based (all rows within the interval), not
+    // ROWS-based — tied timestamps share one frame, so the result is
+    // order-stable without a tie-break. Accumulation is exact decimal
+    // (frame evaluation order differs between engines — Spark walks the
+    // frame, DuckDB may use segment trees — and a double sum would
+    // drift); the one avg division is correctly rounded on both sides.
+    Q("es_moving_avg_7d",
+      (s, d) => {
+        // range frame over epoch micros ≡ RANGE INTERVAL 7 DAYS on the
+        // timestamp itself (unix_micros is order-isomorphic and exact)
+        val w = Window.partitionBy("user_id").orderBy(col("ots"))
+          .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("ots", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(col("value")).over(w)).as("avg_7d"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+               count(value) OVER w AS avg_7d
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             ORDER BY event_id""")),
+
     Q("es_w1_lag_gaps",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

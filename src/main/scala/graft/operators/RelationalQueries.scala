@@ -263,6 +263,39 @@ object RelationalQueries {
              ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""")),
 
     // ----------------------------------------------------------------
+    // Grouped ratio-of-conditional-sums (TPC-H Q8 shape): one nation's
+    // share of yearly supplier revenue. Dimensions broadcast; ONE fact
+    // shuffle keyed by the group; the share is a single division of
+    // two exact decimal sums surfaced as double (correctly rounded →
+    // cross-engine identical without any round()).
+    Q("q8_market_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val supp = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val disc = dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((sum(when(col("n_name") === "NATION_1", disc)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+            sum(disc).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+             CAST(sum(CASE WHEN n_name = 'NATION_1'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                           JOIN supplier ON l_suppkey = s_suppkey
+                           JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY o_year ORDER BY o_year""")),
+
+    // ----------------------------------------------------------------
     // Correlated EXISTS with a NON-EQUI residual (TPC-H Q4 shape):
     // left-semi on the order key PLUS l_shipdate > o_orderdate. Spark
     // keeps this one equi-semi-join with a band residual — no
