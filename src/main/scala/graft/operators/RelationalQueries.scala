@@ -730,6 +730,58 @@ object RelationalQueries {
              FROM customer ORDER BY c_custkey""")),
 
     // ----------------------------------------------------------------
+    // GROUPING SETS with grouping_id (the reporting superset of
+    // a_cube/a_rollup): three explicit sets — (flag, status), (flag),
+    // and grand total — one Expand + one aggregate Exchange, NOT three
+    // scans. grouping_id disambiguates the null-as-subtotal rows.
+    Q("a_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+          .select("l_returnflag", "l_linestatus", "gid", "n")
+          // explicit NULLS FIRST: the engines' ASC defaults differ
+          // (Spark nulls first, DuckDB nulls last)
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, count(*) AS n
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ----------------------------------------------------------------
+    // Demonstrably-safe skew mitigation: the salted equi-join
+    // (SkewJoin.saltedJoin — fact rows salted into 8 buckets, the
+    // dimension replicated 8×) must be row-for-row identical to the
+    // plain join, and the DuckDB oracle IS the plain join — the
+    // rewrite's semantics-invariance is hash-verified, not asserted.
+    // The manual fallback for when one hot key defeats AQE's skew
+    // split (e.g. SMJ against a dimension above the broadcast ceiling).
+    Q("j_salted_skew_join",
+      (s, d) => {
+        val fact = Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        val dim = Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"),
+          col("s_name"))
+        SkewJoin.saltedJoin(fact, dim, "suppkey", salts = 8)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY s_name ORDER BY s_name""")),
+
+    // ----------------------------------------------------------------
     // O3: top-k with deterministic tie-break (TakeOrderedAndProject)
     Q("o3_topk_orders",
       (s, d) => {
