@@ -277,6 +277,29 @@ final class ViewStreams(val store: EventStore) {
       l.copy(last_offset = offset,
         locked_until = new Timestamp(now.getTime - 1), updated_at = now))
 
+  /** Batch ACK: commit many (decider_id, offset) positions in ONE
+    * critical section and ONE journal record — the group-commit form
+    * of [[ack]]. With the durable journal open, a poll-loop that acks
+    * its whole delivered batch pays one file create per BATCH instead
+    * of per event (the reference pays one transaction per ack_event
+    * call; batching is the Spark-idiomatic unit). Unknown locks are
+    * skipped, mirroring ack's None.
+    */
+  def ackBatch(view: String, positions: Seq[(String, Long)]): Seq[LockRow] =
+    stateLock.synchronized {
+      val t = now
+      val released = new Timestamp(t.getTime - 1)
+      val updated = positions.flatMap { case (deciderId, offset) =>
+        locksMap.get((view, deciderId)).map { l =>
+          val u = l.copy(last_offset = offset, locked_until = released, updated_at = t)
+          locksMap((view, deciderId)) = u
+          u
+        }
+      }
+      journalLocks(updated)
+      updated
+    }
+
   /** NACK: release the lease WITHOUT advancing the offset → immediate
     * redelivery eligibility.
     */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression guard: the 100 TB claims in PLANS_r*.md are
+  * properties of the PHYSICAL plan, so pin the load-bearing ones —
+  * a lost broadcast or a new exchange is a silent 100× at scale and
+  * invisible to the correctness oracle.
+  *
+  * Shapes are asserted on the executed/explained string at sf0.001;
+  * AQE can only CONVERT shuffles to broadcasts at runtime (never the
+  * reverse), so "no SortMergeJoin at tiny SF" pins the static choice
+  * and "≤ N Exchange" bounds the shuffle count the plan can demand.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.byName(name).run(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def countOf(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("dimension-join TPC-H shapes broadcast, never sort-merge") {
+    for (q <- Seq("q8_market_share", "q14_promo_revenue", "q19_disjunctive_revenue",
+      "q22_sales_opportunity", "q4_order_priority")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q regressed to SortMergeJoin:\n$p")
+    }
+  }
+
+  test("q6 is a pure pushed-down scan + aggregate: no join at all") {
+    val p = plan("q6_revenue_forecast")
+    assert(!p.contains("Join"), s"q6 grew a join:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("PushedDataFilters"),
+      s"q6 lost predicate pushdown:\n$p")
+  }
+
+  test("zero-shuffle operators stay zero-shuffle (plus presentation sort)") {
+    // chunker: flatMap-shaped; the only exchange is the cosmetic
+    // orderBy's range partitioning
+    for (q <- Seq("doc_chunk_sliding", "doc_sample_stratified")) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange") <= 2, // rangepartitioning exchange (+AQE read)
+        s"$q grew a data shuffle:\n$p")
+    }
+  }
+
+  test("simhash aggregates once: one wide shuffle, no 64x row explosion") {
+    val p = plan("doc_simhash")
+    // hashpartitioning exchanges: doc_id aggregate + (c, chunk) pairing
+    // side; a bit-position (doc_id, j) explosion shape would add more
+    assert(countOf(p, "hashpartitioning") <= 4,
+      s"doc_simhash shuffle count regressed:\n$p")
+  }
+
+  test("the LSH ANN band join ships signatures, not vectors") {
+    val p = plan("emb_ann_lsh")
+    // the band self-join must join on (band, sig) — its exchanges key
+    // on band/sig or the pair dedup, never on an embedding column
+    val joinSection = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!joinSection.contains("embedding"),
+      s"emb_ann_lsh shuffles embeddings through the band join:\n$joinSection")
+  }
+}

@@ -99,6 +99,34 @@ class ControlJournalSpec extends SparkSpec {
     vsB.closeJournal()
   }
 
+  test("ackBatch commits a delivered batch as one journal record") {
+    val dir = Files.createTempDirectory("graft-journal-batch").toString
+    val clock = new Clock
+    val (st, vs) = mkStore(spark, clock)
+    vs.openJournal(dir, ownerId = "A", leaseMs = 60000L)
+    appendLog(st)
+    vs.registerView("v", startAt = Some(ts(-1000)))
+    val entriesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.matches("""\d{20}\.json"""))
+    val got = vs.streamEvents("v", limit = 10, seconds = 300)
+    val acked = vs.ackBatch("v", got.map(e => (e.decider_id, e.offset)))
+    assert(acked.size === got.size)
+    val entriesAfter = new java.io.File(dir).listFiles()
+      .count(_.getName.matches("""\d{20}\.json"""))
+    // one entry for the lease acquisition, ONE for the whole ack batch
+    assert(entriesAfter - entriesBefore === 2,
+      s"expected 2 new entries (lease + batch ack), got ${entriesAfter - entriesBefore}")
+    // unknown locks are skipped, like ack's None
+    assert(vs.ackBatch("v", Seq(("nope", 9L))).isEmpty)
+    // and the batch ack is durable: crash + takeover sees the offsets
+    clock.t = ts(301000)
+    val (_, vs2) = mkStore(spark.newSession(), clock)
+    vs2.openJournal(dir, ownerId = "B", leaseMs = 60000L)
+    val locks = vs2.allLocks.collect().map(l => l.decider_id -> l.last_offset).toMap
+    got.foreach(e => assert(locks(e.decider_id) >= e.offset))
+    vs2.closeJournal()
+  }
+
   test("checkpoint truncates entries; state survives close/reopen") {
     val dir = Files.createTempDirectory("graft-journal-ckpt").toString
     val clock = new Clock
