@@ -63,6 +63,49 @@ object EmbeddingQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Full DuckDB replay of the multi-probe banded-LSH ANN pipeline.
+    * The plane matrix goes in as string→FLOAT literals (Java
+    * Float.toString round-trips, and strtof parsing is correctly
+    * rounded, so both engines hold bit-identical float planes); the
+    * sign test reproduces band_sigs' ascending-index double fold and
+    * `>= 0` convention, so bucket assignments — and therefore the
+    * candidate set and the re-ranked winner — match exactly.
+    */
+  private def annLshOracleSql(nBands: Int, bits: Int): String = {
+    val planeRows = planes(nBands * bits).zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(f => s"CAST('$f' AS FLOAT)").mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 until bits).map(b => 1L << b).mkString(", ")
+    s"""WITH pl(p, plane) AS (VALUES $planeRows),
+       bits AS (
+         SELECT e.vec_id, pl.p,
+                CASE WHEN ${dotSql("e.embedding", "pl.plane")} >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM embeddings e, pl),
+       sigs AS (
+         SELECT vec_id, p // $bits AS band,
+                CAST(sum(bit * (1 << (p % $bits))) AS BIGINT) AS sig
+         FROM bits GROUP BY vec_id, p // $bits),
+       probes AS (
+         SELECT vec_id AS qid, band, CAST(xor(sig, f) AS BIGINT) AS sig
+         FROM sigs, (SELECT unnest([0, $flips]) AS f) flips),
+       cand AS (
+         SELECT DISTINCT p.qid, s.vec_id AS cid
+         FROM probes p JOIN sigs s ON p.band = s.band AND p.sig = s.sig
+                                  AND p.qid <> s.vec_id),
+       n AS (
+         SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       ranked AS (
+         SELECT c.qid, c.cid,
+                round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
+                           c.cid ASC) AS rnk
+         FROM cand c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.cid = b.vec_id)
+       SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
+  }
+
   /** All-pairs exact near-dup: executed by the blocked broadcast
     * kernel ([[graft.functions.BruteForceCosine.nearDupPairs]] — see
     * its scaladoc for why the pair space never becomes rows), and
@@ -314,11 +357,16 @@ object EmbeddingQueries {
              ORDER BY vid_a, vid_b""")),
 
     // ----------------------------------------------------------------
-    // LSH-bucketed ANN (the scale path; Spark-only — the deterministic
-    // pseudo-random hyperplanes are engine-specific): banded sign
-    // signatures → per-band bucket join → exact-cosine re-rank.
-    // Reports each query's top-1 exact-cosine neighbor among its
-    // bucket mates; AnnRecallSpec pins recall/coverage floors.
+    // LSH-bucketed ANN (the scale path): banded sign signatures →
+    // per-band bucket join (with 1-bit multi-probe) → exact-cosine
+    // re-rank. Reports each query's top-1 exact-cosine neighbor among
+    // its bucket mates; AnnRecallSpec pins recall/coverage floors, and
+    // the DuckDB oracle replays the ENTIRE construction — the
+    // deterministic plane matrix is embedded in the SQL as float
+    // literals, the sign folds use the same ascending-index double
+    // accumulation as the band_sigs kernel, and the probe/bucket/
+    // re-rank pipeline is mirrored CTE by CTE — so the approximate
+    // operator is hash-verified end to end, not just floor-pinned.
     Q("emb_ann_lsh",
       (s, d) => {
         val e = withNorm(Tables.embeddings(s, d))
@@ -379,7 +427,7 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
-      None),
+      Some(annLshOracleSql(nBands = 8, bits = 8))),
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
