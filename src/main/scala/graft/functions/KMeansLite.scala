@@ -8,27 +8,33 @@ package graft.functions
   * input) from the query path; cell ASSIGNMENT of the full corpus
   * stays distributed through the [[NearestCells]] codegen kernel.
   *
-  * Determinism: splitmix64-seeded distinct initial centers, ties to
-  * the lower index, empty clusters keep their previous center — same
-  * inputs, same quantizer, every run.
+  * Every arithmetic step is REPLAYABLE in portable SQL, which is what
+  * lets emb_ann_ivf carry a full DuckDB oracle:
+  *  - init: the first k sample points (callers pass the sample in a
+  *    deterministic order, e.g. ORDER BY vec_id LIMIT n);
+  *  - assignment: squared-euclidean, ascending-index double fold,
+  *    ties to the lower cell index;
+  *  - update: FIXED-POINT accumulation — per-point components are
+  *    floored to 2^20 micro-units and summed as Long (exact,
+  *    order-independent, unlike a double sum), and the new center is
+  *    ONE correctly-rounded double division `sumMicro / (n · 2^20)`;
+  *  - empty cells keep their previous center;
+  *  - the returned matrix is rounded to FLOAT (what the NearestCells
+  *    kernel consumes), IEEE round-to-nearest-even on both engines.
   */
 object KMeansLite {
 
-  def fit(points: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
+  final val MicroScale = 1048576.0d // 2^20
+
+  def fit(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     require(points.nonEmpty, "empty sample")
     val dim = points(0).length
     val n = points.length
-    // deterministic init: k distinct indices from a splitmix stream
-    val init = scala.collection.mutable.LinkedHashSet.empty[Int]
-    var z = seed
-    while (init.size < math.min(k, n)) {
-      z = MinHashBandSigs.mix(z)
-      init += java.lang.Math.floorMod(z, n.toLong).toInt
-    }
-    var centers = init.toArray.map(i => points(i).map(_.toDouble))
+    var centers: Array[Array[Double]] =
+      points.take(math.min(k, n)).map(_.map(_.toDouble))
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val sums = Array.fill(centers.length)(new Array[Long](dim))
       val counts = new Array[Long](centers.length)
       var p = 0
       while (p < n) {
@@ -48,13 +54,16 @@ object KMeansLite {
           c += 1
         }
         var j = 0
-        while (j < dim) { sums(best)(j) += pt(j).toDouble; j += 1 }
+        while (j < dim) {
+          sums(best)(j) += math.floor(pt(j).toDouble * MicroScale).toLong
+          j += 1
+        }
         counts(best) += 1
         p += 1
       }
       centers = centers.indices.toArray.map { c =>
         if (counts(c) == 0L) centers(c)
-        else sums(c).map(_ / counts(c))
+        else sums(c).map(_.toDouble / (counts(c) * MicroScale))
       }
       it += 1
     }

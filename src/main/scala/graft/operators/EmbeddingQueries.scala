@@ -63,6 +63,78 @@ object EmbeddingQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Full DuckDB replay of the IVF ANN pipeline, INCLUDING the
+    * quantizer fit: KMeansLite's Lloyd iterations are unrolled as CTE
+    * pairs (assign → recompute). Replay holds bit-for-bit because the
+    * fit is replayable by spec — first-k init on the vec_id-ordered
+    * sample, ascending-index double distance folds with lower-index
+    * tie-break, fixed-point center updates (floored 2^20 micro-units
+    * summed exactly: integer-valued doubles below 2^53 add exactly in
+    * ANY order, so DuckDB's unordered sum equals Java's sequential
+    * loop), empty cells carrying forward, and a final FLOAT rounding
+    * (IEEE round-to-nearest-even on both engines) matching what the
+    * nearest_cells kernel consumes.
+    */
+  private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+    def dist(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    val iterations = (1 to iters).map { t =>
+      s"""a$t AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT s.vec_id, s.embedding, c.cell,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY ${dist("s.embedding", "c.c")} ASC, c.cell ASC) AS rn
+             FROM samp s, c${t - 1} c) WHERE rn = 1),
+         m$t AS (
+           SELECT cell, g.i AS dim,
+                  CAST(sum(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0)) AS DOUBLE)
+                    / (count(*) * 1048576.0) AS m
+           FROM a$t, (SELECT unnest(range(1, 65)) AS i) g
+           GROUP BY cell, g.i),
+         c$t AS (
+           SELECT p.cell, COALESCE(n.c, p.c) AS c
+           FROM c${t - 1} p LEFT JOIN (
+             SELECT cell, array_agg(m ORDER BY dim) AS c FROM m$t GROUP BY cell) n
+             ON p.cell = n.cell)"""
+    }.mkString(",\n")
+    s"""WITH samp AS (
+         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+         FROM (SELECT vec_id, embedding FROM samp ORDER BY vec_id LIMIT $k)),
+       $iterations,
+       cf AS (
+         SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+         FROM c$iters),
+       assigned AS (
+         SELECT vec_id AS cid, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS qid, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn <= $nProbe),
+       cand AS (
+         SELECT DISTINCT p.qid, a.cid
+         FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.cid),
+       n AS (
+         SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       ranked AS (
+         SELECT c.qid, c.cid,
+                round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
+                           c.cid ASC) AS rnk
+         FROM cand c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.cid = b.vec_id)
+       SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
+  }
+
   /** Full DuckDB replay of the multi-probe banded-LSH ANN pipeline.
     * The plane matrix goes in as string→FLOAT literals (Java
     * Float.toString round-trips, and strtof parsing is correctly
@@ -448,9 +520,12 @@ object EmbeddingQueries {
         // full-corpus KMeans per invocation). The fitted centroid
         // matrix becomes a plan LITERAL.
         import s.implicits._
-        val sample = e.select(col("embedding")).limit(4096)
+        // deterministic sample: the 4096 smallest vec_ids — the fit
+        // (first-k init, fixed-point updates) is order-sensitive by
+        // SPEC so the oracle can replay it
+        val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(4096)
           .as[Array[Float]].collect()
-        val centers = graft.functions.KMeansLite.fit(sample, k = 16, iters = 5, seed = 42L)
+        val centers = graft.functions.KMeansLite.fit(sample, k = 16, iters = 5)
         val cLit = typedlit(centers.map(_.toSeq).toSeq)
         // Cell assignment (database side, home cell) and the probe
         // list (query side, nProbe=3 nearest cells — the standard IVF
@@ -473,6 +548,6 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
-      None)
+      Some(annIvfOracleSql(k = 16, iters = 5, nProbe = 3)))
   )
 }

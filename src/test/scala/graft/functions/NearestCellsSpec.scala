@@ -26,8 +26,8 @@ class NearestCellsSpec extends SparkSpec {
 
   test("KMeansLite recovers planted clusters deterministically") {
     val pts = corpus.toArray
-    val c1 = KMeansLite.fit(pts, k = 4, iters = 10, seed = 42L)
-    val c2 = KMeansLite.fit(pts, k = 4, iters = 10, seed = 42L)
+    val c1 = KMeansLite.fit(pts, k = 4, iters = 10)
+    val c2 = KMeansLite.fit(pts, k = 4, iters = 10)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "fit not deterministic")
     // every fitted center sits near exactly one anchor
     val matched = (0 until 4).map { a =>
@@ -43,7 +43,7 @@ class NearestCellsSpec extends SparkSpec {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val pts = corpus.toArray
-    val centers = KMeansLite.fit(pts, k = 4, iters = 10, seed = 42L)
+    val centers = KMeansLite.fit(pts, k = 4, iters = 10)
     val cLit = typedlit(centers.map(_.toSeq).toSeq)
     val df = pts.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "vec")
@@ -66,7 +66,7 @@ class NearestCellsSpec extends SparkSpec {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
     val pts = corpus.take(50)
-    val centers = KMeansLite.fit(corpus.toArray, k = 4, iters = 10, seed = 42L)
+    val centers = KMeansLite.fit(corpus.toArray, k = 4, iters = 10)
     val cLit = typedlit(centers.map(_.toSeq).toSeq)
     def run(codegen: Boolean) = {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
