@@ -179,6 +179,39 @@ object EventStoreQueries {
     // ----------------------------------------------------------------
     // W1: LAG ordering check (reference tests/utils/assertions.sql:94-103)
     // — per-stream gap inspection, partitioned window (scalable).
+    // Grouped z-score outlier flagging (the numeric-column cleaning
+    // step of a data pipeline): events whose value sits more than 3
+    // population-σ from their type's mean. Determinism: mean and
+    // variance come from EXACT decimal sums (values are 2-decimal, so
+    // x is DECIMAL(18,2)-exact and x² is DECIMAL(38,4)-exact;
+    // Var = E[x²] − E[x]² in double afterwards) — a running-double
+    // stddev would be partition-order-dependent. The 5-row stats side
+    // broadcasts back onto the scan.
+    Q("es_anomaly_zscore",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy(col("event_type").as("t"))
+          .agg(
+            (sum(col("value").cast("decimal(18,2)")).cast("double") / count(col("value")))
+              .as("mean"),
+            (sum((col("value").cast("decimal(18,2)") * col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,4)")).cast("double") / count(col("value"))).as("ex2"))
+          .withColumn("sd", sqrt(col("ex2") - col("mean") * col("mean")))
+        ev.join(broadcast(stats), ev("event_type") === stats("t"))
+          .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH stats AS (
+               SELECT event_type AS t,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean,
+                      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) / count(value) AS ex2
+               FROM events GROUP BY event_type)
+             SELECT event_id, event_type, value
+             FROM events JOIN stats ON event_type = t
+             WHERE abs(value - mean) > 3.0 * sqrt(ex2 - mean * mean)
+             ORDER BY event_id""")),
+
     // RANGE-interval window frame (time-based moving aggregate): each
     // event's trailing-7-day average value within its user's stream.
     // The frame is VALUE-based (all rows within the interval), not
