@@ -151,6 +151,47 @@ class ControlJournalSpec extends SparkSpec {
     vs2.closeJournal()
   }
 
+  test("property: replay of a random mutation schedule equals live state") {
+    val dir = Files.createTempDirectory("graft-journal-prop").toString
+    val clock = new Clock
+    val (st, vs) = mkStore(spark, clock)
+    vs.openJournal(dir, ownerId = "A", leaseMs = 600000L)
+    appendLog(st)
+    val rnd = new scala.util.Random(42)
+    val views = Seq("v0", "v1", "v2")
+    views.foreach(v => vs.registerView(v, startAt = Some(ts(-1000))))
+    (0 until 120).foreach { i =>
+      clock.t = ts(1000L * i)
+      rnd.nextInt(6) match {
+        case 0 => vs.streamEvents(views(rnd.nextInt(3)), limit = rnd.nextInt(3) + 1,
+          seconds = rnd.nextInt(10) + 1)
+        case 1 =>
+          val v = views(rnd.nextInt(3))
+          vs.ack(v, s"p${rnd.nextInt(2) + 1}", rnd.nextInt(4) + 1)
+        case 2 => vs.nack(views(rnd.nextInt(3)), s"p${rnd.nextInt(2) + 1}")
+        case 3 => vs.scheduleNack(views(rnd.nextInt(3)), s"p${rnd.nextInt(2) + 1}",
+          rnd.nextInt(5000))
+        case 4 => vs.ackBatch(views(rnd.nextInt(3)),
+          Seq((s"p${rnd.nextInt(2) + 1}", rnd.nextInt(4) + 1)))
+        case 5 if rnd.nextBoolean() =>
+          val v = views(rnd.nextInt(3))
+          vs.deleteView(v); vs.registerView(v, startAt = Some(ts(-1000)))
+        case _ => ()
+      }
+    }
+    val liveViews = vs.allViews.collect().map(v => v.view -> v).toMap
+    val liveLocks = vs.allLocks.collect().map(l => (l.view, l.decider_id) -> l).toMap
+    // a SECOND journal handle replays the same directory cold (same
+    // owner id — the lease is still live)
+    val j = new ControlJournal(dir, spark.sparkContext.hadoopConfiguration,
+      "A", () => clock.t, 600000L)
+    j.acquire()
+    val (rv, rl) = j.replay()
+    assert(rv.map(v => v.view -> v).toMap === liveViews)
+    assert(rl.map(l => (l.view, l.decider_id) -> l).toMap === liveLocks)
+    vs.closeJournal()
+  }
+
   test("deleteView cascades through replay; fanout heads are journaled") {
     val dir = Files.createTempDirectory("graft-journal-del").toString
     val clock = new Clock
