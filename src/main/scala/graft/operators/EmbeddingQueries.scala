@@ -59,9 +59,27 @@ object EmbeddingQueries {
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
       .transform(graft.Caching.persistOnce(_))
 
-  /** DuckDB-side: the same sequential fold (list index is 1-based). */
+  /** DuckDB-side: the same sequential fold (list index is 1-based).
+    * NOTE (shared by every oracle below): the bit-identity claims
+    * assume DuckDB's list_sum evaluates as a sequential left fold —
+    * true today and load-bearing for years of passing oracles here,
+    * but an implementation detail; if a DuckDB release switched to
+    * pairwise summation, near-zero dots could flip low-order bits and
+    * the replay oracles would fail spuriously. The fix then is
+    * list_reduce (explicitly ordered), at some oracle runtime cost.
+    */
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  // ANN tuning constants — ONE definition shared by each query body
+  // and its replay oracle, so a retune cannot silently de-sync the
+  // operator from its verification.
+  private val AnnLshBands = 8
+  private val AnnLshBits = 8
+  private val IvfCells = 16
+  private val IvfIters = 5
+  private val IvfProbes = 3
+  private val IvfSampleN = 4096
 
   /** Full DuckDB replay of the IVF ANN pipeline, INCLUDING the
     * quantizer fit: KMeansLite's Lloyd iterations are unrolled as CTE
@@ -98,7 +116,7 @@ object EmbeddingQueries {
              ON p.cell = n.cell)"""
     }.mkString(",\n")
     s"""WITH samp AS (
-         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
        c0 AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                 list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
@@ -465,7 +483,7 @@ object EmbeddingQueries {
         // after the 8-band union) — multi-probe buys recall at a far
         // better candidate budget than adding bands, because probes
         // reuse the same signatures (Lv et al., multi-probe LSH).
-        val nBands = 8; val bits = 8
+        val nBands = AnnLshBands; val bits = AnnLshBits
         // The band self-join ships ONLY (band, sig, vec_id) — never the
         // vectors: joining embeddings through the band join would move
         // 2 × nBands copies of the corpus through the shuffle (the
@@ -499,7 +517,7 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
-      Some(annLshOracleSql(nBands = 8, bits = 8))),
+      Some(annLshOracleSql(AnnLshBands, AnnLshBits))),
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
@@ -523,9 +541,9 @@ object EmbeddingQueries {
         // deterministic sample: the 4096 smallest vec_ids — the fit
         // (first-k init, fixed-point updates) is order-sensitive by
         // SPEC so the oracle can replay it
-        val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(4096)
+        val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(IvfSampleN)
           .as[Array[Float]].collect()
-        val centers = graft.functions.KMeansLite.fit(sample, k = 16, iters = 5)
+        val centers = graft.functions.KMeansLite.fit(sample, k = IvfCells, iters = IvfIters)
         val cLit = typedlit(centers.map(_.toSeq).toSeq)
         // Cell assignment (database side, home cell) and the probe
         // list (query side, nProbe=3 nearest cells — the standard IVF
@@ -538,7 +556,7 @@ object EmbeddingQueries {
           element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
             .as("cell"))
         val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            explode(call_function("nearest_cells", col("embedding"), cLit, lit(3)))
+            explode(call_function("nearest_cells", col("embedding"), cLit, lit(IvfProbes)))
               .as("cell"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
         probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
@@ -548,6 +566,6 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
-      Some(annIvfOracleSql(k = 16, iters = 5, nProbe = 3)))
+      Some(annIvfOracleSql(IvfCells, IvfIters, IvfProbes)))
   )
 }

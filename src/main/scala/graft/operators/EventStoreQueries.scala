@@ -196,7 +196,10 @@ object EventStoreQueries {
               .as("mean"),
             (sum((col("value").cast("decimal(18,2)") * col("value").cast("decimal(18,2)"))
               .cast("decimal(38,4)")).cast("double") / count(col("value"))).as("ex2"))
-          .withColumn("sd", sqrt(col("ex2") - col("mean") * col("mean")))
+          // clamp: ex2 − mean² can be a tiny NEGATIVE double for
+          // near-constant groups; Spark's sqrt would give NaN (filter
+          // silently false) but DuckDB's sqrt RAISES — clamp both sides
+          .withColumn("sd", sqrt(greatest(col("ex2") - col("mean") * col("mean"), lit(0.0))))
         ev.join(broadcast(stats), ev("event_type") === stats("t"))
           .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
           .select(col("event_id"), col("event_type"), col("value"))
@@ -209,7 +212,7 @@ object EventStoreQueries {
                FROM events GROUP BY event_type)
              SELECT event_id, event_type, value
              FROM events JOIN stats ON event_type = t
-             WHERE abs(value - mean) > 3.0 * sqrt(ex2 - mean * mean)
+             WHERE abs(value - mean) > 3.0 * sqrt(greatest(ex2 - mean * mean, 0.0))
              ORDER BY event_id""")),
 
     // RANGE-interval window frame (time-based moving aggregate): each

@@ -104,23 +104,29 @@ final class FStoreApi(spark: SparkSession) {
   def scheduleEvents(view: String, schedule: String, url: String,
                      send: (String, String) => Unit,
                      clock: () => Long,
-                     sleeper: Long => Unit): Unit =
+                     sleeper: Long => Unit): Unit = {
+    def runnerJob(runner: graft.streaming.CronRunner): Unit =
+      scheduler.scheduleJob(view) { runner.start(); () => runner.stop() }
+    val reg = registeredView(view)
+    val tick = () => pullAndPost(view, reg.lock_timeout_s, url, send)
     graft.streaming.Schedule.parse(schedule) match {
-      case graft.streaming.Schedule.Every(ms) =>
+      case graft.streaming.Schedule.Every(ms)
+          if (clock eq FStoreApi.WallClock) && (sleeper eq FStoreApi.WallSleeper) =>
+        // real time → the streaming ProcessingTime path (plan-native)
         scheduleEvents(view, math.max(1L, ms / 1000L), url, send)
+      case graft.streaming.Schedule.Every(ms) =>
+        // injected clock/sleeper: honor virtual time for intervals too
+        // (ProcessingTime cannot take a clock — silently dropping the
+        // injection here would hang virtual-time tests on wall time)
+        runnerJob(graft.streaming.CronRunner.every(ms, tick, clock, sleeper))
       case c: graft.streaming.Schedule.Cron =>
-        val reg = registeredView(view)
-        scheduler.scheduleJob(view) {
-          val runner = new graft.streaming.CronRunner(c,
-            () => pullAndPost(view, reg.lock_timeout_s, url, send), clock, sleeper)
-          runner.start()
-          () => runner.stop()
-        }
+        runnerJob(graft.streaming.CronRunner(c, tick, clock, sleeper))
     }
+  }
 
   def scheduleEvents(view: String, schedule: String, url: String): Unit =
     scheduleEvents(view, schedule, url, PushSink.HttpSender,
-      () => System.currentTimeMillis(), Thread.sleep)
+      FStoreApi.WallClock, FStoreApi.WallSleeper)
 
   private def registeredView(view: String): ViewRegistration =
     streams.allViews.filter(_.view == view).collect().headOption
@@ -144,4 +150,14 @@ final class FStoreApi(spark: SparkSession) {
   }
 
   def unscheduleEvents(view: String): Boolean = scheduler.unschedule(view)
+}
+
+object FStoreApi {
+  /** Canonical wall-clock instances: the schedule-string API compares
+    * against these by REFERENCE to decide whether the caller injected
+    * virtual time (→ timer-loop path) or wants real time (→ the
+    * plan-native ProcessingTime streaming path for intervals).
+    */
+  val WallClock: () => Long = () => System.currentTimeMillis()
+  val WallSleeper: Long => Unit = Thread.sleep
 }

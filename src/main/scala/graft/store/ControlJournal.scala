@@ -62,7 +62,12 @@ final class ControlJournal(dirStr: String,
 
   /** Acquire the writer lease, or throw [[OwnershipHeldException]] if a
     * different live owner holds it. An expired lease is taken over
-    * (the crashed-writer path). Also positions `seq` after the last
+    * (the crashed-writer path). Claiming is write-then-READ-BACK: when
+    * two takeover candidates race past the liveness check, both write
+    * the owner file (each write is one atomic replace) but the
+    * last-writer-wins content then tells every reader exactly one
+    * winner — the loser sees a foreign id on read-back and throws
+    * before touching the sequence. Also positions `seq` after the last
     * existing entry so appends continue the sequence.
     */
   def acquire(): Unit = {
@@ -77,7 +82,18 @@ final class ControlJournal(dirStr: String,
       case _ => ()
     }
     writeOwner(nowMs + leaseMs)
+    verifyOwnership()
     seq = math.max(latestSnapshotSeq(), listEntrySeqs().lastOption.getOrElse(0L))
+  }
+
+  /** Read the owner file back and throw if another writer's claim
+    * landed after ours — the deterministic single-winner step.
+    */
+  private def verifyOwnership(): Unit = readOwner() match {
+    case Some((id, _)) if id == ownerId => ()
+    case other =>
+      throw new OwnershipHeldException(
+        s"writer '$ownerId' lost the claim race for $dirStr to ${other.map(_._1)}")
   }
 
   /** Release the lease (clean shutdown). Safe to call when not held. */
@@ -114,7 +130,9 @@ final class ControlJournal(dirStr: String,
         case Some((id, exp)) if id != ownerId && exp > nowMs =>
           throw new OwnershipHeldException(
             s"writer '$ownerId' was fenced: journal $dirStr now held by '$id'")
-        case _ => writeOwner(nowMs + leaseMs)
+        case _ =>
+          writeOwner(nowMs + leaseMs)
+          verifyOwnership() // a racing takeover may have written after us
       }
     }
   }
@@ -154,6 +172,11 @@ final class ControlJournal(dirStr: String,
           rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
         case OpLocksUpsert =>
           rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+        case OpViewReplace =>
+          val v = rec.view.toRow
+          views(v.view) = v
+          locks.filterInPlace { case ((view, _), _) => view != v.view }
+          rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
         case other => throw new IllegalStateException(s"unknown journal op '$other' at seq $s")
       }
     }
@@ -190,13 +213,18 @@ final class ControlJournal(dirStr: String,
 
   private def latestSnapshotSeq(): Long = snapshotSeqs().lastOption.getOrElse(0L)
 
+  /** Write-to-temp + ONE atomic rename-with-overwrite (FileContext) —
+    * no delete-then-rename window where a concurrent reader could
+    * observe the path absent.
+    */
   private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(path.getParent, s".tmp-${path.getName}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new IllegalStateException(s"journal write failed: could not publish $path")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(path).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readJson[T](path: Path)(implicit ct: scala.reflect.ClassTag[T]): T = {
@@ -217,11 +245,14 @@ object ControlJournal {
 
   val OpViewUpsert = "view_upsert"
   val OpViewDelete = "view_delete"
-  /** Clear a view's locks, then insert the given rows (registerView's
-    * matrix swap as one atomic logical record).
-    */
+  /** Clear a view's locks, then insert the given rows. */
   val OpLocksReplace = "locks_replace"
   val OpLocksUpsert = "locks_upsert"
+  /** registerView as ONE record: upsert the view AND replace its lock
+    * matrix — a crash can never replay the registration half-applied
+    * (the reference runs it as one transaction, schema.sql:376-393).
+    */
+  val OpViewReplace = "view_replace"
 
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()

@@ -356,12 +356,16 @@ final class EventStore(val spark: SparkSession) {
       case Some((dir, buckets)) =>
         // disk holds offsets <= flushedOffset; anything appended since
         // the last save/saveIncrement only exists in the in-memory log,
-        // so union the (usually empty) unflushed tail for consistency
+        // so union the unflushed tail — but ONLY when one exists:
+        // after save() rebased `events` onto the disk files, a
+        // vacuous tail filter would re-scan those same files without
+        // the bucket pruning this path exists to provide
         val disk = spark.read.parquet(eventsPath(dir))
           .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
           .drop("bucket", "day")
-        val tail = events.filter($"offset" > flushedOffset).toDF()
-        disk.unionByName(tail)
+        if (flushedOffset < headOffset)
+          disk.unionByName(events.filter($"offset" > flushedOffset).toDF())
+        else disk
       case None => events.toDF()
     }
     base.filter($"decider_id" === deciderId)
@@ -391,8 +395,10 @@ final class EventStore(val spark: SparkSession) {
         val disk = spark.read.parquet(eventsPath(dir))
           .filter($"day" >= fromDay)
           .drop("bucket", "day")
-        val tail = events.filter($"offset" > flushedOffset).toDF()
-        disk.unionByName(tail)
+        // tail only when unflushed events exist (see streamSlice)
+        if (flushedOffset < headOffset)
+          disk.unionByName(events.filter($"offset" > flushedOffset).toDF())
+        else disk
       case None => events.toDF()
     }
     base.filter($"created_at" >= lit(from)).as[EventRow]
@@ -463,6 +469,11 @@ final class EventStore(val spark: SparkSession) {
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
     EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration)
+    // rebase the in-memory plan onto the just-published version: the
+    // plan may still lazily reference files of an OLDER version that
+    // the next rewrite retires — exactly the compact() hazard, so the
+    // same rebase (also truncates the union lineage for free)
+    events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
     diskLayout = Some((dir, buckets))
     flushedOffset = headOffset
   }
@@ -552,11 +563,23 @@ object EventStore {
   private val VersionName = """events_v(\d+)""".r
 
   /** The live events directory under `dir`: the version the `_current`
-    * pointer names, or the legacy unversioned `$dir/events` when no
-    * pointer exists (logs written before versioning read unchanged).
+    * pointer names; with no pointer, the highest on-disk `events_v<N>`
+    * (covers a crash that lost the pointer mid-flip), else the legacy
+    * unversioned `$dir/events` (pre-versioning logs read unchanged).
     */
   def resolveEventsPath(dir: String, conf: Configuration): String =
-    readPointer(dir, conf).map(v => s"$dir/$v").getOrElse(s"$dir/events")
+    readPointer(dir, conf).map(v => s"$dir/$v")
+      .orElse(latestVersionOnDisk(dir, conf).map(v => s"$dir/$v"))
+      .getOrElse(s"$dir/events")
+
+  private def latestVersionOnDisk(dir: String, conf: Configuration): Option[String] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val d = new HPath(dir)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case v @ VersionName(n) => (n.toLong, v) }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
 
   private def readPointer(dir: String, conf: Configuration): Option[String] = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
@@ -580,7 +603,12 @@ object EventStore {
 
   /** Atomically flip `_current` to `newVer`, then delete every version
     * directory except the new one and its immediate predecessor (kept
-    * for scans that listed files before the flip).
+    * for scans that listed files before the flip). The flip uses
+    * FileContext's rename-with-OVERWRITE — one atomic replace, no
+    * deleted-pointer window (a plain FileSystem.rename cannot replace,
+    * which would force delete-then-rename and a vacuum a concurrent
+    * [[resolveEventsPath]] could fall into; the max-version fallback
+    * there additionally covers a crash that loses the pointer).
     */
   private[store] def publishVersion(dir: String, newVer: String,
                                     conf: Configuration): Unit = {
@@ -590,8 +618,10 @@ object EventStore {
     val out = fs.create(tmp, true)
     try out.write(newVer.getBytes("UTF-8")) finally out.close()
     val ptr = new HPath(s"$dir/$PointerFile")
-    fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"could not publish version pointer at $dir")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(ptr).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val keep = Set(newVer) ++ prev
     fs.listStatus(new HPath(dir)).foreach { st =>
       st.getPath.getName match {

@@ -177,13 +177,12 @@ final class ViewStreams(val store: EventStore) {
         r.getLong(1), r.getLong(2), new Timestamp(t.getTime - 1),
         r.getBoolean(3), t, t)
     }
-    journal.foreach { j =>
-      j.append(ControlJournal.Record(ControlJournal.OpViewUpsert,
-        view = ControlJournal.JView.of(row)))
-      j.append(ControlJournal.Record(ControlJournal.OpLocksReplace, name = view,
-        locks = locksMap.collect { case ((v, _), l) if v == view =>
-          ControlJournal.JLock.of(l) }.toArray))
-    }
+    // ONE combined record: a crash between separate view/locks appends
+    // would replay a registration no writer ever held
+    journal.foreach(_.append(ControlJournal.Record(ControlJournal.OpViewReplace,
+      view = ControlJournal.JView.of(row),
+      locks = locksMap.collect { case ((v, _), l) if v == view =>
+        ControlJournal.JLock.of(l) }.toArray)))
     row
     }
   }

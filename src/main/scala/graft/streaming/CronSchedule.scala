@@ -28,11 +28,13 @@ object Schedule {
                         domStar: Boolean, dowStar: Boolean) extends Schedule {
 
     private def matches(t: java.time.ZonedDateTime): Boolean = {
-      val dayOk =
-        if (domStar && dowStar) true
-        else if (domStar) dow(t.getDayOfWeek.getValue % 7) // java MON=1..SUN=7 → cron SUN=0
-        else if (dowStar) dom(t.getDayOfMonth)
-        else dom(t.getDayOfMonth) || dow(t.getDayOfWeek.getValue % 7)
+      // vixie rule: the star FLAGS pick AND vs OR, the value SETS
+      // always apply — '*/2' is star-flagged AND restricted, so
+      // '0 0 */2 * mon' means (odd dom) AND (monday), while
+      // '0 0 13 * fri' (neither star) means (13th) OR (friday)
+      val d = dom(t.getDayOfMonth)
+      val w = dow(t.getDayOfWeek.getValue % 7) // java MON=1..SUN=7 → cron SUN=0
+      val dayOk = if (domStar || dowStar) d && w else d || w
       minute(t.getMinute) && hour(t.getHour) && month(t.getMonthValue) && dayOk
     }
 
@@ -78,7 +80,11 @@ object Schedule {
         s"schedule must be 'N seconds|minutes|hours' or 5-field cron, got: '$s'")
       def field(raw: String, lo: Int, hi: Int,
                 names: Map[String, Int] = Map.empty): (Set[Int], Boolean) = {
-        val star = raw == "*"
+        // vixie sets the star flag for ANY field beginning with '*'
+        // (including '*/n') — the dom/dow OR rule keys off this, so
+        // '0 0 */2 * mon' must fire Mondays-on-odd-days (AND), not
+        // every odd day OR Monday
+        val star = raw == "*" || raw.startsWith("*/")
         def atom(a: String): Int = names.getOrElse(a.toLowerCase,
           a.toIntOption.getOrElse(
             throw new IllegalArgumentException(s"bad cron atom '$a' in '$s'")))
@@ -113,23 +119,24 @@ object Schedule {
   }
 }
 
-/** Driver-side timer firing `action` at each cron tick — the pg_cron
-  * analogue for schedules `Trigger.ProcessingTime` cannot express.
-  * Clock and sleeper are injectable so tests run on virtual time. A
-  * failing action is logged and the loop keeps firing (pg_cron records
-  * the failed run and fires again next tick).
+/** Driver-side timer firing `action` at each schedule tick — the
+  * pg_cron analogue for schedules `Trigger.ProcessingTime` cannot
+  * express (and, with an injected clock, for virtual-time tests of
+  * interval schedules too). `next` maps a now-epoch-ms to the next
+  * fire time. Clock and sleeper are injectable so tests run on
+  * virtual time. A failing action is logged and the loop keeps firing
+  * (pg_cron records the failed run and fires again next tick).
   */
-final class CronRunner(cron: Schedule.Cron,
+final class CronRunner(next: Long => Long,
                        action: () => Unit,
                        clock: () => Long = () => System.currentTimeMillis(),
-                       sleeper: Long => Unit = Thread.sleep,
-                       zone: ZoneId = ZoneOffset.UTC) {
+                       sleeper: Long => Unit = Thread.sleep) {
   @volatile private var stopped = false
   private val thread = new Thread(() => {
     while (!stopped) {
       val now = clock()
-      val next = cron.nextAfter(now, zone)
-      try sleeper(math.max(0L, next - now))
+      val fireAt = next(now)
+      try sleeper(math.max(0L, fireAt - now))
       catch { case _: InterruptedException => () }
       if (!stopped)
         try action()
@@ -142,4 +149,16 @@ final class CronRunner(cron: Schedule.Cron,
 
   def start(): this.type = { thread.start(); this }
   def stop(): Unit = { stopped = true; thread.interrupt() }
+}
+
+object CronRunner {
+  def apply(cron: Schedule.Cron, action: () => Unit,
+            clock: () => Long = () => System.currentTimeMillis(),
+            sleeper: Long => Unit = Thread.sleep,
+            zone: ZoneId = ZoneOffset.UTC): CronRunner =
+    new CronRunner(now => cron.nextAfter(now, zone), action, clock, sleeper)
+
+  def every(ms: Long, action: () => Unit,
+            clock: () => Long, sleeper: Long => Unit): CronRunner =
+    new CronRunner(now => now + ms, action, clock, sleeper)
 }

@@ -95,6 +95,27 @@ class FStoreApiSpec extends SparkSpec {
     assert(sent.peek().contains("\"decider_id\":\"o-1\""))
   }
 
+  test("schedule_events honors injected virtual time for interval schedules too") {
+    val api = new FStoreApi(spark)
+    val vclock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    api.store.now = () => new Timestamp(vclock.get())
+    api.registerDeciderEvent("Order", "Placed")
+    api.registerView("iv-view", startAt = Some(new Timestamp(0L)), lockTimeoutS = 60L)
+    api.appendEvent("Placed", "i1", "Order", "o-9", """{"n":1}""")
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // '30 seconds' with an injected clock must tick on VIRTUAL time —
+    // the interval branch used to silently fall back to wall-clock
+    // ProcessingTime and a test like this one would hang to deadline
+    api.scheduleEvents("iv-view", "30 seconds", "http://localhost:0/fn",
+      send = (_, body) => sent.add(body),
+      clock = () => vclock.get(),
+      sleeper = ms => { vclock.addAndGet(ms); Thread.sleep(1) })
+    val deadline = System.currentTimeMillis() + 15000
+    while (sent.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(api.unscheduleEvents("iv-view"))
+    assert(sent.size >= 2, s"expected >=2 virtual-time interval pushes, saw ${sent.size}")
+  }
+
   test("schedule_events rejects malformed schedule strings") {
     val api = new FStoreApi(spark)
     api.registerView("bad-sched-view")

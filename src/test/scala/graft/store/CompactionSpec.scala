@@ -77,6 +77,28 @@ class CompactionSpec extends SparkSpec {
     assert(st2.getEvents("p0", "C").count() == 41)
   }
 
+  test("rewrites rebase the in-memory plan; increments after compact don't duplicate") {
+    val dir = Files.createTempDirectory("graft-compact-rebase").toString
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)
+    // second full save retires the version the in-memory plan would
+    // otherwise still reference lazily — scans must keep working
+    st.save(dir, buckets = 4)
+    assert(st.allEvents.count() === 30L)
+    append(st, 30, 60)
+    st.compact(dir) // publishes a new version; 30 events unflushed
+    assert(st.saveIncrement(dir) === 30L)
+    // no double count: the checkpointed tail and the flushed files
+    // must not BOTH serve the same offsets
+    assert(st.allEvents.count() === 60L)
+    assert(st.allEvents.collect().map(_.offset).distinct.length === 60)
+    val st2 = new EventStore(spark)
+    st2.load(dir, buckets = 4)
+    assert(st2.allEvents.count() === 60L)
+    assert(st2.getEvents("p0", "C").count() === 20L)
+  }
+
   test("compact publishes through the manifest pointer: no reader vacuum, old version retained") {
     val dir = Files.createTempDirectory("graft-compact-mvcc").toString
     val conf = spark.sparkContext.hadoopConfiguration

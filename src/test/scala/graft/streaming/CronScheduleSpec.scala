@@ -65,6 +65,16 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(c.nextAfter(utc(2026, 8, 12, 0, 0)) === utc(2026, 12, 1, 6, 30))
   }
 
+  test("vixie star flag: '*/2' dom is star-flagged AND restricted") {
+    val c = cron("0 0 */2 * mon")
+    assert(c.domStar, "*/2 must keep the star flag (vixie first-char rule)")
+    // star-flagged dom + restricted dow → AND: the next midnight that
+    // is BOTH a Monday and an odd day-of-month. From Wed 2026-08-12
+    // that is Monday Aug 17 — under the (incorrect) OR rule it would
+    // have been Thu Aug 13 (odd dom alone).
+    assert(c.nextAfter(utc(2026, 8, 12, 1, 0)) === utc(2026, 8, 17, 0, 0))
+  }
+
   test("malformed schedules are rejected") {
     intercept[IllegalArgumentException](Schedule.parse("whenever"))
     intercept[IllegalArgumentException](Schedule.parse("61 * * * *"))
@@ -75,7 +85,7 @@ class CronScheduleSpec extends AnyFunSuite {
   test("CronRunner fires on virtual-time ticks and stops cleanly") {
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
     val vclock = new java.util.concurrent.atomic.AtomicLong(utc(2026, 8, 12, 10, 0))
-    val runner = new CronRunner(cron("* * * * *"), () => fired.incrementAndGet(),
+    val runner = CronRunner(cron("* * * * *"), () => fired.incrementAndGet(),
       clock = () => vclock.get(),
       sleeper = ms => { vclock.addAndGet(ms); Thread.sleep(1) })
     runner.start()
