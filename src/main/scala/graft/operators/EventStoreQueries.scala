@@ -244,6 +244,34 @@ object EventStoreQueries {
                           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
              ORDER BY event_id""")),
 
+    // Frame-sensitive first/last_value + lead over an explicit ROWS
+    // frame (the window primitives not covered elsewhere: w1 has lag,
+    // A3 has max_by): a 3-event trailing context per user — last_value
+    // is frame-end-sensitive by SQL semantics, which is exactly what
+    // the explicit frame pins (the default frame would make it the
+    // current row trivially).
+    Q("es_w5_frame_bounds",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-2, Window.currentRow)
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            first("event_type").over(w).as("ctx_first"),
+            last("event_type").over(w).as("ctx_last"),
+            lead("event_type", 1).over(wOrd).as("next_type"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             first_value(event_type) OVER w AS ctx_first,
+             last_value(event_type) OVER w AS ctx_last,
+             lead(event_type) OVER w2 AS next_type
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                    w2 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             ORDER BY user_id, event_id""")),
+
     Q("es_w1_lag_gaps",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
