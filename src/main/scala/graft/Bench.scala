@@ -134,6 +134,22 @@ object Bench {
           got = vs.streamEvents("bench_view", limit = 20)
         }
         val streamSec = (System.nanoTime() - tS) / 1e9
+        // Same drain through the DURABLE control plane: journal open,
+        // batch-ACK group commit (one journal record per poll batch) —
+        // quantifies what crash-safe ACKs cost vs the in-memory slot.
+        val jdir = java.nio.file.Files.createTempDirectory("graft-bench-journal").toString
+        vs.openJournal(jdir) // replaces control-plane state with the (empty) journal
+        vs.registerView("bench_view_j", startAt = Some(new java.sql.Timestamp(0L)))
+        val tJ = System.nanoTime()
+        var drainedJ = 0
+        var gotJ = vs.streamEvents("bench_view_j", limit = 20)
+        while (gotJ.nonEmpty && drainedJ < 100) {
+          vs.ackBatch("bench_view_j", gotJ.map(e => (e.decider_id, e.offset)))
+          drainedJ += gotJ.size
+          gotJ = vs.streamEvents("bench_view_j", limit = 20)
+        }
+        val streamJournaledSec = (System.nanoTime() - tJ) / 1e9
+        vs.closeJournal()
         // Large-payload stress: ~1 KB JSON per event, one append call
         // per event (the reference's per-statement shape).
         val kb = (0 until 16).map(i => s""""k$i":"${"x" * 56}"""").mkString("{", ",", "}")
@@ -167,6 +183,7 @@ object Bench {
         val compactSec = (System.nanoTime() - tCp) / 1e9
         Seq("store_append_1000" -> appendSec,
           "store_stream_ack_100" -> streamSec,
+          "store_stream_ackbatch_journal_100" -> streamJournaledSec,
           "store_append_payload_20x1k" -> stressSec,
           "store_save_full" -> saveSec,
           "store_save_increment_200" -> incSec,
