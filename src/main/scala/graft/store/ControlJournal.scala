@@ -28,14 +28,22 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   *    `<= seq`; older files are deleted. Journal growth is bounded by
   *    mutation rate between checkpoints, and `ViewStreams.save` folds
   *    a checkpoint in.
-  *  - **Single-writer fencing**: a `_owner` lease file (owner id +
-  *    expiry) enforces the one-writer-per-journal rule the reference
-  *    expresses with row locks (`FOR UPDATE SKIP LOCKED`,
-  *    schema.sql:411). A second process opening the same journal gets
-  *    a clean rejection until the lease expires; after expiry it may
-  *    take over (crash recovery). The lease refreshes on append once
-  *    past its half-life, and a refresh that discovers a foreign owner
-  *    throws — the writer knows it has been fenced.
+  *  - **Single-writer fencing**: epoch-numbered lease files
+  *    (`_owner-<epoch>`, owner id + expiry inside) enforce the
+  *    one-writer-per-journal rule the reference expresses with row
+  *    locks (`FOR UPDATE SKIP LOCKED`, schema.sql:411). The live owner
+  *    is the HIGHEST epoch; claiming writes `_owner-<epoch+1>` with an
+  *    atomic create-exclusive (hard-link publish on local paths,
+  *    `create(overwrite=false)` on HDFS-like stores), so when two
+  *    takeover candidates race past the expired-lease check exactly
+  *    one wins the epoch file and the loser throws — there is no
+  *    write-then-read-back window in which both can believe they own
+  *    the journal, and no delete in the claim path that could nuke a
+  *    rival's fresh claim. The lease refreshes on append once past its
+  *    half-life by rewriting the owned epoch file (which no rival ever
+  *    writes — a usurper creates the NEXT epoch); a refresh that
+  *    discovers a higher epoch throws — the writer knows it has been
+  *    fenced.
   *
   * Scale note (100 TB deployment): the journal is control-plane-sized —
   * entries are O(locks touched per mutation), the same rows the
@@ -53,86 +61,149 @@ final class ControlJournal(dirStr: String,
 
   private val dir = new Path(dirStr)
   private val fs = FileSystem.get(dir.toUri, conf)
-  private val ownerPath = new Path(dir, OwnerFile)
   private var seq: Long = 0L
   private var leaseExpiry: Long = 0L
+  private var epoch: Long = 0L
 
   // ------------------------------------------------------------------
   // Ownership lease
 
   /** Acquire the writer lease, or throw [[OwnershipHeldException]] if a
     * different live owner holds it. An expired lease is taken over
-    * (the crashed-writer path). Claiming is write-then-READ-BACK: when
-    * two takeover candidates race past the liveness check, both write
-    * the owner file (each write is one atomic replace) but the
-    * last-writer-wins content then tells every reader exactly one
-    * winner — the loser sees a foreign id on read-back and throws
-    * before touching the sequence. Also positions `seq` after the last
-    * existing entry so appends continue the sequence.
+    * (the crashed-writer path). Claiming is ATOMIC: the candidate
+    * creates `_owner-<epoch+1>` with create-exclusive semantics, so of
+    * two racers past the expired-lease check exactly one owns the new
+    * epoch file; the loser's create fails and it throws before touching
+    * the sequence. Also positions `seq` after the last existing entry
+    * so appends continue the sequence.
     */
   def acquire(): Unit = {
     fs.mkdirs(dir)
     val nowMs = clock().getTime
-    readOwner() match {
-      case Some((id, exp)) if id != ownerId && exp > nowMs =>
+    val cur = currentOwner()
+    cur match {
+      case Some((_, id, exp)) if id != ownerId && exp > nowMs =>
         throw new OwnershipHeldException(
           s"control journal at $dirStr is held by writer '$id' until epoch-ms $exp; " +
             "a second live writer on the same journal would double-deliver " +
             "(reference FOR UPDATE SKIP LOCKED, schema.sql:411)")
       case _ => ()
     }
-    writeOwner(nowMs + leaseMs)
-    verifyOwnership()
-    seq = math.max(latestSnapshotSeq(), listEntrySeqs().lastOption.getOrElse(0L))
-  }
-
-  /** Read the owner file back and throw if another writer's claim
-    * landed after ours — the deterministic single-winner step.
-    */
-  private def verifyOwnership(): Unit = readOwner() match {
-    case Some((id, _)) if id == ownerId => ()
-    case other =>
+    val nextEpoch = cur.map(_._1 + 1L).getOrElse(1L)
+    val expiry = nowMs + leaseMs
+    if (!createExclusive(ownerEpochPath(nextEpoch), s"$ownerId@$expiry".getBytes("UTF-8")))
       throw new OwnershipHeldException(
-        s"writer '$ownerId' lost the claim race for $dirStr to ${other.map(_._1)}")
+        s"writer '$ownerId' lost the claim race for $dirStr at epoch $nextEpoch")
+    epoch = nextEpoch
+    leaseExpiry = expiry
+    // Superseded epochs (and the pre-epoch legacy file) are dead weight:
+    // liveness is decided by the max epoch, so deleting lower ones can
+    // never promote a rival.
+    ownerEpochSeqs().filter(_ < nextEpoch).foreach(e => fs.delete(ownerEpochPath(e), false))
+    fs.delete(new Path(dir, LegacyOwnerFile), false)
+    seq = math.max(latestSnapshotSeq(), listEntrySeqs().lastOption.getOrElse(0L))
   }
 
   /** Release the lease (clean shutdown). Safe to call when not held. */
   def release(): Unit = {
-    readOwner() match {
-      case Some((id, _)) if id == ownerId => fs.delete(ownerPath, false)
+    currentOwner() match {
+      case Some((e, id, _)) if id == ownerId && e == epoch =>
+        fs.delete(ownerEpochPath(e), false)
       case _ => ()
     }
   }
 
-  private def readOwner(): Option[(String, Long)] =
-    if (!fs.exists(ownerPath)) None
-    else {
-      val in = fs.open(ownerPath)
+  /** The live claim: highest epoch file, falling back to the legacy
+    * un-epoched `_owner` file (journals written before the epoch
+    * scheme) as epoch 0. Unparseable content (an HDFS-like store can
+    * expose a created-but-unwritten file for a moment) is treated as a
+    * live foreign hold expiring `leaseMs` past the file's mtime —
+    * conservative: it delays takeover, never permits a double-claim.
+    */
+  private def currentOwner(): Option[(Long, String, Long)] = {
+    val parsed = ownerEpochSeqs().lastOption.map(e => (e, ownerEpochPath(e)))
+      .orElse {
+        val legacy = new Path(dir, LegacyOwnerFile)
+        if (fs.exists(legacy)) Some((0L, legacy)) else None
+      }
+    parsed.map { case (e, p) =>
+      readOwnerFile(p) match {
+        case Some((id, exp)) => (e, id, exp)
+        case None =>
+          val mtime = try fs.getFileStatus(p).getModificationTime catch {
+            case _: java.io.FileNotFoundException => 0L
+          }
+          (e, s"<unreadable claim $p>", mtime + leaseMs)
+      }
+    }
+  }
+
+  private def readOwnerFile(p: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
       try {
         val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         val i = txt.lastIndexOf('@')
         if (i < 0) None else Some((txt.substring(0, i), txt.substring(i + 1).trim.toLong))
       } finally in.close()
-    }
+    } catch { case _: java.io.FileNotFoundException => None }
 
-  private def writeOwner(expiry: Long): Unit = {
-    atomicWrite(ownerPath, s"$ownerId@$expiry".getBytes("UTF-8"))
-    leaseExpiry = expiry
-  }
+  private def ownerEpochPath(e: Long): Path = new Path(dir, f"$OwnerPrefix$e%020d")
+
+  private def ownerEpochSeqs(): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case OwnerName(d) => d.toLong }.sorted
 
   /** Refresh the lease past its half-life; throw if a foreign owner has
     * taken over (we crashed long enough to be fenced, then came back).
+    * Detection is by epoch: a usurper always claims a HIGHER epoch and
+    * never writes ours, so rewriting our own epoch file races nobody.
     */
   private def refreshLease(): Unit = {
     val nowMs = clock().getTime
     if (nowMs >= leaseExpiry - leaseMs / 2) {
-      readOwner() match {
-        case Some((id, exp)) if id != ownerId && exp > nowMs =>
+      ownerEpochSeqs().lastOption match {
+        case Some(top) if top > epoch =>
+          val holder = readOwnerFile(ownerEpochPath(top)).map(_._1).getOrElse("<unknown>")
           throw new OwnershipHeldException(
-            s"writer '$ownerId' was fenced: journal $dirStr now held by '$id'")
+            s"writer '$ownerId' was fenced: journal $dirStr now held by '$holder' at epoch $top")
         case _ =>
-          writeOwner(nowMs + leaseMs)
-          verifyOwnership() // a racing takeover may have written after us
+          val expiry = nowMs + leaseMs
+          atomicWrite(ownerEpochPath(epoch), s"$ownerId@$expiry".getBytes("UTF-8"))
+          leaseExpiry = expiry
+      }
+    }
+  }
+
+  /** Create `path` with the given content atomically, failing (false)
+    * if it already exists. On local paths a hard link publishes the
+    * fully-written temp file — link(2) is atomic and EEXCL-safe, where
+    * `RawLocalFileSystem.create(overwrite=false)` is check-then-act.
+    * On HDFS-like stores `create(overwrite=false)` is atomic at the
+    * namenode.
+    */
+  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean = {
+    val qualified = fs.makeQualified(path)
+    if (qualified.toUri.getScheme == "file") {
+      val tmp = new Path(path.getParent, s".claim-$ownerId-${path.getName}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(qualified.toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException => if (fs.exists(path)) false else throw e
       }
     }
   }
@@ -238,10 +309,12 @@ final class ControlJournal(dirStr: String,
 object ControlJournal {
   final class OwnershipHeldException(msg: String) extends IllegalStateException(msg)
 
-  private val OwnerFile = "_owner"
+  private val LegacyOwnerFile = "_owner"
+  private val OwnerPrefix = "_owner-"
   private val SnapshotPrefix = "snapshot-"
   private val EntryName = """(\d{20})\.json""".r
   private val SnapshotName = """snapshot-(\d{20})\.json""".r
+  private val OwnerName = """_owner-(\d{20})""".r
 
   val OpViewUpsert = "view_upsert"
   val OpViewDelete = "view_delete"

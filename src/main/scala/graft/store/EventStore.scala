@@ -463,12 +463,12 @@ final class EventStore(val spark: SparkSession) {
     * already listed its files finish; versions older than that are
     * deleted.
     */
-  def save(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
+  def save(dir: String, buckets: Int = 32, retainDepth: Int = 1): Unit = commitLock.synchronized {
     val newVer = EventStore.nextVersionName(dir, spark.sparkContext.hadoopConfiguration)
     withLayoutCols(events.toDF(), buckets)
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
-    EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration)
+    EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration, retainDepth)
     // rebase the in-memory plan onto the just-published version: the
     // plan may still lazily reference files of an OLDER version that
     // the next rewrite retires — exactly the compact() hazard, so the
@@ -515,9 +515,12 @@ final class EventStore(val spark: SparkSession) {
     * one atomic pointer flip makes it live — there is NO window where
     * a new reader's listing can fail, and in-flight scans on the
     * previous version finish against its retained files (deleted only
-    * by the NEXT rewrite).
+    * by the NEXT rewrite). `retainDepth` widens that window: the N
+    * youngest superseded versions survive, so a reader's scan is safe
+    * as long as it finishes within N rewrites of resolving its version
+    * — size it to (max scan duration / min rewrite interval).
     */
-  def compact(dir: String): Unit = commitLock.synchronized {
+  def compact(dir: String, retainDepth: Int = 1): Unit = commitLock.synchronized {
     require(diskLayout.exists(_._1 == dir), s"no saved log at $dir")
     val conf = spark.sparkContext.hadoopConfiguration
     val curPath = eventsPath(dir)
@@ -531,7 +534,7 @@ final class EventStore(val spark: SparkSession) {
     // unflushed tail now, then rebase `events` onto the compacted copy,
     // so post-compact reads never depend on retired files
     val tail = events.filter($"offset" > flushedOffset).localCheckpoint(true)
-    EventStore.publishVersion(dir, newVer, conf)
+    EventStore.publishVersion(dir, newVer, conf, retainDepth)
     events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
       .union(tail)
   }
@@ -592,28 +595,42 @@ object EventStore {
     }
   }
 
+  /** Next version to write: one past the max of the pointer's version
+    * and the highest on-disk `events_v<N>`. The disk fallback matters
+    * when the pointer was lost (the crash case [[resolveEventsPath]]'s
+    * own fallback exists for): numbering must continue PAST the
+    * version concurrent readers are actively resolving to, or the next
+    * rewrite would restart at v1 and immediately delete the live
+    * fallback version out from under them.
+    */
   private[store] def nextVersionName(dir: String, conf: Configuration): String = {
-    val cur = readPointer(dir, conf)
-    val n = cur match {
-      case Some(VersionName(d)) => d.toLong + 1
-      case _ => 1L // no pointer yet, or legacy literal "events"
-    }
-    s"events_v$n"
+    val fromPtr = readPointer(dir, conf).collect { case VersionName(d) => d.toLong }
+    val fromDisk = latestVersionOnDisk(dir, conf).collect { case VersionName(d) => d.toLong }
+    s"events_v${(fromPtr ++ fromDisk).maxOption.getOrElse(0L) + 1}"
   }
 
   /** Atomically flip `_current` to `newVer`, then delete every version
-    * directory except the new one and its immediate predecessor (kept
-    * for scans that listed files before the flip). The flip uses
-    * FileContext's rename-with-OVERWRITE — one atomic replace, no
-    * deleted-pointer window (a plain FileSystem.rename cannot replace,
-    * which would force delete-then-rename and a vacuum a concurrent
+    * directory except the new one and its `retainDepth` youngest
+    * predecessors (kept for scans that listed files before the flip —
+    * the reader-lifetime contract: a scan must finish within
+    * `retainDepth` subsequent rewrites of the version it resolved, or
+    * its files may be deleted mid-scan). The legacy unversioned
+    * `$dir/events` directory counts as the OLDEST predecessor: it is
+    * retained through the rewrite that republishes its data and
+    * retired by a later one, like any superseded version — never kept
+    * forever, never silently resurrectable. The flip uses FileContext's
+    * rename-with-OVERWRITE — one atomic replace, no deleted-pointer
+    * window (a plain FileSystem.rename cannot replace, which would
+    * force delete-then-rename and a vacuum a concurrent
     * [[resolveEventsPath]] could fall into; the max-version fallback
-    * there additionally covers a crash that loses the pointer).
+    * there additionally covers a crash that loses the pointer — and
+    * predecessors are computed from DISK, not the pointer, so that
+    * fallback-live version stays retained too).
     */
   private[store] def publishVersion(dir: String, newVer: String,
-                                    conf: Configuration): Unit = {
+                                    conf: Configuration,
+                                    retainDepth: Int = 1): Unit = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
-    val prev = readPointer(dir, conf)
     val tmp = new HPath(s"$dir/.tmp-$PointerFile")
     val out = fs.create(tmp, true)
     try out.write(newVer.getBytes("UTF-8")) finally out.close()
@@ -622,10 +639,17 @@ object EventStore {
       fs.makeQualified(ptr).toUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    val keep = Set(newVer) ++ prev
+    val legacy = new HPath(s"$dir/events")
+    val predecessors = // youngest-first, legacy oldest
+      (fs.listStatus(new HPath(dir)).toSeq.map(_.getPath.getName)
+        .collect { case v @ VersionName(n) if v != newVer => (n.toLong, v) }
+        ++ (if (fs.exists(legacy)) Seq((0L, "events")) else Nil))
+        .sortBy(-_._1).map(_._2)
+    val keep = Set(newVer) ++ predecessors.take(math.max(retainDepth, 0))
     fs.listStatus(new HPath(dir)).foreach { st =>
       st.getPath.getName match {
         case v @ VersionName(_) if !keep(v) => fs.delete(st.getPath, true)
+        case "events" if !keep("events") => fs.delete(st.getPath, true)
         case _ => ()
       }
     }

@@ -342,6 +342,12 @@ final class ViewStreams(val store: EventStore) {
       viewsMap.clear(); locksMap.clear()
       views.foreach(v => viewsMap(v.view) = v)
       locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
+      // An open journal still holds the PRE-load snapshot+entries;
+      // leaving it would make a crash-replay resurrect state the live
+      // writer just replaced (e.g. views absent from the loaded
+      // parquet). Checkpoint the loaded state so replay and memory
+      // agree from here on.
+      journal.foreach(_.checkpoint(viewsMap.values.toSeq, locksMap.values.toSeq))
     }
   }
 }

@@ -141,4 +141,73 @@ class CompactionSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("events_v")).sorted.toSeq
     assert(versions === Seq("events_v2", "events_v3"))
   }
+
+  private def versionDirs(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("events_v")).sorted.toSeq
+
+  test("retainDepth=2: a reader's version survives TWO rewrites, dies on the third") {
+    val dir = Files.createTempDirectory("graft-compact-depth").toString
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v1 = EventStore.resolveEventsPath(dir, conf)
+    assert(v1.endsWith("events_v1"))
+    // a long-running scan that resolved v1 before any rewrite
+    val reader = spark.read.parquet(v1)
+    st.compact(dir, retainDepth = 2) // v2 live; keep {v1}
+    st.compact(dir, retainDepth = 2) // v3 live; keep {v2, v1}
+    assert(versionDirs(dir) === Seq("events_v1", "events_v2", "events_v3"))
+    assert(reader.count() === 30L, "depth-2 reader must survive two rewrites")
+    st.compact(dir, retainDepth = 2) // v4 live; keep {v3, v2} — v1 retired
+    assert(versionDirs(dir) === Seq("events_v2", "events_v3", "events_v4"))
+  }
+
+  test("lost pointer: numbering continues from the on-disk max and the fallback-live version is retained") {
+    val dir = Files.createTempDirectory("graft-compact-lostptr").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)
+    st.save(dir, buckets = 4) // v2 live, v1 retained
+    // crash loses the pointer; readers fall back to the on-disk max (v2)
+    assert(new java.io.File(dir, "_current").delete())
+    val fallback = EventStore.resolveEventsPath(dir, conf)
+    assert(fallback.endsWith("events_v2"), "fallback must resolve the on-disk max")
+    val inFlight = spark.read.parquet(fallback)
+    // next rewrite must number PAST v2 (not restart at v1) and retain
+    // v2 — the version in-flight readers are actively resolving
+    st.save(dir, buckets = 4)
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v3"))
+    assert(versionDirs(dir) === Seq("events_v2", "events_v3"))
+    assert(inFlight.count() === 30L, "fallback-live version deleted under an in-flight reader")
+  }
+
+  test("legacy unversioned events dir is retained one rewrite, then retired") {
+    val dir = Files.createTempDirectory("graft-compact-legacy").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // manufacture a pre-versioning layout: data under $dir/events, no pointer
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)
+    val f = new java.io.File(dir)
+    assert(new java.io.File(f, "_current").delete())
+    assert(new java.io.File(f, "events_v1").renameTo(new java.io.File(f, "events")))
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("/events"))
+
+    val st2 = new EventStore(spark)
+    st2.load(dir, buckets = 4)
+    st2.save(dir, buckets = 4) // republishes as v2... actually v1: no versioned dirs remain
+    val live1 = EventStore.resolveEventsPath(dir, conf)
+    assert(live1.contains("events_v"))
+    assert(new java.io.File(f, "events").exists(),
+      "legacy dir is the predecessor of the first versioned rewrite — retained for in-flight scans")
+    st2.save(dir, buckets = 4) // second rewrite retires it
+    assert(!new java.io.File(f, "events").exists(),
+      "legacy dir must be garbage-collected once superseded twice")
+    val st3 = new EventStore(spark)
+    st3.load(dir, buckets = 4)
+    assert(st3.allEvents.count() === 30L)
+  }
 }

@@ -192,6 +192,66 @@ class ControlJournalSpec extends SparkSpec {
     vs.closeJournal()
   }
 
+  test("load() checkpoints the open journal: crash-replay cannot resurrect pre-load state") {
+    val dir = Files.createTempDirectory("graft-journal-load").toString
+    val snapDir = Files.createTempDirectory("graft-journal-load-snap").toString
+    val clock = new Clock
+    val (_, vs) = mkStore(spark, clock)
+    vs.openJournal(dir, ownerId = "A", leaseMs = 60000L)
+    vs.registerView("keep")
+    vs.save(snapDir)
+    // mutations AFTER the parquet snapshot, then load() rolls back to it
+    vs.registerView("ghost")
+    vs.load(snapDir)
+    assert(vs.allViews.collect().map(_.view).toSeq === Seq("keep"))
+    // crash without close; a takeover's replay must agree with what the
+    // live writer observed after load — 'ghost' stays dead
+    clock.t = ts(61000)
+    val (_, vs2) = mkStore(spark.newSession(), clock)
+    vs2.openJournal(dir, ownerId = "B", leaseMs = 60000L)
+    assert(vs2.allViews.collect().map(_.view).toSeq === Seq("keep"),
+      "journal replay resurrected a view the live writer had rolled back")
+    vs2.closeJournal()
+  }
+
+  test("takeover race: of N candidates past the expired-lease check, exactly one wins") {
+    // The advisor scenario: writer A crashes, its lease expires, and
+    // SEVERAL takeover candidates race acquire() simultaneously. The
+    // epoch-file create-exclusive claim admits exactly one — with the
+    // old write-then-read-back claim, an A-write/A-read/B-write/B-read
+    // interleave let two candidates both believe they owned the journal
+    // and silently clobber each other's ACK records.
+    val dir = Files.createTempDirectory("graft-journal-race").toString
+    val clock = new Clock
+    val conf = spark.sparkContext.hadoopConfiguration
+    val crashed = new ControlJournal(dir, conf, "crashed", () => clock.t, 1000L)
+    crashed.acquire()
+    clock.t = ts(2000) // crashed's lease is now expired
+    (0 until 5).foreach { round =>
+      val n = 8
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+      val journals = (0 until n).map(i =>
+        new ControlJournal(dir, conf, s"cand-$round-$i", () => clock.t, 1000L))
+      val threads = journals.zipWithIndex.map { case (j, i) =>
+        new Thread(() => {
+          start.await()
+          try { j.acquire(); results.add(Right(s"cand-$round-$i")) }
+          catch { case e: ControlJournal.OwnershipHeldException => results.add(Left(e)) }
+        })
+      }
+      threads.foreach(_.start())
+      start.countDown()
+      threads.foreach(_.join(30000))
+      import scala.jdk.CollectionConverters._
+      val winners = results.asScala.collect { case Right(id) => id }.toSeq
+      assert(winners.size === 1,
+        s"round $round: expected exactly one takeover winner, got $winners")
+      assert(results.size === n)
+      clock.t = new Timestamp(clock.t.getTime + 2000) // expire winner for next round
+    }
+  }
+
   test("deleteView cascades through replay; fanout heads are journaled") {
     val dir = Files.createTempDirectory("graft-journal-del").toString
     val clock = new Clock
