@@ -176,37 +176,8 @@ final class ControlJournal(dirStr: String,
     }
   }
 
-  /** Create `path` with the given content atomically, failing (false)
-    * if it already exists. On local paths a hard link publishes the
-    * fully-written temp file — link(2) is atomic and EEXCL-safe, where
-    * `RawLocalFileSystem.create(overwrite=false)` is check-then-act.
-    * On HDFS-like stores `create(overwrite=false)` is atomic at the
-    * namenode.
-    */
-  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean = {
-    val qualified = fs.makeQualified(path)
-    if (qualified.toUri.getScheme == "file") {
-      val tmp = new Path(path.getParent, s".claim-$ownerId-${path.getName}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(qualified.toUri.getPath),
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally fs.delete(tmp, false)
-    } else {
-      try {
-        val out = fs.create(path, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case e: java.io.IOException => if (fs.exists(path)) false else throw e
-      }
-    }
-  }
+  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean =
+    AtomicFs.createExclusive(fs, path, bytes, ownerId)
 
   // ------------------------------------------------------------------
   // Append / replay / checkpoint
@@ -217,7 +188,8 @@ final class ControlJournal(dirStr: String,
   def append(rec: Record): Unit = {
     refreshLease()
     seq += 1
-    atomicWrite(entryPath(seq), mapper.writeValueAsBytes(rec))
+    atomicWrite(entryPath(seq), mapper.writeValueAsBytes(
+      if (rec.at == 0L) rec.copy(at = clock().getTime) else rec))
   }
 
   /** Fold snapshot + later entries into the final (views, locks). */
@@ -231,25 +203,7 @@ final class ControlJournal(dirStr: String,
       snap.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
     }
     listEntrySeqs().filter(_ > snapSeq).foreach { s =>
-      val rec = readJson[Record](entryPath(s))
-      rec.op match {
-        case OpViewUpsert =>
-          val v = rec.view.toRow; views(v.view) = v
-        case OpViewDelete =>
-          views.remove(rec.name)
-          locks.filterInPlace { case ((v, _), _) => v != rec.name }
-        case OpLocksReplace =>
-          locks.filterInPlace { case ((v, _), _) => v != rec.name }
-          rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
-        case OpLocksUpsert =>
-          rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
-        case OpViewReplace =>
-          val v = rec.view.toRow
-          views(v.view) = v
-          locks.filterInPlace { case ((view, _), _) => view != v.view }
-          rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
-        case other => throw new IllegalStateException(s"unknown journal op '$other' at seq $s")
-      }
+      applyRecord(views, locks, readJson[Record](entryPath(s)))
     }
     (views.values.toSeq, locks.values.toSeq)
   }
@@ -284,19 +238,8 @@ final class ControlJournal(dirStr: String,
 
   private def latestSnapshotSeq(): Long = snapshotSeqs().lastOption.getOrElse(0L)
 
-  /** Write-to-temp + ONE atomic rename-with-overwrite (FileContext) —
-    * no delete-then-rename window where a concurrent reader could
-    * observe the path absent.
-    */
-  private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(path.getParent, s".tmp-${path.getName}")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.makeQualified(path).toUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def atomicWrite(path: Path, bytes: Array[Byte]): Unit =
+    AtomicFs.atomicWrite(fs, conf, path, bytes)
 
   private def readJson[T](path: Path)(implicit ct: scala.reflect.ClassTag[T]): T = {
     val in = fs.open(path)
@@ -326,6 +269,79 @@ object ControlJournal {
     * (the reference runs it as one transaction, schema.sql:376-393).
     */
   val OpViewReplace = "view_replace"
+
+  // Field-scoped lock mutations, designed so MERGED multi-writer lanes
+  // ([[SharedJournal]]) fold conflict-free: head and ack advance
+  // monotonically (max), lease/nack set only locked_until. A
+  // single-writer journal folds them identically.
+
+  /** Append fanout: advance the partition head (offset monotone max);
+    * insert born-unlocked if absent.
+    */
+  val OpHead = "head"
+  /** Lease acquisition: set locked_until (taken under the shared mutex
+    * — cross-writer ordering is explicit).
+    */
+  val OpLease = "lease"
+  /** ACK: advance last_offset (monotone max) and release the lease. */
+  val OpAck = "ack"
+  /** NACK / scheduled NACK: set locked_until only. */
+  val OpNackUntil = "nack_until"
+
+  /** Apply one record to the keyed state — the single replay semantics
+    * shared by the single-writer journal and the merged multi-lane
+    * fold.
+    */
+  private[store] def applyRecord(
+      views: scala.collection.mutable.LinkedHashMap[String, ViewRegistration],
+      locks: scala.collection.mutable.LinkedHashMap[(String, String), LockRow],
+      rec: Record): Unit = rec.op match {
+    case OpViewUpsert =>
+      val v = rec.view.toRow; views(v.view) = v
+    case OpViewDelete =>
+      views.remove(rec.name)
+      locks.filterInPlace { case ((v, _), _) => v != rec.name }
+    case OpLocksReplace =>
+      locks.filterInPlace { case ((v, _), _) => v != rec.name }
+      rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+    case OpLocksUpsert =>
+      rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+    case OpViewReplace =>
+      val v = rec.view.toRow
+      views(v.view) = v
+      locks.filterInPlace { case ((view, _), _) => view != v.view }
+      rec.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+    case OpHead =>
+      rec.locks.foreach { jl =>
+        val l = jl.toRow
+        locks.get((l.view, l.decider_id)) match {
+          case Some(cur) if l.offset > cur.offset =>
+            locks((l.view, l.decider_id)) = cur.copy(offset = l.offset,
+              offset_final = l.offset_final, updated_at = l.updated_at)
+          case Some(_) => ()
+          case None => locks((l.view, l.decider_id)) = l
+        }
+      }
+    case OpLease | OpNackUntil =>
+      rec.locks.foreach { jl =>
+        val l = jl.toRow
+        locks.get((l.view, l.decider_id)).foreach(cur =>
+          locks((l.view, l.decider_id)) =
+            cur.copy(locked_until = l.locked_until, updated_at = l.updated_at))
+      }
+    case OpAck =>
+      rec.locks.foreach { jl =>
+        val l = jl.toRow
+        locks.get((l.view, l.decider_id)) match {
+          case Some(cur) =>
+            locks((l.view, l.decider_id)) = cur.copy(
+              last_offset = math.max(cur.last_offset, l.last_offset),
+              locked_until = l.locked_until, updated_at = l.updated_at)
+          case None => locks((l.view, l.decider_id)) = l
+        }
+      }
+    case other => throw new IllegalStateException(s"unknown journal op '$other'")
+  }
 
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
@@ -362,7 +378,12 @@ object ControlJournal {
       l.locked_until.getTime, l.offset_final, l.created_at.getTime, l.updated_at.getTime)
   }
 
+  /** `at` (writer clock, epoch ms) orders entries ACROSS lanes in the
+    * shared-journal merge; within one lane the sequence number rules.
+    * Single-writer replay ignores it (0 in pre-epoch journal files).
+    */
   final case class Record(op: String, name: String = null,
-                          view: JView = null, locks: Array[JLock] = Array.empty)
+                          view: JView = null, locks: Array[JLock] = Array.empty,
+                          at: Long = 0L)
   final case class Snapshot(views: Array[JView], locks: Array[JLock])
 }

@@ -50,25 +50,32 @@ final class ViewStreams(val store: EventStore) {
     */
   private var journal: Option[ControlJournal] = None
 
+  /** Multi-writer control plane: when open, N live ViewStreams on the
+    * same directory SPLIT each view's partitions — true `SKIP LOCKED`
+    * sharing (schema.sql:405-417), vs [[openJournal]]'s clean rejection
+    * of a second live writer. Mutually exclusive with [[journal]].
+    */
+  private var shared: Option[SharedJournal] = None
+
   /** Open (or take over) the durable journal at `dir` and replace the
     * in-memory control plane with its replayed state. Enforces the
     * single-writer rule: a second live ViewStreams on the same journal
     * gets [[ControlJournal.OwnershipHeldException]] until the holder's
     * lease expires (the reference's `FOR UPDATE SKIP LOCKED` analogue
     * at process granularity — within a process, `stateLock` already
-    * serializes pollers).
+    * serializes pollers). For N CONCURRENT live consumers, use
+    * [[openSharedJournal]] instead.
     */
   def openJournal(dir: String,
                   ownerId: String = java.util.UUID.randomUUID().toString,
                   leaseMs: Long = 60000L): Unit = stateLock.synchronized {
-    require(journal.isEmpty, "journal already open; call closeJournal() first")
+    require(journal.isEmpty && shared.isEmpty,
+      "a journal is already open; close it first")
     val j = new ControlJournal(dir, spark.sparkContext.hadoopConfiguration,
       ownerId, () => now, leaseMs)
     j.acquire()
     val (views, locks) = j.replay()
-    viewsMap.clear(); locksMap.clear()
-    views.foreach(v => viewsMap(v.view) = v)
-    locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
+    setState(views, locks)
     journal = Some(j)
   }
 
@@ -81,15 +88,103 @@ final class ViewStreams(val store: EventStore) {
     journal = None
   }
 
-  private def journalLocks(rows: Seq[LockRow]): Unit =
-    if (rows.nonEmpty) journal.foreach(_.append(ControlJournal.Record(
-      ControlJournal.OpLocksUpsert,
-      locks = rows.map(ControlJournal.JLock.of).toArray)))
+  /** Join the SHARED journal at `dir` as one of N live consumers
+    * (reference `FOR UPDATE SKIP LOCKED` semantics, schema.sql:405-417;
+    * two-session split proven by test_lock_contention.sql:41-48):
+    * concurrent pollers on the same view acquire disjoint partition
+    * leases and ACK independently; a consumer's crash releases its
+    * partitions to the others at delivery-lease expiry. `ownerId` must
+    * be unique per live process (it names this writer's journal lane).
+    */
+  def openSharedJournal(dir: String,
+                        ownerId: String = java.util.UUID.randomUUID().toString,
+                        mutexTtlMs: Long = 30000L): Unit = stateLock.synchronized {
+    require(journal.isEmpty && shared.isEmpty,
+      "a journal is already open; close it first")
+    val s = new SharedJournal(dir, spark.sparkContext.hadoopConfiguration,
+      ownerId, () => now, mutexTtlMs)
+    s.open()
+    val (views, locks) = s.replay()
+    setState(views, locks)
+    shared = Some(s)
+  }
+
+  /** Fold a final checkpoint and leave the shared journal. Our lane's
+    * un-folded entries survive on disk either way — leaving is always
+    * crash-safe for the OTHER consumers.
+    */
+  def closeSharedJournal(): Unit = {
+    val sOpt = stateLock.synchronized(shared)
+    sOpt.foreach { s =>
+      s.withMutex {
+        stateLock.synchronized {
+          val (v, l) = s.checkpoint()
+          setState(v, l)
+          shared = None
+        }
+      }
+    }
+  }
+
+  private def setState(views: Seq[ViewRegistration], locks: Seq[LockRow]): Unit = {
+    viewsMap.clear(); locksMap.clear()
+    views.foreach(v => viewsMap(v.view) = v)
+    locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
+  }
+
+  /** Refresh the local cache from the merged multi-writer state.
+    * Caller holds `stateLock`; safe without the fs mutex (read-only —
+    * used for freshness outside the candidate-selection section).
+    */
+  private def resyncShared(s: SharedJournal): Unit = {
+    val (v, l) = s.replay()
+    setState(v, l)
+  }
+
+  /** Durably record + locally apply one lock mutation. Caller holds
+    * `stateLock`. In shared mode the record is FIELD-scoped
+    * (`sharedOp`: head/lease/ack advance monotonically or set only
+    * locked_until — see [[ControlJournal.applyRecord]]) and the local
+    * application goes through the same fold as replay, so live state
+    * and any other writer's merged replay can never disagree on
+    * semantics. Single-writer mode keeps whole-row upserts — the
+    * reference's exact UPDATE semantics, including a backwards ack.
+    */
+  private def commitLocks(sharedOp: String, rows: Seq[LockRow]): Unit = {
+    if (rows.isEmpty) return
+    shared match {
+      case Some(s) =>
+        val rec = ControlJournal.Record(sharedOp,
+          locks = rows.map(ControlJournal.JLock.of).toArray) // at: Lamport-stamped by appendLane
+        s.appendLane(rec)
+        ControlJournal.applyRecord(viewsMap, locksMap, rec)
+      case None =>
+        journal.foreach(_.append(ControlJournal.Record(
+          ControlJournal.OpLocksUpsert,
+          locks = rows.map(ControlJournal.JLock.of).toArray)))
+        rows.foreach(l => locksMap((l.view, l.decider_id)) = l)
+    }
+  }
+
+  /** Route a view-level record (register/delete) to whichever journal
+    * is open. Caller holds `stateLock` (and the fs mutex in shared
+    * mode).
+    */
+  private def recordView(rec: ControlJournal.Record): Unit = {
+    journal.foreach(_.append(rec))
+    shared.foreach(_.appendLane(rec))
+  }
 
   def allViews: Dataset[ViewRegistration] =
-    stateLock.synchronized(viewsMap.values.toSeq).toDS()
+    stateLock.synchronized {
+      shared.foreach(resyncShared)
+      viewsMap.values.toSeq
+    }.toDS()
   def allLocks: Dataset[LockRow] =
-    stateLock.synchronized(locksMap.values.toSeq).toDS()
+    stateLock.synchronized {
+      shared.foreach(resyncShared)
+      locksMap.values.toSeq
+    }.toDS()
 
   private def now: Timestamp = store.now()
 
@@ -111,17 +206,15 @@ final class ViewStreams(val store: EventStore) {
     }
     val written = Seq.newBuilder[LockRow]
     for (v <- viewsMap.keys; e <- heads) {
-      val updated = locksMap.get((v, e.decider_id)) match {
+      written += (locksMap.get((v, e.decider_id)) match {
         case Some(l) =>
           l.copy(offset = e.offset, offset_final = e.is_final, updated_at = t)
         case None =>
           LockRow(v, e.decider_id, e.offset, 0L,
             new Timestamp(t.getTime - 1), e.is_final, t, t)
-      }
-      locksMap((v, e.decider_id)) = updated
-      written += updated
+      })
     }
-    journalLocks(written.result())
+    commitLocks(ControlJournal.OpHead, written.result())
   }
 
   // ------------------------------------------------------------------
@@ -146,9 +239,10 @@ final class ViewStreams(val store: EventStore) {
     // releasing the lock between the aggregation and the matrix swap
     // would let a concurrent append's fanout land heads that the swap
     // then overwrites with pre-commit state. registerView is rare
-    // control-plane — holding the lock across the backfill job is the
-    // correct trade.
-    stateLock.synchronized {
+    // control-plane — holding the lock (and in shared mode the
+    // cross-process mutex, sized by mutexTtlMs to outlast the backfill
+    // job) across it is the correct trade.
+    underSharedMutex {
     val row = {
       val r = viewsMap.get(view) match {
         case Some(old) => old.copy(start_at = start, lock_timeout_s = lockTimeoutS,
@@ -179,23 +273,35 @@ final class ViewStreams(val store: EventStore) {
     }
     // ONE combined record: a crash between separate view/locks appends
     // would replay a registration no writer ever held
-    journal.foreach(_.append(ControlJournal.Record(ControlJournal.OpViewReplace,
+    recordView(ControlJournal.Record(ControlJournal.OpViewReplace,
       view = ControlJournal.JView.of(row),
       locks = locksMap.collect { case ((v, _), l) if v == view =>
-        ControlJournal.JLock.of(l) }.toArray)))
+        ControlJournal.JLock.of(l) }.toArray))
     row
     }
   }
 
+  /** Run `f` under stateLock — and, in shared mode, under the
+    * cross-process mutex with a fresh resync first, so view-level
+    * mutations are serialized and see every other writer's state. Lock
+    * order is always fs-mutex OUTER, stateLock INNER (streamEvents
+    * does the same; taking them in the other order could deadlock two
+    * threads of one process).
+    */
+  private def underSharedMutex[T](f: => T): T =
+    stateLock.synchronized(shared) match {
+      case Some(s) => s.withMutex(stateLock.synchronized { resyncShared(s); f })
+      case None => stateLock.synchronized(f)
+    }
+
   /** Delete a view: cascades to its locks (reference FK ON DELETE
     * CASCADE, schema.sql:199).
     */
-  def deleteView(view: String): Unit = stateLock.synchronized {
+  def deleteView(view: String): Unit = underSharedMutex {
     viewsMap.remove(view)
     locksMap.filterInPlace { case ((v, _), _) => v != view }
     // one record, cascade implied on replay (reference FK ON DELETE CASCADE)
-    journal.foreach(_.append(
-      ControlJournal.Record(ControlJournal.OpViewDelete, name = view)))
+    recordView(ControlJournal.Record(ControlJournal.OpViewDelete, name = view))
   }
 
   // ------------------------------------------------------------------
@@ -222,26 +328,18 @@ final class ViewStreams(val store: EventStore) {
     * comes from Spark tasks.
     */
   def streamEvents(view: String, limit: Int = 1, seconds: Long = 300L): Seq[EventRow] = {
-    val t = now
     // Stages 1+2 are ONE atomic step (the FOR UPDATE SKIP LOCKED
     // analogue): a concurrent poller entering after this section sees
-    // the leases already taken and selects disjoint partitions.
-    val leased = stateLock.synchronized {
-      // Stage 1: candidates (control-plane).
-      val cand = locksMap.values.toSeq
-        .filter(l => l.view == view && l.locked_until.getTime < t.getTime &&
-          l.last_offset < l.offset)
-        .sortBy(_.offset)
-        .take(limit)
-      // Stage 2: lease acquisition (control-plane).
-      val until = new Timestamp(t.getTime + seconds * 1000L)
-      val taken = cand.map { l =>
-        val upd = l.copy(locked_until = until, updated_at = t)
-        locksMap((view, l.decider_id)) = upd
-        upd
+    // the leases already taken and selects disjoint partitions. In
+    // shared mode the section additionally holds the cross-PROCESS
+    // mutex and re-syncs first, so N live consumers split the view's
+    // partitions instead of double-leasing them — and opportunistically
+    // fold a checkpoint when the merged journal has grown.
+    val leased = underSharedMutex {
+      stateLock.synchronized(shared).filter(_.compactionDue()).foreach { s =>
+        val (v, l) = s.checkpoint(); setState(v, l)
       }
-      journalLocks(taken)
-      cand
+      selectAndLease(view, limit, seconds)
     }
     if (leased.isEmpty) return Nil
 
@@ -260,6 +358,24 @@ final class ViewStreams(val store: EventStore) {
       .collect().toSeq
   }
 
+  /** Stages 1+2. Caller holds stateLock (and the shared mutex when in
+    * shared mode).
+    */
+  private def selectAndLease(view: String, limit: Int, seconds: Long): Seq[LockRow] = {
+    val t = now
+    // Stage 1: candidates (control-plane).
+    val cand = locksMap.values.toSeq
+      .filter(l => l.view == view && l.locked_until.getTime < t.getTime &&
+        l.last_offset < l.offset)
+      .sortBy(_.offset)
+      .take(limit)
+    // Stage 2: lease acquisition (control-plane).
+    val until = new Timestamp(t.getTime + seconds * 1000L)
+    commitLocks(ControlJournal.OpLease,
+      cand.map(_.copy(locked_until = until, updated_at = t)))
+    cand
+  }
+
   // ------------------------------------------------------------------
   // ACK / NACK (reference schema.sql:436-468; M4-M6)
 
@@ -272,7 +388,7 @@ final class ViewStreams(val store: EventStore) {
     * tests, so releasing exactly AT `now` would stay leased.
     */
   def ack(view: String, deciderId: String, offset: Long): Option[LockRow] =
-    touchLock(view, deciderId)(l =>
+    touchLock(view, deciderId, ControlJournal.OpAck)(l =>
       l.copy(last_offset = offset,
         locked_until = new Timestamp(now.getTime - 1), updated_at = now))
 
@@ -289,35 +405,36 @@ final class ViewStreams(val store: EventStore) {
       val t = now
       val released = new Timestamp(t.getTime - 1)
       val updated = positions.flatMap { case (deciderId, offset) =>
-        locksMap.get((view, deciderId)).map { l =>
-          val u = l.copy(last_offset = offset, locked_until = released, updated_at = t)
-          locksMap((view, deciderId)) = u
-          u
-        }
+        locksMap.get((view, deciderId)).map(l =>
+          l.copy(last_offset = offset, locked_until = released, updated_at = t))
       }
-      journalLocks(updated)
-      updated
+      commitLocks(ControlJournal.OpAck, updated)
+      updated.map(u => locksMap((u.view, u.decider_id)))
     }
 
   /** NACK: release the lease WITHOUT advancing the offset → immediate
     * redelivery eligibility.
     */
   def nack(view: String, deciderId: String): Option[LockRow] =
-    touchLock(view, deciderId)(l =>
+    touchLock(view, deciderId, ControlJournal.OpNackUntil)(l =>
       l.copy(locked_until = new Timestamp(now.getTime - 1), updated_at = now))
 
   /** Scheduled NACK: redeliver after `milliseconds` (delayed retry). */
   def scheduleNack(view: String, deciderId: String, milliseconds: Long): Option[LockRow] =
-    touchLock(view, deciderId)(l =>
+    touchLock(view, deciderId, ControlJournal.OpNackUntil)(l =>
       l.copy(locked_until = new Timestamp(now.getTime + milliseconds), updated_at = now))
 
-  private def touchLock(view: String, deciderId: String)
+  /** ACK/NACK need no cross-process mutex even in shared mode: the
+    * delivery lease makes the caller the partition's sole mutator
+    * (the reference's model — ack_event updates a row the acker's
+    * poll leased). The local application goes through [[commitLocks]],
+    * so shared-mode semantics (monotone ack) match replay exactly.
+    */
+  private def touchLock(view: String, deciderId: String, sharedOp: String)
                        (f: LockRow => LockRow): Option[LockRow] = stateLock.synchronized {
     locksMap.get((view, deciderId)).map { l =>
-      val updated = f(l)
-      locksMap((view, deciderId)) = updated
-      journalLocks(Seq(updated))
-      updated
+      commitLocks(sharedOp, Seq(f(l)))
+      locksMap((view, deciderId))
     }
   }
 
@@ -326,6 +443,10 @@ final class ViewStreams(val store: EventStore) {
   // views/locks persist as parquet like the log.
 
   def save(dir: String): Unit = {
+    // in shared mode fold first so the parquet reflects every writer
+    stateLock.synchronized(shared).foreach { s =>
+      s.withMutex(stateLock.synchronized { val (v, l) = s.checkpoint(); setState(v, l) })
+    }
     allViews.write.mode("overwrite").parquet(s"$dir/views")
     allLocks.write.mode("overwrite").parquet(s"$dir/locks")
     // a parquet snapshot supersedes the journal tail — fold in a
@@ -339,6 +460,9 @@ final class ViewStreams(val store: EventStore) {
     val views = spark.read.parquet(s"$dir/views").as[ViewRegistration].collect()
     val locks = spark.read.parquet(s"$dir/locks").as[LockRow].collect()
     stateLock.synchronized {
+      require(shared.isEmpty,
+        "load() would fork the local cache from the multi-writer journal; " +
+          "close the shared journal first")
       viewsMap.clear(); locksMap.clear()
       views.foreach(v => viewsMap(v.view) = v)
       locks.foreach(l => locksMap((l.view, l.decider_id)) = l)
