@@ -503,6 +503,249 @@ object RelationalQueries {
              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ----------------------------------------------------------------
+    // TPC-H Q2 shape: correlated min-subquery → per-group window min.
+    // No partsupp table in the testdata — the part↔supplier relation is
+    // derived from lineitem (distinct pairs, min unit price as the
+    // supply cost), which preserves the query's join/subquery shape.
+    // Scale: the window shuffles once on ps_partkey; every dimension
+    // (supplier/nation/region/filtered part) broadcasts.
+    Q("q2_min_cost_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ps = li.groupBy("l_partkey", "l_suppkey")
+          .agg(min(dec2(col("l_extendedprice"))).cast("double").as("ps_supplycost"))
+        val euro = ps
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+        val best = euro
+          .withColumn("min_cost", min(col("ps_supplycost"))
+            .over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("ps_supplycost") === col("min_cost"))
+        best.join(broadcast(Tables.part(s, d)
+            .filter(col("p_size") <= 15 && col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("ps_supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost
+             FROM lineitem GROUP BY 1, 2)
+             SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+             FROM ps JOIN part ON p_partkey = ps_partkey
+                     JOIN supplier ON s_suppkey = ps_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+             WHERE p_size <= 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+               AND ps_supplycost = (
+                 SELECT min(ps2.ps_supplycost) FROM ps ps2
+                 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                 WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // ----------------------------------------------------------------
+    // TPC-H Q11 shape: grouped value HAVING > global-scalar threshold
+    // (the scalar rides a broadcast cross join, never a collect).
+    // Exact-decimal products: qty is cast to DECIMAL(9,2) and the
+    // product to DECIMAL(27,4) so neither engine's precision-promotion
+    // rules can bite.
+    Q("q11_important_parts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ps = li.groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(9, 2)).as("ps_qty"),
+            min(dec2(col("l_extendedprice"))).as("ps_cost"))
+        val natps = ps
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("l_partkey").as("ps_partkey"),
+            (col("ps_cost") * col("ps_qty")).cast(DecimalType(27, 4)).as("val"))
+        val threshold = natps
+          .agg((sum(col("val")).cast("double") * 0.001).as("threshold"))
+        natps.groupBy("ps_partkey")
+          .agg(sum(col("val")).cast("double").as("part_value"))
+          .crossJoin(broadcast(threshold))
+          .filter(col("part_value") > col("threshold"))
+          .select(col("ps_partkey"), col("part_value"))
+          .orderBy(col("part_value").desc, col("ps_partkey"))
+      },
+      Some("""WITH ps AS (
+             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(9,2)) AS ps_qty,
+                    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+             FROM lineitem GROUP BY 1,2),
+             natps AS (
+             SELECT ps_partkey, CAST(ps_cost * ps_qty AS DECIMAL(27,4)) AS val
+             FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name IN ('NATION_7','NATION_8','NATION_9'))
+             SELECT ps_partkey, CAST(sum(val) AS DOUBLE) AS part_value
+             FROM natps GROUP BY ps_partkey
+             HAVING CAST(sum(val) AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM natps)
+             ORDER BY part_value DESC, ps_partkey""")),
+
+    // ----------------------------------------------------------------
+    // TPC-H Q15 shape: revenue view + scalar-max equality (top supplier)
+    Q("q15_top_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val rev = li
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast("double").as("total_revenue"))
+        val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_revenue") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+             SELECT l_suppkey AS supplier_no,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+             GROUP BY 1)
+             SELECT s_suppkey, s_name, total_revenue
+             FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             ORDER BY s_suppkey""")),
+
+    // ----------------------------------------------------------------
+    // TPC-H Q16 shape: NOT IN exclusion (anti join) + count distinct
+    // per part attribute over the derived part↔supplier pairs
+    Q("q16_supplier_count",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val parts = Tables.part(s, d).filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").isin("PROMO", "ECONOMY") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 36))
+        ps.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+             FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) ps
+             JOIN part ON p_partkey = ps_partkey
+             WHERE p_brand <> 'Brand#5' AND p_type NOT IN ('PROMO','ECONOMY')
+               AND p_size IN (1,4,9,14,19,24,28,36)
+               AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             GROUP BY p_brand, p_type, p_size
+             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ----------------------------------------------------------------
+    // TPC-H Q20 shape: nested IN chains — suppliers of 'small%' parts
+    // whose pre-1997 supplied quantity exceeds half their 1997+
+    // shipments. The correlated scalar becomes a co-partitioned join of
+    // two aggregates on the same (partkey, suppkey) grouping — one
+    // shuffle each, aligned keys; an inner join reproduces SQL's
+    // NULL-excludes-row comparison semantics.
+    Q("q20_potential_promotion",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cut = lit("1997-01-01").cast("timestamp")
+        val avail = li.filter(col("l_shipdate") < cut)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("availqty"))
+        val later = li.filter(col("l_shipdate") >= cut)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("laterqty"))
+        val smallParts = Tables.part(s, d)
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))
+        val qualifying = avail
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(later, Seq("l_partkey", "l_suppkey"))
+          .filter(col("availqty") > col("laterqty") * 0.5)
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin("NATION_3", "NATION_4"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, s_acctbal
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name IN ('NATION_3','NATION_4')
+               AND s_suppkey IN (
+                 SELECT ps.suppkey FROM (
+                   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS availqty
+                   FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1,2) ps
+                 WHERE ps.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                   AND ps.availqty > (
+                     SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     FROM lineitem l2
+                     WHERE l2.l_partkey = ps.partkey AND l2.l_suppkey = ps.suppkey
+                       AND l2.l_shipdate >= TIMESTAMP '1997-01-01'))
+             ORDER BY s_name""")),
+
+    // ----------------------------------------------------------------
+    // TPC-H Q21 shape: stacked EXISTS + NOT-EXISTS self-joins on
+    // lineitem (the hardest public semi/anti stack). l_receiptdate >
+    // l_commitdate isn't in the testdata; l_returnflag = 'R' stands in
+    // as the per-lineitem "failed" predicate, preserving the shape:
+    // the supplier's line failed, ANOTHER supplier shares the order,
+    // and NO other supplier failed it. Scale: the narrowed l1 shuffles
+    // once on l_orderkey and that exchange feeds the orders join, the
+    // semi and the anti (same key); supplier/nation broadcast.
+    Q("q21_waiting_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+              col("s_nationkey") === col("n_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+        val others = li.select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+        val othersFailed = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+        l1.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(others, col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(othersFailed, col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             FROM lineitem l1
+             JOIN orders ON o_orderkey = l1.l_orderkey
+             JOIN supplier ON s_suppkey = l1.l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+               AND n_name IN ('NATION_1','NATION_2')
+               AND EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                               WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                                 AND l3.l_returnflag = 'R')
+             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // ----------------------------------------------------------------
     // J2: left-semi join (EXISTS / IN-subquery shape, schema.sql:426-427)
     Q("j2_semi_join",
       (s, d) => {
