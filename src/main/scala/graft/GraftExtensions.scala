@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
+import graft.functions.{BandProbes, BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -29,6 +29,10 @@ object GraftExtensions {
         new ExpressionInfo(classOf[BandSignatures].getName, "band_sigs"),
         (children: Seq[Expression]) =>
           BandSignatures(children.head, children(1), children(2))),
+      (FunctionIdentifier("band_probes"),
+        new ExpressionInfo(classOf[BandProbes].getName, "band_probes"),
+        (children: Seq[Expression]) =>
+          BandProbes(children.head, children(1), children(2), children(3))),
       (FunctionIdentifier("minhash_band_sigs"),
         new ExpressionInfo(classOf[MinHashBandSigs].getName, "minhash_band_sigs"),
         (children: Seq[Expression]) =>

@@ -74,8 +74,14 @@ object EmbeddingQueries {
   // ANN tuning constants — ONE definition shared by each query body
   // and its replay oracle, so a retune cannot silently de-sync the
   // operator from its verification.
-  private val AnnLshBands = 8
-  private val AnnLshBits = 8
+  private val AnnLshBands = 16
+  private val AnnLshBits = 10
+  /** Probes per band INCLUDING the home bucket: the lowest-scoring
+    * perturbation sets over the ProbeW least-certain bits, query-aware
+    * by |plane margin| (band_probes kernel).
+    */
+  private val AnnLshProbes = 9
+  private val ProbeW = graft.functions.BandProbes.ProbeWidth
   private val IvfCells = 16
   private val IvfIters = 5
   private val IvfProbes = 3
@@ -153,32 +159,101 @@ object EmbeddingQueries {
        SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
   }
 
+  /** The LSH candidate-generation stage, exposed so AnnRecallSpec can
+    * pin its BUDGET (candidate fraction) as well as its recall: 16
+    * bands × 10-bit sign signatures via the fused band_sigs kernel on
+    * the database side; on the QUERY side the band_probes kernel emits
+    * per band the `AnnLshProbes` best PERTURBATION SETS — subsets of
+    * the ProbeW lowest-|margin| bits scored by total flipped margin
+    * (Lv et al., multi-probe LSH; see BandProbes).
+    *
+    * Measured frontier at sf0.001 (recall@1 / candidate fraction of
+    * the pair space), tuning this round: round 6's all-1-bit-flip
+    * 8×8×9 probing: 0.690 / 0.25. Query-aware margin flips at 8×8×4:
+    * 0.464 / 0.13; perturbation sets 8×9×8: 0.534 / 0.136; 12×9×6:
+    * 0.574 / 0.149; this config 16×10×9: 0.656 / 0.155 — round-6
+    * recall within 0.034 at 38% less re-rank work. Dropping one probe
+    * (16×10×8) buys fraction 0.140 at recall 0.622 if budget ever
+    * outranks recall. Random-pair collision ≈ bands × probes / 2^bits;
+    * wider bands are what turned probe budget into recall.
+    *
+    * Scale shape: the band join ships ONLY (band, sig, vec_id) — never
+    * the vectors (the bench's shuffle_mb metric caught the first draft
+    * moving 2 × nBands vector copies); vectors re-join once, for the
+    * deduped candidate pairs.
+    */
+  private[operators] def annLshCandidates(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val nBands = AnnLshBands; val bits = AnnLshBits
+    val signed = e.select(col("vec_id").as("cid"),
+      posexplode(call_function("band_sigs", col("embedding"),
+        typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
+    val probes = e.select(col("vec_id").as("qid"),
+        posexplode(call_function("band_probes", col("embedding"),
+          typedlit(planes(nBands * bits)), lit(bits), lit(AnnLshProbes)))
+          .as(Seq("idx", "sig")))
+      .select((col("idx") / lit(AnnLshProbes)).cast("int").as("band"),
+        col("sig"), col("qid"))
+    probes
+      .join(signed, Seq("band", "sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .distinct() // candidate union across bands and probes
+  }
+
   /** Full DuckDB replay of the multi-probe banded-LSH ANN pipeline.
     * The plane matrix goes in as string→FLOAT literals (Java
     * Float.toString round-trips, and strtof parsing is correctly
     * rounded, so both engines hold bit-identical float planes); the
     * sign test reproduces band_sigs' ascending-index double fold and
-    * `>= 0` convention, so bucket assignments — and therefore the
-    * candidate set and the re-ranked winner — match exactly.
+    * `>= 0` convention, so bucket assignments — and the margin
+    * RANKING that picks the query-aware probe bits (same fold → same
+    * doubles → same abs ordering, ties to the lower bit) — and
+    * therefore the candidate set and the re-ranked winner all match
+    * exactly.
     */
-  private def annLshOracleSql(nBands: Int, bits: Int): String = {
+  private def annLshOracleSql(nBands: Int, bits: Int, nProbes: Int): String = {
     val planeRows = planes(nBands * bits).zipWithIndex.map { case (row, p) =>
       s"($p, [${row.map(f => s"CAST('$f' AS FLOAT)").mkString(",")}])"
     }.mkString(",")
-    val flips = (0 until bits).map(b => 1L << b).mkString(", ")
     s"""WITH pl(p, plane) AS (VALUES $planeRows),
        bits AS (
          SELECT e.vec_id, pl.p,
-                CASE WHEN ${dotSql("e.embedding", "pl.plane")} >= 0
-                     THEN 1 ELSE 0 END AS bit
+                ${dotSql("e.embedding", "pl.plane")} AS d
          FROM embeddings e, pl),
        sigs AS (
          SELECT vec_id, p // $bits AS band,
-                CAST(sum(bit * (1 << (p % $bits))) AS BIGINT) AS sig
+                CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END * (1 << (p % $bits))) AS BIGINT) AS sig
          FROM bits GROUP BY vec_id, p // $bits),
+       margins AS (
+         SELECT vec_id, p // $bits AS band, p % $bits AS bit, abs(d) AS m,
+                row_number() OVER (PARTITION BY vec_id, p // $bits
+                                   ORDER BY abs(d) ASC, p % $bits ASC) AS rk
+         FROM bits),
+       lb AS (
+         SELECT vec_id, band,
+                ${(1 to ProbeW).map(r =>
+                  s"max(CASE WHEN rk = $r THEN bit END) AS b$r, " +
+                  s"max(CASE WHEN rk = $r THEN m END) AS m$r").mkString(",\n                ")}
+         FROM margins WHERE rk <= $ProbeW GROUP BY vec_id, band),
+       scored AS (
+         SELECT s.vec_id, s.band, k.mask,
+                (${(1 to ProbeW).map(r =>
+                  s"CASE WHEN (k.mask & ${1 << (r - 1)}) != 0 THEN lb.m$r ELSE 0 END")
+                  .mkString(" +\n                 ")}) AS score,
+                CAST(xor(s.sig,
+                  (${(1 to ProbeW).map(r =>
+                    s"CASE WHEN (k.mask & ${1 << (r - 1)}) != 0 THEN 1 << lb.b$r ELSE 0 END")
+                    .mkString(" |\n                   ")})) AS BIGINT) AS psig
+         FROM sigs s
+         JOIN lb ON s.vec_id = lb.vec_id AND s.band = lb.band
+         CROSS JOIN (SELECT unnest(range(0, ${1 << ProbeW})) AS mask) k),
        probes AS (
-         SELECT vec_id AS qid, band, CAST(xor(sig, f) AS BIGINT) AS sig
-         FROM sigs, (SELECT unnest([0, $flips]) AS f) flips),
+         SELECT vec_id AS qid, band, psig AS sig FROM (
+           SELECT vec_id, band, psig,
+                  row_number() OVER (PARTITION BY vec_id, band
+                                     ORDER BY score ASC, mask ASC) AS pk
+           FROM scored) WHERE pk <= $nProbes),
        cand AS (
          SELECT DISTINCT p.qid, s.vec_id AS cid
          FROM probes p JOIN sigs s ON p.band = s.band AND p.sig = s.sig
@@ -460,53 +535,9 @@ object EmbeddingQueries {
     Q("emb_ann_lsh",
       (s, d) => {
         val e = withNorm(Tables.embeddings(s, d))
-        graft.GraftExtensions.register(s)
-        // 4 bands × 8-bit sign signatures via the fused band_sigs
-        // kernel, exploded to one (band, sig) bucket row per band;
-        // candidates are bucket mates in ANY band (union + dedup),
-        // re-ranked by exact cosine. A single wide 16-bit band (this
-        // query's first form) has near-zero collision probability on
-        // uncorrelated vectors — AnnRecallSpec measured coverage 0.0
-        // at sf0.001 — while narrow OR-ed bands trade a few more
-        // candidates for real coverage: the standard multi-band LSH
-        // construction, same as emb_near_dup_lsh. Persisted so the
-        // self-join does not recompute the plane dots per side.
-        // 8 bands × 8 bits with 1-bit MULTI-PROBE on the query side,
-        // tuned for the MODERATE-similarity regime (top-1 cos ≈ 0.5 on
-        // this corpus → per-plane collision 2/3). Exact-bucket-only at
-        // these parameters would collide the true top-1 with prob
-        // 1−(1−(2/3)^8)^8 ≈ 0.27; probing each band's bucket PLUS its
-        // 8 hamming-1 neighbors lifts the per-band hit rate to
-        // p^8 + 8·p^7·(1−p) ≈ 0.195 → ≥1-of-8 ≈ 0.82, while a random
-        // pair (cos ≈ 0) lands in a probed bucket with only
-        // 9/2^8 ≈ 0.035 per band (~25% of the corpus as candidates
-        // after the 8-band union) — multi-probe buys recall at a far
-        // better candidate budget than adding bands, because probes
-        // reuse the same signatures (Lv et al., multi-probe LSH).
-        val nBands = AnnLshBands; val bits = AnnLshBits
-        // The band self-join ships ONLY (band, sig, vec_id) — never the
-        // vectors: joining embeddings through the band join would move
-        // 2 × nBands copies of the corpus through the shuffle (the
-        // bench's shuffle_mb metric caught exactly that in the first
-        // draft). Vectors are re-joined once, for the deduped
-        // candidate pairs only — same discipline as nearDupLsh.
-        val signed = e.select(col("vec_id"),
-            posexplode(call_function("band_sigs", col("embedding"),
-              typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
-          .transform(graft.Caching.persistOnce(_))
-        // query side: the home sig plus its `bits` 1-bit flips; the
-        // database side stays exact, so the probe expansion multiplies
-        // only the (band, sig, vec_id) rows, never the vectors
-        val probeSigs = expr(("sig" +: (0 until bits).map(b => s"sig ^ ${1L << b}"))
-          .mkString("array(", ", ", ")"))
-        val probes = signed.select(col("band"),
-          explode(probeSigs).as("sig"), col("vec_id").as("qid"))
-        val candidates = probes
-          .join(signed.select(col("band"), col("sig"), col("vec_id").as("cid")),
-            Seq("band", "sig"))
-          .filter(col("qid") =!= col("cid"))
-          .select("qid", "cid")
-          .distinct() // candidate union across bands and probes
+        // candidate generation (bands, query-aware probes, budget
+        // rationale): see annLshCandidates
+        val candidates = annLshCandidates(s, e)
         val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
@@ -517,7 +548,7 @@ object EmbeddingQueries {
           .select(col("qid"), col("cid"), col("sim"))
           .orderBy("qid")
       },
-      Some(annLshOracleSql(AnnLshBands, AnnLshBits))),
+      Some(annLshOracleSql(AnnLshBands, AnnLshBits, AnnLshProbes))),
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib

@@ -53,12 +53,14 @@ class AnnRecallSpec extends SparkSpec {
   // structure to exploit; sublinear probing fundamentally caps recall),
   // so these numbers quantify the cost/recall knob, not a defect.
   // Measured at pinning time: IVF 0.564/1.000/0.770 (replayable fit:
-  // first-k init + fixed-point updates), LSH (8 bands × 8 bits, 1-bit
-  // multi-probe) 0.690/1.000/0.868 — up from 0.380/1.000/0.598 for
-  // the exact-bucket 8×6 form. Both pipelines are additionally
-  // hash-verified end-to-end by their DuckDB replay oracles; these
-  // floors remain the QUALITY gate (the oracle proves the construction,
-  // not that the construction is any good).
+  // first-k init + fixed-point updates), LSH (16 bands × 10 bits,
+  // query-aware perturbation-set probing, 9 probes/band)
+  // 0.656/1.000/0.832 — vs round 6's 0.690/1.000/0.868 at 0.25
+  // candidate fraction; this config re-ranks 38% less (0.155). Both
+  // pipelines are additionally hash-verified end-to-end by their
+  // DuckDB replay oracles; these floors remain the QUALITY gate (the
+  // oracle proves the construction, not that the construction is any
+  // good).
 
   test("IVF ANN (nProbe=3) covers every query and approximates top-1 well") {
     val (recall, coverage, close) = metricsOf("emb_ann_ivf")
@@ -74,7 +76,25 @@ class AnnRecallSpec extends SparkSpec {
     // the first (single 16-bit band) form of the query had coverage
     // 0.000 here — this floor is what caught it
     assert(coverage >= 0.95, f"LSH coverage collapsed: $coverage%.3f")
-    assert(recall >= 0.55, f"LSH recall@1 degraded: $recall%.3f")
-    assert(close >= 0.75, f"LSH approximation ratio degraded: $close%.3f")
+    assert(recall >= 0.60, f"LSH recall@1 degraded: $recall%.3f")
+    assert(close >= 0.78, f"LSH approximation ratio degraded: $close%.3f")
+  }
+
+  test("LSH candidate budget: the probe set stays a small fraction of the pair space") {
+    // The recall floors above are HALF the contract: without a budget
+    // ceiling, a tuning change could buy them back by probing toward
+    // the full pair space (quadratic re-ranking — exactly what LSH
+    // exists to avoid). Round 6's all-bit 1-flip probing spent ≈0.25
+    // of the pair space; query-aware perturbation-set probing (16
+    // bands × 10 bits × 9 probes) measured 0.155 at recall 0.656 —
+    // the measured Pareto point at the recall target (the full
+    // frontier sweep is in annLshCandidates' scaladoc).
+    val emb = graft.Tables.embeddings(spark, sf)
+    val nVec = emb.count().toDouble
+    val candidates = EmbeddingQueries.annLshCandidates(spark, emb).count().toDouble
+    val fraction = candidates / (nVec * nVec)
+    info(f"emb_ann_lsh candidate fraction=$fraction%.4f (${candidates.toLong} pairs over ${nVec.toLong}²)")
+    assert(fraction <= 0.17, f"LSH candidate budget blown: $fraction%.4f of the pair space")
+    assert(fraction > 0.0, "no candidates at all — the bucket join is broken")
   }
 }
