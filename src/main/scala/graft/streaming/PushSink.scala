@@ -48,6 +48,83 @@ object PushSink {
     }
   }
 
+  /** Asynchronous push queue with retry/backoff — the `pg_net`
+    * analogue (extensions.sql:44-48): `net.http_post` ENQUEUES and
+    * returns, and a background worker delivers, so a slow or flapping
+    * endpoint cannot stall the delivery tick the way the synchronous
+    * [[HttpSender]] does. Drop-in: same `(url, body) => Unit` shape,
+    * wrap any transport (`new AsyncSender()` wraps the real HTTP one).
+    *
+    *  - **Bounded**: at most `capacity` payloads in flight; `apply`
+    *    blocks when full — backpressure into the tick, the analogue of
+    *    pg_net's queue table rather than an unbounded heap.
+    *  - **Retry/backoff**: failures re-schedule with exponential
+    *    backoff (`base << attempt`) up to `maxAttempts`.
+    *  - **Exhaustion drops the payload** (counted in [[dropped]]) —
+    *    safe under the push path's no-auto-ack contract: the events
+    *    were never acked, so they redeliver after their lease expires,
+    *    exactly the at-least-once path a crashed consumer takes. The
+    *    sender itself never acks anything, so a retried POST can never
+    *    become a double-ack.
+    */
+  final class AsyncSender(transport: (String, String) => Unit = HttpSender,
+                          capacity: Int = 1024,
+                          maxAttempts: Int = 5,
+                          baseBackoffMs: Long = 500L)
+      extends ((String, String) => Unit) with AutoCloseable with Serializable {
+    require(capacity > 0 && maxAttempts >= 1)
+    @transient private lazy val slots = new java.util.concurrent.Semaphore(capacity)
+    @transient private lazy val exec = {
+      val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-async-push"); t.setDaemon(true); t
+        })
+      e.setRemoveOnCancelPolicy(true)
+      e
+    }
+    @transient private lazy val droppedCount =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def apply(url: String, body: String): Unit = {
+      slots.acquire()
+      schedule(url, body, attempt = 1, delayMs = 0L)
+    }
+
+    private def schedule(url: String, body: String, attempt: Int, delayMs: Long): Unit = {
+      exec.schedule(new Runnable {
+        def run(): Unit =
+          try { transport(url, body); slots.release() }
+          catch {
+            case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+              schedule(url, body, attempt + 1, baseBackoffMs << (attempt - 1))
+            case scala.util.control.NonFatal(_) =>
+              droppedCount.incrementAndGet()
+              slots.release()
+          }
+      }, delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      ()
+    }
+
+    /** Payloads abandoned after `maxAttempts` (their events stay
+      * un-acked and redeliver).
+      */
+    def dropped: Long = droppedCount.get()
+
+    /** Await an empty queue (clean shutdown / tests); false on
+      * timeout with work still in flight.
+      */
+    def flush(timeoutMs: Long): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (slots.availablePermits() < capacity) {
+        if (System.nanoTime() > deadline) return false
+        Thread.sleep(2)
+      }
+      true
+    }
+
+    override def close(): Unit = { flush(5000L); exec.shutdownNow(); () }
+  }
+
   /** Attach a push sink to a delivered-events stream. `send` defaults
     * to [[HttpSender]] (tests inject a recorder); batches are
     * converted to payload strings first so the sender sees only

@@ -42,4 +42,85 @@ class HttpSenderSpec extends AnyFunSuite {
       assert(e.getMessage.contains("HTTP 500"))
     }
   }
+
+  /** Loopback server that fails the first `failures` requests with 500,
+    * then accepts with 204 — the flaky-endpoint scenario pg_net's async
+    * queue exists for.
+    */
+  private def withFlakyServer(failures: Int)
+                             (f: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val received = new ConcurrentLinkedQueue[String]()
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/fn", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        received.add(new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+        val status = if (seen.incrementAndGet() <= failures) 500 else 204
+        x.sendResponseHeaders(status, -1)
+        x.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/fn", received)
+    finally server.stop(0)
+  }
+
+  test("async queue retries a flaky endpoint: fail-twice-then-succeed loses nothing") {
+    withFlakyServer(failures = 2) { (url, received) =>
+      val sender = new PushSink.AsyncSender(baseBackoffMs = 5L)
+      try {
+        val body = """{"view":"v","decider_id":"p1","offset":7,"data":"{}"}"""
+        sender(url, body) // returns immediately; delivery is async
+        assert(sender.flush(10000L), "queue failed to drain")
+        // two failed attempts + the successful third — same payload each
+        // time, delivered to the endpoint exactly once with success
+        assert(received.size == 3)
+        received.forEach(b => assert(b == body))
+        assert(sender.dropped == 0L, "payload wrongly abandoned")
+        // no double-ack is structural: the sender never acks — the push
+        // path's no-auto-ack contract means retries can only ever cause
+        // re-POSTs, never offset movement (DeliveryEngineSpec covers
+        // redelivery of un-acked events)
+      } finally sender.close()
+    }
+  }
+
+  test("async queue abandons after maxAttempts; events stay un-acked (redeliver path)") {
+    withServer(500) { (url, received) =>
+      val sender = new PushSink.AsyncSender(maxAttempts = 3, baseBackoffMs = 2L)
+      try {
+        sender(url, "{}")
+        assert(sender.flush(10000L))
+        assert(received.size == 3, s"expected exactly maxAttempts POSTs, got ${received.size}")
+        assert(sender.dropped == 1L)
+      } finally sender.close()
+    }
+  }
+
+  test("async queue never blocks the caller on a slow endpoint; capacity bounds it") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val delivered = new ConcurrentLinkedQueue[String]()
+    val slow: (String, String) => Unit = (_, body) => {
+      gate.await() // endpoint hangs until released
+      delivered.add(body); ()
+    }
+    val sender = new PushSink.AsyncSender(transport = slow, capacity = 2)
+    try {
+      val t0 = System.nanoTime()
+      sender("u", "a") // worker blocks inside transport
+      sender("u", "b") // fills the second slot
+      assert((System.nanoTime() - t0) < 2.0e9, "enqueue must not wait for delivery")
+      // third payload exceeds capacity: apply blocks (backpressure)
+      // until the endpoint unblocks — run it from a helper thread
+      val third = new Thread(() => sender("u", "c"))
+      third.start()
+      third.join(200)
+      assert(third.isAlive, "apply must backpressure when the queue is full")
+      gate.countDown()
+      third.join(10000)
+      assert(!third.isAlive)
+      assert(sender.flush(10000L))
+      assert(delivered.size == 3)
+    } finally { gate.countDown(); sender.close() }
+  }
 }
