@@ -62,122 +62,28 @@ final class ControlJournal(dirStr: String,
   private val dir = new Path(dirStr)
   private val fs = FileSystem.get(dir.toUri, conf)
   private var seq: Long = 0L
-  private var leaseExpiry: Long = 0L
-  private var epoch: Long = 0L
 
   // ------------------------------------------------------------------
-  // Ownership lease
+  // Ownership lease — the shared epoch-file scheme ([[WriterLease]]);
+  // a pre-epoch journal's legacy `_owner` file reads as epoch 0.
+
+  private val lease = new WriterLease(dir, fs, conf, ownerId, clock, leaseMs,
+    prefix = OwnerPrefix, legacyName = Some(LegacyOwnerFile), what = "control journal")
 
   /** Acquire the writer lease, or throw [[OwnershipHeldException]] if a
-    * different live owner holds it. An expired lease is taken over
-    * (the crashed-writer path). Claiming is ATOMIC: the candidate
-    * creates `_owner-<epoch+1>` with create-exclusive semantics, so of
-    * two racers past the expired-lease check exactly one owns the new
-    * epoch file; the loser's create fails and it throws before touching
-    * the sequence. Also positions `seq` after the last existing entry
-    * so appends continue the sequence.
+    * different live owner holds it (see [[WriterLease.acquire]] — an
+    * expired lease is taken over atomically). Also positions `seq`
+    * after the last existing entry so appends continue the sequence.
     */
   def acquire(): Unit = {
-    fs.mkdirs(dir)
-    val nowMs = clock().getTime
-    val cur = currentOwner()
-    cur match {
-      case Some((_, id, exp)) if id != ownerId && exp > nowMs =>
-        throw new OwnershipHeldException(
-          s"control journal at $dirStr is held by writer '$id' until epoch-ms $exp; " +
-            "a second live writer on the same journal would double-deliver " +
-            "(reference FOR UPDATE SKIP LOCKED, schema.sql:411)")
-      case _ => ()
-    }
-    val nextEpoch = cur.map(_._1 + 1L).getOrElse(1L)
-    val expiry = nowMs + leaseMs
-    if (!createExclusive(ownerEpochPath(nextEpoch), s"$ownerId@$expiry".getBytes("UTF-8")))
-      throw new OwnershipHeldException(
-        s"writer '$ownerId' lost the claim race for $dirStr at epoch $nextEpoch")
-    epoch = nextEpoch
-    leaseExpiry = expiry
-    // Superseded epochs (and the pre-epoch legacy file) are dead weight:
-    // liveness is decided by the max epoch, so deleting lower ones can
-    // never promote a rival.
-    ownerEpochSeqs().filter(_ < nextEpoch).foreach(e => fs.delete(ownerEpochPath(e), false))
-    fs.delete(new Path(dir, LegacyOwnerFile), false)
+    lease.acquire()
     seq = math.max(latestSnapshotSeq(), listEntrySeqs().lastOption.getOrElse(0L))
   }
 
   /** Release the lease (clean shutdown). Safe to call when not held. */
-  def release(): Unit = {
-    currentOwner() match {
-      case Some((e, id, _)) if id == ownerId && e == epoch =>
-        fs.delete(ownerEpochPath(e), false)
-      case _ => ()
-    }
-  }
+  def release(): Unit = lease.release()
 
-  /** The live claim: highest epoch file, falling back to the legacy
-    * un-epoched `_owner` file (journals written before the epoch
-    * scheme) as epoch 0. Unparseable content (an HDFS-like store can
-    * expose a created-but-unwritten file for a moment) is treated as a
-    * live foreign hold expiring `leaseMs` past the file's mtime —
-    * conservative: it delays takeover, never permits a double-claim.
-    */
-  private def currentOwner(): Option[(Long, String, Long)] = {
-    val parsed = ownerEpochSeqs().lastOption.map(e => (e, ownerEpochPath(e)))
-      .orElse {
-        val legacy = new Path(dir, LegacyOwnerFile)
-        if (fs.exists(legacy)) Some((0L, legacy)) else None
-      }
-    parsed.map { case (e, p) =>
-      readOwnerFile(p) match {
-        case Some((id, exp)) => (e, id, exp)
-        case None =>
-          val mtime = try fs.getFileStatus(p).getModificationTime catch {
-            case _: java.io.FileNotFoundException => 0L
-          }
-          (e, s"<unreadable claim $p>", mtime + leaseMs)
-      }
-    }
-  }
-
-  private def readOwnerFile(p: Path): Option[(String, Long)] =
-    try {
-      val in = fs.open(p)
-      try {
-        val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        val i = txt.lastIndexOf('@')
-        if (i < 0) None else Some((txt.substring(0, i), txt.substring(i + 1).trim.toLong))
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
-
-  private def ownerEpochPath(e: Long): Path = new Path(dir, f"$OwnerPrefix$e%020d")
-
-  private def ownerEpochSeqs(): Seq[Long] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case OwnerName(d) => d.toLong }.sorted
-
-  /** Refresh the lease past its half-life; throw if a foreign owner has
-    * taken over (we crashed long enough to be fenced, then came back).
-    * Detection is by epoch: a usurper always claims a HIGHER epoch and
-    * never writes ours, so rewriting our own epoch file races nobody.
-    */
-  private def refreshLease(): Unit = {
-    val nowMs = clock().getTime
-    if (nowMs >= leaseExpiry - leaseMs / 2) {
-      ownerEpochSeqs().lastOption match {
-        case Some(top) if top > epoch =>
-          val holder = readOwnerFile(ownerEpochPath(top)).map(_._1).getOrElse("<unknown>")
-          throw new OwnershipHeldException(
-            s"writer '$ownerId' was fenced: journal $dirStr now held by '$holder' at epoch $top")
-        case _ =>
-          val expiry = nowMs + leaseMs
-          atomicWrite(ownerEpochPath(epoch), s"$ownerId@$expiry".getBytes("UTF-8"))
-          leaseExpiry = expiry
-      }
-    }
-  }
-
-  private def createExclusive(path: Path, bytes: Array[Byte]): Boolean =
-    AtomicFs.createExclusive(fs, path, bytes, ownerId)
+  private def refreshLease(): Unit = lease.refresh()
 
   // ------------------------------------------------------------------
   // Append / replay / checkpoint
@@ -257,7 +163,6 @@ object ControlJournal {
   private val SnapshotPrefix = "snapshot-"
   private val EntryName = """(\d{20})\.json""".r
   private val SnapshotName = """snapshot-(\d{20})\.json""".r
-  private val OwnerName = """_owner-(\d{20})""".r
 
   val OpViewUpsert = "view_upsert"
   val OpViewDelete = "view_delete"

@@ -433,6 +433,45 @@ final class EventStore(val spark: SparkSession) {
     */
   @volatile private var diskLayout: Option[(String, Int)] = None
 
+  /** Optional at-rest-log writer lease (reuses the ControlJournal
+    * epoch-lease scheme): without it, two PROCESSES calling save() or
+    * compact() on the same dir race the `_current` pointer flip — the
+    * manifest serializes readers against ONE writer, not writers
+    * against each other. With it, the second live writer is rejected
+    * at [[acquireLogWriter]], and every publish re-verifies the lease
+    * ([[WriterLease.refresh]] throws if a higher epoch fenced us after
+    * a crash-length pause).
+    */
+  @volatile private var logLease: Option[WriterLease] = None
+
+  /** Claim exclusive write ownership of the log at `dir`, or throw
+    * [[ControlJournal.OwnershipHeldException]] while another live
+    * writer holds it. A crashed writer's lease expires and the next
+    * claimant takes over atomically (epoch-file create-exclusive).
+    */
+  def acquireLogWriter(dir: String,
+                       ownerId: String = java.util.UUID.randomUUID().toString,
+                       leaseMs: Long = 60000L): Unit = commitLock.synchronized {
+    require(logLease.isEmpty, "log writer lease already held; release it first")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(dir)
+    val lease = new WriterLease(p, FileSystem.get(p.toUri, conf), conf,
+      ownerId, () => now(), leaseMs, prefix = "_writer-", what = "event log")
+    lease.acquire()
+    logLease = Some(lease)
+  }
+
+  def releaseLogWriter(): Unit = commitLock.synchronized {
+    logLease.foreach(_.release())
+    logLease = None
+  }
+
+  /** Called at the top of every publishing mutation: re-verify (and
+    * refresh) the lease so a fenced writer throws BEFORE clobbering
+    * the version pointer, not after.
+    */
+  private def verifyLogWriter(): Unit = logLease.foreach(_.refresh())
+
   /** Offset up to which the log at `diskLayout` already holds our
     * events — the watermark [[saveIncrement]] flushes from.
     */
@@ -464,6 +503,7 @@ final class EventStore(val spark: SparkSession) {
     * deleted.
     */
   def save(dir: String, buckets: Int = 32, retainDepth: Int = 1): Unit = commitLock.synchronized {
+    verifyLogWriter()
     val newVer = EventStore.nextVersionName(dir, spark.sparkContext.hadoopConfiguration)
     withLayoutCols(events.toDF(), buckets)
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
@@ -488,6 +528,7 @@ final class EventStore(val spark: SparkSession) {
     * Returns the number of events flushed.
     */
   def saveIncrement(dir: String, buckets: Int = 32): Long = commitLock.synchronized {
+    verifyLogWriter()
     if (!diskLayout.exists(_._1 == dir)) { save(dir, buckets); return headOffset }
     val since = flushedOffset
     val tail = events.filter($"offset" > since)
@@ -521,6 +562,7 @@ final class EventStore(val spark: SparkSession) {
     * — size it to (max scan duration / min rewrite interval).
     */
   def compact(dir: String, retainDepth: Int = 1): Unit = commitLock.synchronized {
+    verifyLogWriter()
     require(diskLayout.exists(_._1 == dir), s"no saved log at $dir")
     val conf = spark.sparkContext.hadoopConfiguration
     val curPath = eventsPath(dir)

@@ -184,6 +184,48 @@ class CompactionSpec extends SparkSpec {
     assert(inFlight.count() === 30L, "fallback-live version deleted under an in-flight reader")
   }
 
+  test("two-writer log fencing: second live writer rejected; crashed writer's successor publishes; the zombie is fenced") {
+    val dir = Files.createTempDirectory("graft-compact-fence").toString
+    val t0 = 1700000000000L
+    var nowMs = t0
+    val st = mkStore()
+    st.now = () => new java.sql.Timestamp(nowMs)
+    append(st, 0, 30)
+    st.acquireLogWriter(dir, ownerId = "A", leaseMs = 60000L)
+    st.save(dir, buckets = 4)
+
+    // a second live process on the same dir is cleanly rejected — the
+    // manifest pointer serializes readers vs one writer; the lease
+    // serializes writers vs each other
+    val stB = new EventStore(spark.newSession())
+    stB.now = () => new java.sql.Timestamp(nowMs)
+    stB.registerDeciderEvent("C", "E")
+    val rejection = intercept[ControlJournal.OwnershipHeldException] {
+      stB.acquireLogWriter(dir, ownerId = "B", leaseMs = 60000L)
+    }
+    assert(rejection.getMessage.contains("held by writer 'A'"))
+
+    // A crashes (no release); after lease expiry B takes over and
+    // publishes a new version through the pointer
+    nowMs = t0 + 61000L
+    stB.acquireLogWriter(dir, ownerId = "B", leaseMs = 60000L)
+    stB.load(dir, buckets = 4)
+    stB.save(dir, buckets = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v2"))
+
+    // the zombie comes back from its pause and tries to publish: its
+    // refresh sees B's higher epoch and throws BEFORE touching the
+    // pointer — B's version stays live
+    val fenced = intercept[ControlJournal.OwnershipHeldException] {
+      st.save(dir, buckets = 4)
+    }
+    assert(fenced.getMessage.contains("fenced"))
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v2"),
+      "a fenced writer must not have moved the pointer")
+    stB.releaseLogWriter()
+  }
+
   test("legacy unversioned events dir is retained one rewrite, then retired") {
     val dir = Files.createTempDirectory("graft-compact-legacy").toString
     val conf = spark.sparkContext.hadoopConfiguration
