@@ -128,6 +128,17 @@ final class FStoreApi(spark: SparkSession) {
     scheduleEvents(view, schedule, url, PushSink.HttpSender,
       FStoreApi.WallClock, FStoreApi.WallSleeper)
 
+  /** `asyncPush = true` routes POSTs through [[PushSink.AsyncSender]]
+    * (pg_net's queued async delivery, extensions.sql:44-48): the tick
+    * never blocks on the endpoint, failures retry with backoff, and
+    * exhausted payloads fall back to lease-expiry redelivery.
+    */
+  def scheduleEvents(view: String, schedule: String, url: String,
+                     asyncPush: Boolean): Unit =
+    scheduleEvents(view, schedule, url,
+      if (asyncPush) new PushSink.AsyncSender() else PushSink.HttpSender,
+      FStoreApi.WallClock, FStoreApi.WallSleeper)
+
   private def registeredView(view: String): ViewRegistration =
     streams.allViews.filter(_.view == view).collect().headOption
       .getOrElse(throw new IllegalArgumentException(s"view $view not registered"))

@@ -160,6 +160,60 @@ class SharedDeliverySpec extends SparkSpec {
     vsB.closeSharedJournal()
   }
 
+  test("property: a random two-writer schedule replays to the live merged state") {
+    // The shared journal's core claim: ANY interleaving of two live
+    // writers' mutations folds — on a cold third reader — to exactly
+    // the state the writers observe. Randomized over polls, acks,
+    // nacks, scheduled nacks, batch acks, and re-registrations, with
+    // the clock advancing so leases expire and partitions change hands.
+    val dir = Files.createTempDirectory("graft-shared-prop").toString
+    val logDir = Files.createTempDirectory("graft-shared-prop-log").toString
+    val clock = new Clock
+    val (stA, vsA) = mkConsumer(spark, clock)
+    appendLog(stA, nParts = 3, perPart = 4)
+    stA.save(logDir)
+    vsA.openSharedJournal(dir, ownerId = "A")
+    vsA.registerView("v", startAt = Some(ts(-1000)))
+    val (stB, vsB) = mkConsumer(spark.newSession(), clock)
+    stB.load(logDir)
+    vsB.openSharedJournal(dir, ownerId = "B")
+
+    val rnd = new scala.util.Random(7)
+    val writers = Array(vsA, vsB)
+    (0 until 60).foreach { i =>
+      clock.t = ts(1000L * i)
+      val vs = writers(rnd.nextInt(2))
+      rnd.nextInt(5) match {
+        case 0 => vs.streamEvents("v", limit = rnd.nextInt(3) + 1,
+          seconds = rnd.nextInt(8) + 1)
+        case 1 => vs.ack("v", s"p${rnd.nextInt(3)}", rnd.nextInt(12) + 1)
+        case 2 => vs.nack("v", s"p${rnd.nextInt(3)}")
+        case 3 => vs.scheduleNack("v", s"p${rnd.nextInt(3)}", rnd.nextInt(4000))
+        case 4 => vs.ackBatch("v", Seq((s"p${rnd.nextInt(3)}", rnd.nextInt(12) + 1)))
+      }
+    }
+    // both live caches and a COLD replay must agree key-for-key
+    val fromA = vsA.allLocks.collect().map(l => (l.view, l.decider_id) -> l).toMap
+    val fromB = vsB.allLocks.collect().map(l => (l.view, l.decider_id) -> l).toMap
+    assert(fromA === fromB, "live writers disagree after resync")
+    val cold = new SharedJournal(dir, spark.sparkContext.hadoopConfiguration,
+      "observer", () => clock.t)
+    cold.open()
+    val (coldViews, coldLocks) = cold.replay()
+    assert(coldLocks.map(l => (l.view, l.decider_id) -> l).toMap === fromA,
+      "cold replay diverged from the live merged state")
+    assert(coldViews.map(_.view) === Seq("v"))
+    // ... and checkpointing must be state-preserving
+    vsA.closeSharedJournal() // folds a checkpoint
+    val cold2 = new SharedJournal(dir, spark.sparkContext.hadoopConfiguration,
+      "observer2", () => clock.t)
+    cold2.open()
+    val (_, afterCkpt) = cold2.replay()
+    assert(afterCkpt.map(l => (l.view, l.decider_id) -> l).toMap === fromA,
+      "checkpoint changed the folded state")
+    vsB.closeSharedJournal()
+  }
+
   test("append fanout propagates across writers: B discovers A's new events via merged replay") {
     val dir = Files.createTempDirectory("graft-shared-fanout").toString
     val logDir = Files.createTempDirectory("graft-shared-fanout-log").toString
