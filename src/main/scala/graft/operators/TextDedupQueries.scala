@@ -606,6 +606,97 @@ object TextDedupQueries {
              GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Cross-document long-substring dedup (the Lee et al.
+    // "Deduplicating Training Data Makes Language Models Better"
+    // signal, at word-gram granularity): flag documents sharing any
+    // 12-word span with ANOTHER document, with the count of shared
+    // spans and the worst span's document frequency. A full
+    // distributed suffix array is the exact form; gram-granular
+    // detection is the standard practical approximation and uses the
+    // same shuffle shape. Scale: the join key is md5(gram) — a fixed
+    // 32-byte shuffle key regardless of span length; per-doc gram
+    // lists never leave their row before the explode; the df side is
+    // map-side-combined. Grams are persisted once — the df branch and
+    // the per-doc branch read ONE computation.
+    Q("doc_substring_dedup",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .withColumn("s", when(size(col("ws")) >= 12,
+            expr("""array_distinct(transform(sequence(0, size(ws) - 12),
+                     i -> md5(array_join(slice(ws, i + 1, 12), ' '))))"""))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          .select(col("doc_id"), explode(col("s")).as("g"))
+          .transform(graft.Caching.persistOnce(_))
+        // grams are distinct per doc, so count(*) per gram = doc freq
+        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        grams.join(df, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"), max(col("df")).as("max_gram_df"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(ws) >= 12
+                                THEN list_distinct([md5(list_aggregate(ws[i:i+11], 'string_agg', ' '))
+                                                    FOR i IN range(1, len(ws) - 10)])
+                                ELSE [] END AS s
+                    FROM w),
+             g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g
+                    GROUP BY g HAVING count(*) >= 2)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams,
+                    max(df.df) AS max_gram_df
+             FROM g JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Source mixing weights: per-source token mass → sampling weight
+    // under the standard temperature rule (alpha = 0.5: weight ∝
+    // sqrt(tokens), flattening the source distribution the way
+    // multilingual/multi-corpus pre-training mixes do). Determinism
+    // across engines: per-source token counts are exact integer sums;
+    // sqrt is one IEEE op on an integer-valued double; the rounded
+    // weights become DECIMAL(18,6) so the normalization constant is an
+    // EXACT sum (a raw double sum over sources would be
+    // accumulation-order-dependent and break the hash compare).
+    // Scale: one map-side-combined aggregation by source + a 20-row
+    // broadcast of the totals.
+    Q("doc_mixing_weights",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), size(expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n"))
+        val per = tok.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+            round(sqrt(sum(col("n")).cast("double")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
+        val totals = per.agg(
+          sum(col("n_tokens")).cast("double").as("tot_tokens"),
+          sum(col("w")).cast("double").as("tot_w"))
+        per.crossJoin(broadcast(totals))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("token_share"),
+            round(col("w").cast("double") / col("tot_w"), 6).as("mix_weight"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+               SELECT source,
+                      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n
+               FROM documents),
+             per AS (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n) AS BIGINT) AS n_tokens,
+                      CAST(round(sqrt(CAST(sum(n) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+               FROM tok GROUP BY source)
+             SELECT source, n_docs, n_tokens,
+                    round(CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per), 6) AS token_share,
+                    round(CAST(w AS DOUBLE) / (SELECT CAST(sum(w) AS DOUBLE) FROM per), 6) AS mix_weight
+             FROM per ORDER BY source""")),
+
+    // ----------------------------------------------------------------
     // PII scrubbing: redact emails and phone numbers (regex forms
     // shared verbatim by Java regex and DuckDB's RE2). Pure per-row
     // map. The driver corpus contains no PII, so the oracle checks
