@@ -65,6 +65,84 @@ class MediaSpec extends SparkSpec {
     assert(frames.toSeq === again.toSeq)
   }
 
+  test("REAL image decode: a PNG round-trips through the pipeline with true dims and pixels") {
+    // build a genuine PNG in-memory (javax.imageio writer — pure JDK)
+    val w = 40; val h = 30
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 6) << 16) | ((y * 8) << 8) | 0x40)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+
+    val d = Media.MediaCodec.decode("image", png, maxFrames = 4)
+    assert(d.width === w && d.height === h, "decoded dims must come from the PNG header")
+    assert(d.frames.size === 1)
+    val rgb = d.frames.head
+    assert(rgb.length === w * h * 3)
+    // spot-check true pixel values survive the decode
+    def px(x: Int, y: Int) = {
+      val i = (y * w + x) * 3
+      (rgb(i) & 0xff, rgb(i + 1) & 0xff, rgb(i + 2) & 0xff)
+    }
+    assert(px(0, 0) === ((0, 0, 0x40)))
+    assert(px(5, 3) === ((30, 24, 0x40)))
+
+    // the raster path of resize: nearest-neighbor to 10×6, verified
+    // against the spec formula on a couple of pixels
+    val small = Media.MediaCodec.resize(rgb, w, h, 10, 6)
+    assert(small.length === 10 * 6 * 3)
+    def spx(bytes: Array[Byte], ow: Int, x: Int, y: Int) = {
+      val i = (y * ow + x) * 3
+      (bytes(i) & 0xff, bytes(i + 1) & 0xff, bytes(i + 2) & 0xff)
+    }
+    // out (3,2) ← src (3*40/10, 2*30/6) = (12, 10)
+    assert(spx(small, 10, 3, 2) === px(12, 10))
+    // end-to-end through the Dataset pipeline
+    import spark.implicits._
+    val media = Seq(Media.MediaRow(1L, "image", png, w, h, 0L)).toDS()
+    val feat = Media.extractFeatures(media).collect().head
+    assert(feat.width === w && feat.height === h && feat.n_frames_sampled === 1)
+    val resized = Media.resizeFrames(media, 10, 6).collect()
+    assert(resized.length === 1 && resized.head.n_bytes === 10 * 6 * 3)
+  }
+
+  test("REAL audio decode: a PCM WAV yields sample rate, channels, windows; resample is exact") {
+    // 0.5 s of 8 kHz 16-bit mono: a 440-ish square wave, via the JDK
+    // sampled-audio writer
+    val rate = 8000
+    val n = rate / 2
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v: Short = if ((i / 9) % 2 == 0) 12000 else -12000
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val d = Media.MediaCodec.decode("audio", wav, maxFrames = 4)
+    assert(d.width === rate, "width carries the sample rate for audio")
+    assert(d.height === 1, "height carries the channel count")
+    assert(d.frames.size === 1, "0.5 s fits one 1-second window")
+    assert(d.frames.head.length === n * 2)
+    assert(d.frames.head.toSeq === pcm.toSeq, "PCM payload must survive decode exactly")
+
+    // nearest-sample resample 8 kHz → 4 kHz: every second frame, exactly
+    val down = Media.MediaCodec.resamplePcm(pcm, channels = 1, srcRate = rate, dstRate = rate / 2)
+    assert(down.length === n) // half the frames, 2 bytes each
+    for (i <- 0 until n / 2) {
+      assert(down(2 * i) === pcm(4 * i) && down(2 * i + 1) === pcm(4 * i + 1),
+        s"resampled frame $i must be source frame ${2 * i}")
+    }
+  }
+
   test("metadata-only aggregation prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     Media.synthesize(docs).write.mode("overwrite").parquet(dir)
