@@ -628,15 +628,22 @@ object RelationalQueries {
     // per part attribute over the derived part↔supplier pairs
     Q("q16_supplier_count",
       (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        // part-attribute filter and supplier exclusion push BELOW the
+        // distinct: the pair-dedup shuffle then carries only rows that
+        // can reach the output (the part filter is ~16% selective —
+        // on the naive order the distinct shuffles the full pair set
+        // first and filters after)
         val excluded = Tables.supplier(s, d)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         val parts = Tables.part(s, d).filter(col("p_brand") =!= "Brand#5" &&
           !col("p_type").isin("PROMO", "ECONOMY") &&
           col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 36))
-        ps.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        Tables.lineitem(s, d)
+          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("p_brand"), col("p_type"), col("p_size"))
+          .distinct()
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -653,25 +660,26 @@ object RelationalQueries {
     // ----------------------------------------------------------------
     // TPC-H Q20 shape: nested IN chains — suppliers of 'small%' parts
     // whose pre-1997 supplied quantity exceeds half their 1997+
-    // shipments. The correlated scalar becomes a co-partitioned join of
-    // two aggregates on the same (partkey, suppkey) grouping — one
-    // shuffle each, aligned keys; an inner join reproduces SQL's
-    // NULL-excludes-row comparison semantics.
+    // shipments. The correlated scalar decorlates into the SAME
+    // (partkey, suppkey) grouping as the outer aggregate, so both
+    // sums ride ONE scan as conditional aggregates — one shuffle, no
+    // self-join (the naive form scans lineitem twice and joins the two
+    // aggregates back together). Null conditional sums drop on the
+    // comparison, reproducing SQL's NULL-excludes-row semantics.
     Q("q20_potential_promotion",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val cut = lit("1997-01-01").cast("timestamp")
-        val avail = li.filter(col("l_shipdate") < cut)
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(sum(dec2(col("l_quantity"))).cast("double").as("availqty"))
-        val later = li.filter(col("l_shipdate") >= cut)
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(sum(dec2(col("l_quantity"))).cast("double").as("laterqty"))
         val smallParts = Tables.part(s, d)
           .filter(col("p_name").like("small%")).select(col("p_partkey"))
-        val qualifying = avail
+        val qualifying = li
           .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
-          .join(later, Seq("l_partkey", "l_suppkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(
+            sum(when(col("l_shipdate") < cut, dec2(col("l_quantity"))))
+              .cast("double").as("availqty"),
+            sum(when(col("l_shipdate") >= cut, dec2(col("l_quantity"))))
+              .cast("double").as("laterqty"))
           .filter(col("availqty") > col("laterqty") * 0.5)
           .select(col("l_suppkey")).distinct()
         Tables.supplier(s, d)
