@@ -193,10 +193,100 @@ object TextDedupQueries {
       labels = next.select(col("doc"), col("lbl"))
       round += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    if (changed > 0) {
+      // adversarial diameter (> maxRounds): hand off to the O(log n)
+      // star contraction instead of failing — same contract, any
+      // correct CC algorithm yields identical clusters
+      return nearDupClustersStar(s, edgesIn)
+    }
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components by ALTERNATING large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): converges in O(log n) rounds on ANY graph shape,
+    * including the long chains that defeat O(diameter) label
+    * propagation. Per round: large-star hangs every neighbor larger
+    * than `u` off `u`'s neighborhood minimum; small-star re-points the
+    * smaller-or-equal neighbors (and `u` itself) at it. Each operation
+    * is one groupBy(u) shuffle plus a co-partitioned join back — the
+    * same cost shape as a label-prop round, but the round COUNT is
+    * logarithmic. Fixpoint: every surviving edge is (node →
+    * component-min).
+    *
+    * [[nearDupClusters]] uses label propagation first (cheaper on the
+    * short-diameter graphs near-dup similarity actually produces) and
+    * falls back here when the diameter bound trips.
+    */
+  def nearDupClustersStar(s: SparkSession, edgesIn: DataFrame,
+                          maxRounds: Int = 48): DataFrame = {
+    val base = edgesIn.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .transform(graft.Caching.persistOnce(_))
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(hash(col("doc_a"), col("doc_b")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // undirected edge set as canonical (small, large) pairs
+    var edges = base
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // ---- large-star: for each u, m = min(N(u) ∪ {u}); emit (m, v)
+      //      for every neighbor v > u
+      val nbrs = edges.union(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val mins = nbrs.groupBy(col("doc_a").as("u"))
+        .agg(least(min(col("doc_b")), first(col("doc_a"))).as("m"))
+      val afterLarge = nbrs.join(mins, nbrs("doc_a") === mins("u"))
+        .filter(col("doc_b") > col("doc_a"))
+        .select(least(col("m"), col("doc_b")).as("doc_a"),
+          greatest(col("m"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+      // ---- small-star: for each u, re-point neighbors ≤ u (and u) at m
+      val nbrs2 = afterLarge.union(
+        afterLarge.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val mins2 = nbrs2.groupBy(col("doc_a").as("u"))
+        .agg(least(min(col("doc_b")), first(col("doc_a"))).as("m"))
+      val small = nbrs2.filter(col("doc_b") <= col("doc_a"))
+        .join(mins2, nbrs2("doc_a") === mins2("u"))
+        .select(col("m"), col("doc_b"))
+      val self = nbrs2.select(col("doc_a")).distinct()
+        .join(mins2, col("doc_a") === col("u"))
+        .select(col("m"), col("doc_a").as("doc_b"))
+      val afterSmall = small.union(self)
+        .select(least(col("m"), col("doc_b")).as("doc_a"),
+          greatest(col("m"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(afterSmall)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = afterSmall
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edges are (component-min, node); nodes absent from the
+    // final set (isolated after self-filter) are their own minimum
+    val nodes = base.select(col("doc_a").as("doc"))
+      .union(base.select(col("doc_b").as("doc"))).distinct()
+    val parents = edges.groupBy(col("doc_b").as("doc"))
+      .agg(min(col("doc_a")).as("parent"))
+    nodes.join(parents, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("parent"), col("doc")).as("cluster_id"),
+        (coalesce(col("parent"), col("doc")) === col("doc")).as("is_canonical"))
       .orderBy("doc_id")
   }
 

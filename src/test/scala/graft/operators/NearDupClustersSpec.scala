@@ -32,4 +32,33 @@ class NearDupClustersSpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (7L, 7L, true), (9L, 7L, false)))
   }
+
+  test("star contraction equals label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sparse random graph: 120 nodes, 90 edges → a mix of chains,
+    // trees, small cycles, and isolated-pair components
+    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val viaProp = asMap(TextDedupQueries.nearDupClusters(spark, edges))
+    val viaStar = asMap(TextDedupQueries.nearDupClustersStar(spark, edges))
+    assert(viaStar === viaProp,
+      "any correct CC algorithm must produce identical (node -> min-label) maps")
+  }
+
+  test("adversarial diameter: a 60-node chain exceeds the label-prop round bound and falls back") {
+    import spark.implicits._
+    // chain 60-59-…-1 with the min at the far end: label prop needs 59
+    // rounds (> maxRounds=20) — the star fallback must kick in and
+    // still produce the right single component in O(log n) rounds
+    val edges = (1L until 60L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = TextDedupQueries.nearDupClusters(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got.length === 60)
+    assert(got.forall(_._2 == 1L), s"all chain nodes must label to 1: $got")
+    assert(got.count(_._3) === 1)
+  }
 }
