@@ -742,6 +742,45 @@ object TextDedupQueries {
              FROM g JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Blocked fuzzy matching (record-linkage shape): normalize, block
+    // on the 16-char normalized prefix, and compute LEVENSHTEIN edit
+    // distance within blocks only — the classic blocking-key pattern
+    // that keeps edit distance (quadratic per pair, O(n²) all-pairs)
+    // feasible at corpus scale: one shuffle on the block key, in-block
+    // pair loops bounded by block size. Complements the shingle-based
+    // near-dup family with the character-level similarity measure
+    // dedup pipelines use for titles/URLs/short fields. Spark's
+    // levenshtein() and DuckDB's are both the textbook unit-cost DP —
+    // identical distances.
+    Q("doc_fuzzy_match",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", ""), " +", " ").as("norm"))
+          .withColumn("blk", substring(col("norm"), 1, 16))
+          .select(col("doc_id"), substring(col("norm"), 1, 80).as("pre"), col("blk"))
+        val x = b.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"), col("blk"))
+        val y = b.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"), col("blk"))
+        x.join(y, Seq("blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
+          .filter(col("edit_dist") <= 10)
+          .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH n AS (
+               SELECT doc_id,
+                      regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
+               FROM documents),
+             b AS (SELECT doc_id, substr(norm, 1, 80) AS pre, substr(norm, 1, 16) AS blk FROM n)
+             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS edit_dist
+             FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+             WHERE levenshtein(x.pre, y.pre) <= 10
+             ORDER BY doc_a, doc_b""")),
+
+    // ----------------------------------------------------------------
     // Source mixing weights: per-source token mass → sampling weight
     // under the standard temperature rule (alpha = 0.5: weight ∝
     // sqrt(tokens), flattening the source distribution the way
