@@ -272,6 +272,28 @@ object EventStoreQueries {
                     w2 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
              ORDER BY user_id, event_id""")),
 
+    // Distribution ranks: percent_rank + cume_dist complete the window
+    // function families (rank/ntile/lag/lead/frames covered elsewhere).
+    // The window ordering carries a unique tie-break (value, event_id),
+    // so rank positions — and therefore both rationals — are
+    // deterministic; the division is one double op on exact integers,
+    // identical across engines, rounded as belt-and-braces.
+    Q("es_w6_distribution_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cum_dist"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cum_dist
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+             ORDER BY user_id, event_id""")),
+
     Q("es_w1_lag_gaps",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
