@@ -403,6 +403,28 @@ object EventStoreQueries {
              count(*) AS n_events
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Binned histogram: the width_bucket shape via portable floor
+    // arithmetic (bucket = floor(value / width) — one exact double op,
+    // no engine-specific bucket function). Bounds are exact decimal
+    // min/max per bin; the aggregation is one map-side-combined
+    // shuffle on the bin id.
+    Q("es_value_histogram",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(floor(col("value") / 10.0d).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("lo"),
+            max(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             count(*) AS n,
+             CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+             CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi
+             FROM events GROUP BY 1 ORDER BY bucket""")),
+
     // ----------------------------------------------------------------
     // P3: point lookup by unique key (reference assertions
     // WHERE event_id = ?, tests/utils/assertions.sql:21-23).
