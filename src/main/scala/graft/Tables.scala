@@ -16,6 +16,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** SQL front door: register every table as a temp view (the events
+    * nanosecond normalization applied) and the engine's custom
+    * functions (cosine_sim, band_sigs, band_probes, …) on the session,
+    * so `spark.sql("SELECT …")` drives the engine directly — the
+    * surface a user coming from the reference's SQL API expects.
+    * Idempotent; re-registering re-points the views at `dir`.
+    */
+  def registerSqlViews(s: SparkSession, dir: String): Unit = {
+    GraftExtensions.register(s)
+    names.foreach {
+      case "events" => events(s, dir).createOrReplaceTempView("events")
+      case n => load(s, dir, n).createOrReplaceTempView(n)
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
