@@ -150,6 +150,43 @@ object Bench {
         }
         val streamJournaledSec = (System.nanoTime() - tJ) / 1e9
         vs.closeJournal()
+        // Same drain SPLIT across TWO live consumers through one
+        // SharedJournal (SKIP LOCKED parity). Read the number with the
+        // poll-round arithmetic in mind: at limit 10 each, the drain is
+        // ~20 poll rounds of ~2 Spark jobs apiece vs the journaled
+        // slot's ~5 rounds at limit 20 — per-round JOB overhead (the
+        // same cost the other stream slots document) accounts for
+        // nearly all of the wall time at this toy scale, and the
+        // coordination residual (epoch-file mutex, lane appends,
+        // cached merged replay) is a handful of small file ops per
+        // round. At production batch sizes the job overhead amortizes
+        // and the residual is what remains — which is why the lane
+        // entry cache keeps replay reads proportional to NEW entries.
+        // Both consumers load the same at-rest log (setup untimed).
+        val sharedLog = java.nio.file.Files.createTempDirectory("graft-bench-shlog").toString
+        st.save(sharedLog)
+        val sdir = java.nio.file.Files.createTempDirectory("graft-bench-shared").toString
+        val stX = new EventStore(spark); stX.registerDeciderEvent("Bench", "E")
+        val stY = new EventStore(spark); stY.registerDeciderEvent("Bench", "E")
+        stX.load(sharedLog); stY.load(sharedLog)
+        val vsX = new ViewStreams(stX); val vsY = new ViewStreams(stY)
+        vsX.openSharedJournal(sdir, ownerId = "bx")
+        vsX.registerView("bench_view_s", startAt = Some(new java.sql.Timestamp(0L)))
+        vsY.openSharedJournal(sdir, ownerId = "by")
+        val tSh = System.nanoTime()
+        var drainedS = 0
+        var any = true
+        while (any && drainedS < 100) {
+          val gx = vsX.streamEvents("bench_view_s", limit = 10)
+          if (gx.nonEmpty) vsX.ackBatch("bench_view_s", gx.map(e => (e.decider_id, e.offset)))
+          val gy = vsY.streamEvents("bench_view_s", limit = 10)
+          if (gy.nonEmpty) vsY.ackBatch("bench_view_s", gy.map(e => (e.decider_id, e.offset)))
+          drainedS += gx.size + gy.size
+          any = gx.nonEmpty || gy.nonEmpty
+        }
+        val sharedSec = (System.nanoTime() - tSh) / 1e9
+        require(drainedS >= 100, s"shared drain stalled at $drainedS")
+        vsX.closeSharedJournal(); vsY.closeSharedJournal()
         // Large-payload stress: ~1 KB JSON per event, one append call
         // per event (the reference's per-statement shape).
         val kb = (0 until 16).map(i => s""""k$i":"${"x" * 56}"""").mkString("{", ",", "}")
@@ -184,6 +221,7 @@ object Bench {
         Seq("store_append_1000" -> appendSec,
           "store_stream_ack_100" -> streamSec,
           "store_stream_ackbatch_journal_100" -> streamJournaledSec,
+          "store_stream_shared2_100" -> sharedSec,
           "store_append_payload_20x1k" -> stressSec,
           "store_save_full" -> saveSec,
           "store_save_increment_200" -> incSec,

@@ -194,6 +194,16 @@ final class SharedJournal(dirStr: String,
     (views, locks, pending)
   }
 
+  /** Lane entries are immutable once published (atomic create, never
+    * rewritten), so parsed records are cached: each resync pays one
+    * directory listing per lane plus reads of NEW files only — without
+    * this, a poll loop's repeated replays re-read every entry file
+    * (O(entries²) file opens across a drain). Checkpoint GC evicts
+    * folded entries.
+    */
+  private val entryCache =
+    scala.collection.mutable.HashMap.empty[(String, Long), Record]
+
   /** Entries newer than the snapshot watermarks, in merge order. */
   private def pendingEntries(watermarks: Map[String, Long]): Seq[(Long, String, Long, Record)] = {
     val lanes =
@@ -202,7 +212,12 @@ final class SharedJournal(dirStr: String,
     lanes.flatMap { lane =>
       val wm = watermarks.getOrElse(lane.getName, 0L)
       laneEntrySeqs(lane).filter(_ > wm).flatMap { s =>
-        readJson[Record](lanePath(lane, s)).map(r => (r.at, lane.getName, s, r))
+        val key = (lane.getName, s)
+        entryCache.get(key).orElse {
+          val r = readJson[Record](lanePath(lane, s))
+          r.foreach(entryCache.update(key, _))
+          r
+        }.map(r => (r.at, lane.getName, s, r))
       }
     }.sortBy { case (at, laneId, s, _) => (at, laneId, s) }
   }
@@ -223,11 +238,12 @@ final class SharedJournal(dirStr: String,
     AtomicFs.atomicWrite(fs, conf, snapshotPath(n), mapper.writeValueAsBytes(
       SharedSnapshot(views.values.map(JView.of).toArray,
         locks.values.map(JLock.of).toArray, wm, lamport)))
-    // GC: folded lane entries, then older snapshots
+    // GC: folded lane entries (files + cache), then older snapshots
     wm.foreach { case (laneId, upTo) =>
       val lane = new Path(lanesDir, laneId)
       laneEntrySeqs(lane).filter(_ <= upTo).foreach(s => fs.delete(lanePath(lane, s), false))
     }
+    entryCache.filterInPlace { case ((laneId, s), _) => s > wm.getOrElse(laneId, 0L) }
     snapshotSeqs().filter(_ < n).foreach(s => fs.delete(snapshotPath(s), false))
     (views.values.toSeq, locks.values.toSeq)
   }
