@@ -512,18 +512,28 @@ object RelationalQueries {
     Q("q2_min_cost_supplier",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val ps = li.groupBy("l_partkey", "l_suppkey")
-          .agg(min(dec2(col("l_extendedprice"))).cast("double").as("ps_supplycost"))
-        val euro = ps
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        // the correlated subquery's domain AND the output are both
+        // EUROPE-restricted, so the region semi-join pushes BELOW the
+        // pair aggregation: the (partkey, suppkey) shuffle carries
+        // only the region's fraction of lineitem (12.2 → ~2.5 MB at
+        // sf0.1) — supplier attributes re-join broadcast-side after
+        // the window filter, against the tiny winner set
+        val euroSupp = Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-        val best = euro
+        val ps = li
+          .join(broadcast(euroSupp.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(dec2(col("l_extendedprice"))).cast("double").as("ps_supplycost"))
+        val best = ps
           .withColumn("min_cost", min(col("ps_supplycost"))
             .over(Window.partitionBy(col("l_partkey"))))
           .filter(col("ps_supplycost") === col("min_cost"))
-        best.join(broadcast(Tables.part(s, d)
+        best
+          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.part(s, d)
             .filter(col("p_size") <= 15 && col("p_type") === "PROMO")),
             col("l_partkey") === col("p_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
