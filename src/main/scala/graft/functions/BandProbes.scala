@@ -74,11 +74,24 @@ object BandProbes {
 
   /** The kernel: see the class doc. Shared verbatim by interpreted
     * eval and codegen.
+    *
+    * Argument clamping: this expression is registered on the session
+    * and reachable from raw user SQL (Tables.registerSqlViews), so
+    * degenerate arguments must fail soft, not crash the task —
+    * `bits <= 0` would divide by zero, `bits < ProbeWidth` would leave
+    * a -1 selection index, `nProbes > 2^width` would overrun the
+    * subset order. Non-positive bits/nProbes yield an empty array; the
+    * probe width clamps to `min(ProbeWidth, bits)` and nProbes to the
+    * subset count. The engine's own ANN path (EmbeddingQueries) passes
+    * bits=16, nProbes≤16 — untouched by the clamp, so the DuckDB
+    * oracle replay is unaffected.
     */
   def compute(vec: ArrayData, planes: ArrayData, bits: Int, nProbes: Int): ArrayData = {
-    val w = ProbeWidth
+    if (bits <= 0 || nProbes <= 0) return new GenericArrayData(new Array[Long](0))
+    val w = math.min(ProbeWidth, bits)
+    val np = math.min(nProbes, 1 << w)
     val nBands = planes.numElements() / bits
-    val out = new Array[Long](nBands * nProbes)
+    val out = new Array[Long](nBands * np)
     val margins = new Array[Double](bits)
     val lowBits = new Array[Int](w)
     val used = new Array[Boolean](bits)
@@ -142,14 +155,14 @@ object BandProbes {
         a += 1
       }
       k = 0
-      while (k < nProbes) {
+      while (k < np) {
         var flip = 0L
         var t = 0
         while (t < w) {
           if ((order(k) & (1 << t)) != 0) flip |= (1L << lowBits(t))
           t += 1
         }
-        out(band * nProbes + k) = sig ^ flip
+        out(band * np + k) = sig ^ flip
         k += 1
       }
       band += 1

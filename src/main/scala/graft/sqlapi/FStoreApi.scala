@@ -156,7 +156,17 @@ final class FStoreApi(spark: SparkSession) {
       PushSink.envelope(got.map(e =>
         Delivered(view, e.decider_id, e.offset, e.event_id, e.data,
           redelivery = false)).toDS())
-        .collect().foreach(r => send(url, r.getString(0)))
+        .collect().foreach { r =>
+          send match {
+            // async path: a full queue (wedged endpoint) must not
+            // stall the tick behind apply()'s backpressure — skip the
+            // payload; its event was never acked, so it redelivers at
+            // lease expiry like any crashed-consumer delivery
+            case a: PushSink.AsyncSender =>
+              a.tryApply(url, r.getString(0), timeoutMs = 100L); ()
+            case s => s(url, r.getString(0))
+          }
+        }
     }
   }
 

@@ -467,10 +467,19 @@ final class EventStore(val spark: SparkSession) {
   }
 
   /** Called at the top of every publishing mutation: re-verify (and
-    * refresh) the lease so a fenced writer throws BEFORE clobbering
-    * the version pointer, not after.
+    * refresh) the lease so a stale writer fails fast before paying for
+    * the write job. NOT sufficient on its own — the job may outlast
+    * the lease — hence [[fenceLogWriter]] right before publication.
     */
   private def verifyLogWriter(): Unit = logLease.foreach(_.refresh())
+
+  /** Called immediately BEFORE the `_current` pointer flip (or an
+    * in-place append): an unconditional epoch listing, so a writer
+    * whose lease expired during the preceding (arbitrarily long) write
+    * job throws instead of clobbering a successor's publish. The
+    * half-life-gated [[verifyLogWriter]] cannot catch that case.
+    */
+  private def fenceLogWriter(): Unit = logLease.foreach(_.assertHeld())
 
   /** Offset up to which the log at `diskLayout` already holds our
     * events — the watermark [[saveIncrement]] flushes from.
@@ -508,6 +517,7 @@ final class EventStore(val spark: SparkSession) {
     withLayoutCols(events.toDF(), buckets)
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+    fenceLogWriter()
     EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration, retainDepth)
     // rebase the in-memory plan onto the just-published version: the
     // plan may still lazily reference files of an OLDER version that
@@ -536,7 +546,10 @@ final class EventStore(val spark: SparkSession) {
     if (n > 0) {
       // appends land INSIDE the current version dir (additive — new
       // files appearing mid-listing is benign); only full rewrites
-      // (save/compact) bump the version pointer
+      // (save/compact) bump the version pointer. Fence first: a fenced
+      // writer appending into a dir a successor already retired would
+      // silently lose those events.
+      fenceLogWriter()
       withLayoutCols(tail.toDF(), diskLayout.get._2)
         .write.partitionBy("bucket", "day").mode("append").parquet(eventsPath(dir))
       deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
@@ -576,6 +589,7 @@ final class EventStore(val spark: SparkSession) {
     // unflushed tail now, then rebase `events` onto the compacted copy,
     // so post-compact reads never depend on retired files
     val tail = events.filter($"offset" > flushedOffset).localCheckpoint(true)
+    fenceLogWriter()
     EventStore.publishVersion(dir, newVer, conf, retainDepth)
     events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
       .union(tail)
@@ -673,6 +687,14 @@ object EventStore {
                                     conf: Configuration,
                                     retainDepth: Int = 1): Unit = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
+    // Read the pointer BEFORE the flip: the version readers are
+    // actively resolving to MUST survive this rewrite regardless of
+    // how the on-disk dirs sort. A crash-orphaned higher-numbered dir
+    // (a save that wrote events_vN but died before flipping) would
+    // otherwise rank as the youngest predecessor and, at retainDepth=1,
+    // push the pointer-live previous version out of the keep set —
+    // deleting it out from under in-flight scans.
+    val pointerPrev = readPointer(dir, conf)
     val tmp = new HPath(s"$dir/.tmp-$PointerFile")
     val out = fs.create(tmp, true)
     try out.write(newVer.getBytes("UTF-8")) finally out.close()
@@ -687,7 +709,7 @@ object EventStore {
         .collect { case v @ VersionName(n) if v != newVer => (n.toLong, v) }
         ++ (if (fs.exists(legacy)) Seq((0L, "events")) else Nil))
         .sortBy(-_._1).map(_._2)
-    val keep = Set(newVer) ++ predecessors.take(math.max(retainDepth, 0))
+    val keep = Set(newVer) ++ pointerPrev ++ predecessors.take(math.max(retainDepth, 0))
     fs.listStatus(new HPath(dir)).foreach { st =>
       st.getPath.getName match {
         case v @ VersionName(_) if !keep(v) => fs.delete(st.getPath, true)

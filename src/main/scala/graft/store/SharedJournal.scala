@@ -176,22 +176,40 @@ final class SharedJournal(dirStr: String,
     (views.values.toSeq, locks.values.toSeq)
   }
 
+  /** Fold the latest snapshot plus pending lane entries. Mutex-free
+    * callers (resyncShared in ack/nack paths) can race a checkpointer:
+    * read snapshot n-1, the checkpointer writes snapshot n and GCs the
+    * folded lane entries, and our subsequent lane listing misses those
+    * entries — a fold that silently LOST their effects. Detect it by
+    * re-checking the latest snapshot seq after the lane read and retry
+    * (bounded); checkpoints are rare relative to folds, so one retry
+    * virtually always converges. If the bound is ever exhausted the
+    * last fold is returned — same heals-at-next-mutex-resync behavior
+    * as before, now a pathological corner instead of the common race.
+    */
   private def foldState(): (scala.collection.mutable.LinkedHashMap[String, ViewRegistration],
                             scala.collection.mutable.LinkedHashMap[(String, String), LockRow],
                             Seq[(Long, String, Long, Record)]) = {
-    val views = scala.collection.mutable.LinkedHashMap.empty[String, ViewRegistration]
-    val locks = scala.collection.mutable.LinkedHashMap.empty[(String, String), LockRow]
-    val snap = readLatestSnapshot()
-    snap.foreach { case (_, s) =>
-      s.views.foreach(v => views(v.view) = v.toRow)
-      s.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val views = scala.collection.mutable.LinkedHashMap.empty[String, ViewRegistration]
+      val locks = scala.collection.mutable.LinkedHashMap.empty[(String, String), LockRow]
+      val snap = readLatestSnapshot()
+      snap.foreach { case (_, s) =>
+        s.views.foreach(v => views(v.view) = v.toRow)
+        s.locks.foreach(l => locks((l.view, l.decider_id)) = l.toRow)
+      }
+      val watermarks = snap.map(_._2.laneSeqs).getOrElse(Map.empty[String, Long])
+      val pending = pendingEntries(watermarks)
+      if (snapshotSeqs().lastOption == snap.map(_._1) || attempt >= 5) {
+        pending.foreach { case (_, _, _, rec) => ControlJournal.applyRecord(views, locks, rec) }
+        // Lamport receive: our next append must order after everything read
+        lamport = (lamport +: snap.map(_._2.maxAt).getOrElse(0L) +: pending.map(_._1)).max
+        return (views, locks, pending)
+      }
     }
-    val watermarks = snap.map(_._2.laneSeqs).getOrElse(Map.empty[String, Long])
-    val pending = pendingEntries(watermarks)
-    pending.foreach { case (_, _, _, rec) => ControlJournal.applyRecord(views, locks, rec) }
-    // Lamport receive: our next append must order after everything read
-    lamport = (lamport +: snap.map(_._2.maxAt).getOrElse(0L) +: pending.map(_._1)).max
-    (views, locks, pending)
+    sys.error("unreachable")
   }
 
   /** Lane entries are immutable once published (atomic create, never

@@ -84,6 +84,39 @@ final class WriterLease(dir: Path,
     }
   }
 
+  /** Unconditional fence check — no half-life gate. [[refresh]] only
+    * inspects the epochs once the lease passes its half-life, so a
+    * writer whose lease expired DURING a long write job (the common
+    * case at production scale: job duration > leaseMs) would sail
+    * through a top-of-mutation refresh and still flip the version
+    * pointer, clobbering a successor's publish. Call this immediately
+    * before the pointer flip: it always lists the epochs and throws if
+    * a higher epoch (or a missing claim) fenced us. On success the
+    * lease is re-armed, so a burst of publishes cannot expire between
+    * half-life refreshes. Still lease-clock-bounded (see class doc):
+    * a rival that claims in the check→flip window is the irreducible
+    * skew case, but the window shrinks from O(job) to O(one listing).
+    */
+  def assertHeld(): Unit = {
+    val top = epochSeqs().lastOption
+    top match {
+      case Some(t) if t == epoch =>
+        val expiry = clock().getTime + leaseMs
+        AtomicFs.atomicWrite(fs, conf, epochPath(epoch),
+          s"$ownerId@$expiry".getBytes("UTF-8"))
+        leaseExpiry = expiry
+      case Some(t) if t > epoch =>
+        val holder = readOwnerFile(epochPath(t)).map(_._1).getOrElse("<unknown>")
+        throw new OwnershipHeldException(
+          s"writer '$ownerId' was fenced before publish: $what at $dir now held by " +
+            s"'$holder' at epoch $t (ours: $epoch)")
+      case _ =>
+        throw new OwnershipHeldException(
+          s"writer '$ownerId' no longer holds $what at $dir: claim file for epoch " +
+            s"$epoch is gone")
+    }
+  }
+
   /** Release the lease (clean shutdown). Safe to call when not held. */
   def release(): Unit = currentOwner() match {
     case Some((e, id, _)) if id == ownerId && e == epoch =>

@@ -70,7 +70,8 @@ object PushSink {
   final class AsyncSender(transport: (String, String) => Unit = HttpSender,
                           capacity: Int = 1024,
                           maxAttempts: Int = 5,
-                          baseBackoffMs: Long = 500L)
+                          baseBackoffMs: Long = 500L,
+                          closeFlushMs: Long = 5000L)
       extends ((String, String) => Unit) with AutoCloseable with Serializable {
     require(capacity > 0 && maxAttempts >= 1)
     @transient private lazy val slots = new java.util.concurrent.Semaphore(capacity)
@@ -86,8 +87,36 @@ object PushSink {
       new java.util.concurrent.atomic.AtomicLong(0L)
 
     def apply(url: String, body: String): Unit = {
+      if (exec.isShutdown)
+        throw new java.util.concurrent.RejectedExecutionException(
+          "AsyncSender is closed")
       slots.acquire()
-      schedule(url, body, attempt = 1, delayMs = 0L)
+      // close() can land between the check above and here: the
+      // executor rejects, so release the permit before rethrowing —
+      // a leaked permit would wedge flush() forever
+      try schedule(url, body, attempt = 1, delayMs = 0L)
+      catch {
+        case e: java.util.concurrent.RejectedExecutionException =>
+          slots.release(); throw e
+      }
+    }
+
+    /** Non-stalling enqueue: give up after `timeoutMs` when the queue
+      * is full (or the sender is closed) and return false. The caller's
+      * correct reaction is to NOT ack the batch — the events redeliver
+      * at lease expiry, the same path a crashed consumer takes — so a
+      * wedged endpoint degrades to redelivery latency instead of
+      * freezing the delivery tick behind [[apply]]'s backpressure.
+      */
+    def tryApply(url: String, body: String, timeoutMs: Long = 0L): Boolean = {
+      if (exec.isShutdown) return false
+      if (!slots.tryAcquire(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        return false
+      try { schedule(url, body, attempt = 1, delayMs = 0L); true }
+      catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          slots.release(); false
+      }
     }
 
     private def schedule(url: String, body: String, attempt: Int, delayMs: Long): Unit = {
@@ -95,8 +124,24 @@ object PushSink {
         def run(): Unit =
           try { transport(url, body); slots.release() }
           catch {
+            // close() interrupts the in-flight delivery; NonFatal does
+            // NOT match InterruptedException, so without this arm the
+            // payload escapes uncounted and its permit leaks (flush()
+            // would then wedge forever). Abandoned like a timed-out
+            // queue entry: count, free the permit, keep the flag set.
+            case _: InterruptedException =>
+              droppedCount.incrementAndGet()
+              slots.release()
+              Thread.currentThread().interrupt()
             case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
-              schedule(url, body, attempt + 1, baseBackoffMs << (attempt - 1))
+              // re-schedule can itself be rejected by a concurrent
+              // close(): the payload is abandoned like an exhausted
+              // retry — count it and free its permit
+              try schedule(url, body, attempt + 1, baseBackoffMs << (attempt - 1))
+              catch {
+                case _: java.util.concurrent.RejectedExecutionException =>
+                  droppedCount.incrementAndGet(); slots.release()
+              }
             case scala.util.control.NonFatal(_) =>
               droppedCount.incrementAndGet()
               slots.release()
@@ -122,7 +167,18 @@ object PushSink {
       true
     }
 
-    override def close(): Unit = { flush(5000L); exec.shutdownNow(); () }
+    /** Drain, then stop. Payloads still queued past the flush timeout
+      * are ABANDONED — each is counted in [[dropped]] (the redelivery
+      * contract leans on that metric) and its permit released, so a
+      * post-close flush()/metric read stays truthful.
+      */
+    override def close(): Unit = {
+      flush(closeFlushMs)
+      val cancelled = exec.shutdownNow()
+      val n = cancelled.size()
+      if (n > 0) { droppedCount.addAndGet(n.toLong); slots.release(n) }
+      ()
+    }
   }
 
   /** Attach a push sink to a delivered-events stream. `send` defaults

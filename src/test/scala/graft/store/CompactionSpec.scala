@@ -252,4 +252,80 @@ class CompactionSpec extends SparkSpec {
     st3.load(dir, buckets = 4)
     assert(st3.allEvents.count() === 30L)
   }
+
+  test("mid-write fencing: a writer expired DURING the write job is fenced at publish, not after") {
+    // The top-of-save() refresh is half-life-gated: a lease that
+    // expires while the (long) parquet write runs passes the entry
+    // check and — without the pre-publish fence — would still flip the
+    // pointer over a successor's publish. Simulate the freeze by
+    // letting B take over while A's injectable clock says A is still
+    // comfortably inside its lease (so A's entry refresh is a no-op),
+    // then have A try to publish.
+    val dir = Files.createTempDirectory("graft-midwrite-fence").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t0 = 1700000000000L
+    var nowA = t0
+    var nowB = t0
+    val stA = mkStore()
+    stA.now = () => new java.sql.Timestamp(nowA)
+    append(stA, 0, 30)
+    stA.acquireLogWriter(dir, ownerId = "A", leaseMs = 60000L)
+    stA.save(dir, buckets = 4)
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v1"))
+
+    // A freezes; its lease expires on B's clock; B takes over
+    nowB = t0 + 61000L
+    val stB = new EventStore(spark.newSession())
+    stB.now = () => new java.sql.Timestamp(nowB)
+    stB.registerDeciderEvent("C", "E")
+    stB.acquireLogWriter(dir, ownerId = "B", leaseMs = 60000L)
+
+    // A resumes mid-job: its own clock is still inside the original
+    // lease (entry refresh passes without listing), but the publish
+    // fence lists epochs unconditionally and must throw BEFORE the flip
+    nowA = t0 + 1000L
+    append(stA, 30, 33)
+    val fenced = intercept[ControlJournal.OwnershipHeldException] {
+      stA.save(dir, buckets = 4)
+    }
+    assert(fenced.getMessage.contains("fenced"))
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v1"),
+      "the fenced writer must not have flipped the pointer")
+
+    // ... and the fenced writer cannot silently append into the live
+    // dir either (lost-events hazard if a successor compact retires it)
+    intercept[ControlJournal.OwnershipHeldException] {
+      stA.saveIncrement(dir)
+    }
+    stB.releaseLogWriter()
+  }
+
+  test("crash-orphaned higher version dir cannot evict the pointer-live version") {
+    val dir = Files.createTempDirectory("graft-orphan-retain").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = mkStore()
+    append(st, 0, 30)
+    st.save(dir, buckets = 4)   // v1
+    append(st, 30, 60)
+    st.save(dir, buckets = 4)   // v2 live, keep {v2, v1}
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v2"))
+
+    // manufacture the crash artifact: a save that wrote events_v5 but
+    // died before flipping the pointer — it sorts as the youngest
+    // on-disk predecessor of any later rewrite
+    val orphan = new java.io.File(dir, "events_v5")
+    assert(orphan.mkdir())
+    Files.writeString(orphan.toPath.resolve("part-orphan.parquet"), "junk")
+
+    append(st, 60, 90)
+    st.save(dir, buckets = 4)   // publishes v6
+    assert(EventStore.resolveEventsPath(dir, conf).endsWith("events_v6"))
+    // retainDepth=1 keeps the orphan as youngest predecessor, but the
+    // version readers were ACTIVELY resolving through the pointer (v2)
+    // must survive too — in-flight scans depend on its files
+    assert(new java.io.File(dir, "events_v2").exists(),
+      "pointer-live previous version was deleted out from under readers")
+    assert(!new java.io.File(dir, "events_v1").exists(),
+      "superseded-twice version should still be garbage-collected")
+  }
 }

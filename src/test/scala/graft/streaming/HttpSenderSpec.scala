@@ -123,4 +123,49 @@ class HttpSenderSpec extends AnyFunSuite {
       assert(delivered.size == 3)
     } finally { gate.countDown(); sender.close() }
   }
+
+  test("close() counts abandoned payloads as dropped and frees their permits; later apply rejects cleanly") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val hung: (String, String) => Unit = (_, _) => gate.await()
+    val sender = new PushSink.AsyncSender(transport = hung, capacity = 4,
+      baseBackoffMs = 1L, closeFlushMs = 100L)
+    try {
+      sender("u", "a") // worker blocks inside transport
+      sender("u", "b") // queued
+      sender("u", "c") // queued
+      sender.close()   // flush times out; queued payloads abandoned
+      // all three permits must come back: the two queued runnables are
+      // drained by shutdownNow; the in-flight one is interrupted, its
+      // retry is rejected, and its catch path frees the permit
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (sender.dropped < 3L && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(sender.dropped == 3L,
+        s"abandoned payloads must be counted (got ${sender.dropped})")
+      assert(sender.flush(1000L), "permits leaked: flush sees a non-empty queue forever")
+      // apply after close: reject WITHOUT eating a permit or wedging
+      intercept[java.util.concurrent.RejectedExecutionException] { sender("u", "d") }
+      assert(sender.tryApply("u", "d") === false)
+    } finally gate.countDown()
+  }
+
+  test("tryApply on a full queue returns false instead of stalling (tick degrades to redelivery)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val delivered = new ConcurrentLinkedQueue[String]()
+    val slow: (String, String) => Unit = (_, body) => { gate.await(); delivered.add(body); () }
+    val sender = new PushSink.AsyncSender(transport = slow, capacity = 2)
+    try {
+      assert(sender.tryApply("u", "a"))
+      assert(sender.tryApply("u", "b"))
+      // queue full + endpoint hung: the tick's enqueue must RETURN,
+      // not block — the payload's event stays un-acked and redelivers
+      val t0 = System.nanoTime()
+      assert(sender.tryApply("u", "c", timeoutMs = 50L) === false)
+      assert((System.nanoTime() - t0) < 2.0e9, "tryApply must not stall the tick")
+      gate.countDown()
+      assert(sender.flush(10000L))
+      assert(delivered.size == 2, "accepted payloads still deliver")
+      assert(sender.dropped == 0L,
+        "a declined enqueue is not a drop: the event was never accepted for delivery")
+    } finally { gate.countDown(); sender.close() }
+  }
 }
