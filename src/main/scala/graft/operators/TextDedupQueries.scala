@@ -23,6 +23,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextDedupQueries {
 
+  /** Ceiling on a fuzzy-match block's row count (doc_fuzzy_match):
+    * level-1 prefix blocks over this refine on chars 17-32; blocks
+    * still over it after refinement are excluded from pairing, so the
+    * in-block Levenshtein loop is ≤ cap²/2 pairs per block no matter
+    * how skewed the corpus. Mirrored literally (256) in the DuckDB
+    * oracle SQL — keep the two in sync.
+    */
+  val FuzzyBlockCap = 256
+
   /** Distinct 3-word shingles per document:
     * (doc_id, sh: array, n). The word array is projected FIRST —
     * inlining `split` into the transform lambda makes Catalyst
@@ -752,16 +761,40 @@ object TextDedupQueries {
     // dedup pipelines use for titles/URLs/short fields. Spark's
     // levenshtein() and DuckDB's are both the textbook unit-cost DP —
     // identical distances.
+    //
+    // BLOCK-SIZE CEILING (the 100 TB guard): a skewed block — shared
+    // boilerplate prefix, or short/empty norms all hashing to one key —
+    // would send the in-block pair loop quadratic at exactly the
+    // corpora this operator targets. Deterministic two-stage bound:
+    // blocks over [[TextDedupQueries.FuzzyBlockCap]] rows REFINE their
+    // key with the next 16 normalized chars (17-32); blocks STILL over
+    // the cap after refinement are dropped from pairing (the PPJoin-
+    // style drop-and-log escape — such rows are better served by the
+    // shingle/MinHash family, which handles shared prefixes natively).
+    // Both stages are count-aggregate + join, so the whole bound costs
+    // two extra map-side-combined aggregations and stays one linear
+    // shuffle shape; the per-task pair loop is ≤ cap²/2 regardless of
+    // corpus skew. The oracle replays the identical two-stage rule.
     Q("doc_fuzzy_match",
       (s, d) => {
+        val cap = TextDedupQueries.FuzzyBlockCap
         val b = Tables.documents(s, d)
           .select(col("doc_id"),
             regexp_replace(regexp_replace(lower(col("text")),
               "[^a-z0-9 ]", ""), " +", " ").as("norm"))
-          .withColumn("blk", substring(col("norm"), 1, 16))
-          .select(col("doc_id"), substring(col("norm"), 1, 80).as("pre"), col("blk"))
-        val x = b.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"), col("blk"))
-        val y = b.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"), col("blk"))
+          .select(col("doc_id"), substring(col("norm"), 1, 80).as("pre"),
+            substring(col("norm"), 1, 16).as("k1"),
+            substring(col("norm"), 17, 16).as("k2"))
+        val c1 = b.groupBy("k1").agg(count(lit(1)).as("c1"))
+        val keyed = b.join(c1, "k1")
+          .withColumn("blk", when(col("c1") > cap,
+            concat(col("k1"), lit("|"), col("k2"))).otherwise(col("k1")))
+          .select(col("doc_id"), col("pre"), col("blk"))
+        val c2 = keyed.groupBy("blk").agg(count(lit(1)).as("c2"))
+        val bounded = keyed.join(c2, "blk").filter(col("c2") <= cap)
+          .select(col("doc_id"), col("pre"), col("blk"))
+        val x = bounded.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"), col("blk"))
+        val y = bounded.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"), col("blk"))
         x.join(y, Seq("blk"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
@@ -773,10 +806,17 @@ object TextDedupQueries {
                SELECT doc_id,
                       regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
                FROM documents),
-             b AS (SELECT doc_id, substr(norm, 1, 80) AS pre, substr(norm, 1, 16) AS blk FROM n)
+             b AS (SELECT doc_id, substr(norm, 1, 80) AS pre,
+                          substr(norm, 1, 16) AS k1, substr(norm, 17, 16) AS k2 FROM n),
+             c1 AS (SELECT k1, count(*) AS c1 FROM b GROUP BY k1),
+             k AS (SELECT b.doc_id, b.pre,
+                          CASE WHEN c1.c1 > 256 THEN b.k1 || '|' || b.k2 ELSE b.k1 END AS blk
+                   FROM b JOIN c1 USING (k1)),
+             c2 AS (SELECT blk, count(*) AS c2 FROM k GROUP BY blk),
+             kb AS (SELECT k.doc_id, k.pre, k.blk FROM k JOIN c2 USING (blk) WHERE c2.c2 <= 256)
              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                     CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS edit_dist
-             FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+             FROM kb x JOIN kb y ON x.blk = y.blk AND x.doc_id < y.doc_id
              WHERE levenshtein(x.pre, y.pre) <= 10
              ORDER BY doc_a, doc_b""")),
 
