@@ -303,6 +303,14 @@ final class EventStore(val spark: SparkSession) {
   /** Hook for the streaming layer's lock fanout (M1). */
   @volatile var onCommit: Seq[EventRow] => Unit = _ => ()
 
+  /** Advance the transaction counter past `t` (SharedLog rebuild: a
+    * compacted base folds many commits into one [[commitBulk]] bump,
+    * so the counter must be re-seated from the data's max).
+    */
+  private[store] def ensureTxnPast(t: Long): Unit = commitLock.synchronized {
+    nextTxn = math.max(nextTxn, t + 1)
+  }
+
   /** Bulk commit for the distributed ingest path (BulkIngest): rows
     * arrive already validated and offset-assigned; the commit counts
     * and appends them without a driver round-trip of the data. The

@@ -63,7 +63,7 @@ final class SharedJournal(dirStr: String,
   private val lanesDir = new Path(dir, "lanes")
   private val laneDir = new Path(lanesDir, writerId)
   private var laneSeq: Long = 0L
-  private var mutexEpoch: Long = 0L
+  private val mutex = new FsMutex(dir, fs, writerId, clock, mutexTtlMs, MutexPrefix)
 
   /** Lamport stamp for cross-lane ordering. Wall clocks CANNOT order
     * the merge: with ties (frozen test clocks) or skew, writer B's old
@@ -92,66 +92,10 @@ final class SharedJournal(dirStr: String,
   // ------------------------------------------------------------------
   // Candidate-selection mutex
 
-  /** Run `f` holding the cross-process mutex. Claiming follows the
-    * ControlJournal epoch scheme: exactly one claimant wins
-    * `_mutex-<epoch+1>` via create-exclusive; a crashed holder's claim
-    * expires by TTL. The wall-clock deadline is a deadlock guard only —
-    * liveness decisions use the injectable `clock`.
+  /** Run `f` holding the cross-process mutex ([[FsMutex]]: epoch-file
+    * create-exclusive claims, crashed-holder TTL expiry).
     */
-  def withMutex[T](f: => T): T = {
-    acquireMutex()
-    try f finally releaseMutex()
-  }
-
-  private def acquireMutex(): Unit = {
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (true) {
-      val nowMs = clock().getTime
-      val top = mutexEpochSeqs().lastOption
-      val topLive = top.exists { e =>
-        readClaim(mutexPath(e)) match {
-          case Some((id, exp)) => id != writerId && exp > nowMs
-          case None => true // unreadable claim: treat live (conservative)
-        }
-      }
-      if (!topLive) {
-        val next = top.getOrElse(0L) + 1L
-        val expiry = nowMs + mutexTtlMs
-        if (AtomicFs.createExclusive(fs, mutexPath(next),
-              s"$writerId@$expiry".getBytes("UTF-8"), writerId)) {
-          mutexEpoch = next
-          mutexEpochSeqs().filter(_ < next).foreach(e => fs.delete(mutexPath(e), false))
-          return
-        }
-      }
-      if (System.nanoTime() > deadline)
-        throw new IllegalStateException(
-          s"writer '$writerId' timed out waiting for the candidate-selection mutex at $dirStr")
-      Thread.sleep(5)
-    }
-  }
-
-  private def releaseMutex(): Unit = {
-    if (mutexEpoch > 0L) fs.delete(mutexPath(mutexEpoch), false)
-    mutexEpoch = 0L
-  }
-
-  private def mutexPath(e: Long): Path = new Path(dir, f"$MutexPrefix$e%020d")
-
-  private def mutexEpochSeqs(): Seq[Long] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case MutexName(d) => d.toLong }.sorted
-
-  private def readClaim(p: Path): Option[(String, Long)] =
-    try {
-      val in = fs.open(p)
-      try {
-        val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        val i = txt.lastIndexOf('@')
-        if (i < 0) None else Some((txt.substring(0, i), txt.substring(i + 1).trim.toLong))
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+  def withMutex[T](f: => T): T = mutex.withLock(f)
 
   // ------------------------------------------------------------------
   // Lanes
@@ -312,7 +256,6 @@ object SharedJournal {
   private val SnapshotPrefix = "snapshot-"
   private val EntryName = """(\d{20})\.json""".r
   private val SnapshotName = """snapshot-(\d{20})\.json""".r
-  private val MutexName = """_mutex-(\d{20})""".r
 
   // contentAs: the map's value type is erased, so without it Jackson
   // materializes small values as Integer and the first .toLong use

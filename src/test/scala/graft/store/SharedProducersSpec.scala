@@ -1,0 +1,175 @@
+package graft.store
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Cross-process concurrent PRODUCERS on one event log (reference
+  * schema.sql:23-26,44; tests/integration/concurrent-access/
+  * test_concurrent_producers.sql): N writers append through per-writer
+  * data files + a serialized commit sequence; two producers racing the
+  * same stream head get exactly one winner, with the loser rejected by
+  * the previous_id-uniqueness identity — PostgreSQL's UNIQUE
+  * constraint, enforced at merge. Two SparkSessions stand in for two
+  * processes (the SharedDeliverySpec convention: all state crosses
+  * through the filesystem, nothing through shared JVM memory except
+  * the SparkContext Spark itself shares).
+  */
+class SharedProducersSpec extends SparkSpec {
+
+  private def in(id: String, prev: Option[String], part: String = "p1") =
+    EventInput("E", id, "C", part, s"""{"id":"$id"}""", previous_id = prev)
+
+  private def openLog(s: org.apache.spark.sql.SparkSession, dir: String,
+                      writer: String, ttlMs: Long = 30000L): SharedLog = {
+    val log = new SharedLog(s, dir, writer, mutexTtlMs = ttlMs)
+    log.open()
+    log
+  }
+
+  test("appends propagate across writers; chains continue; offsets and txns stay globally unique") {
+    val dir = Files.createTempDirectory("graft-sharedlog").toString
+    val a = openLog(spark, dir, "A")
+    a.registerDeciderEvent("C", "E")
+    var prev: Option[String] = None
+    for (i <- 0 until 10) {
+      val r = a.appendEvent(in(s"a$i", prev))
+      assert(r.isRight, s"a$i rejected: $r")
+      prev = Some(s"a$i")
+    }
+
+    // writer B joins from the shared truth alone
+    val b = openLog(spark.newSession(), dir, "B")
+    assert(b.allEvents.count() === 10L)
+    assert(b.deciderRegistry.count() === 1L)
+    // B continues A's chain
+    assert(b.appendEvent(in("b10", Some("a9"))).isRight)
+    // A discovers B's append by resync
+    a.resync()
+    val chain = a.getEvents("p1", "C").collect().toSeq
+    assert(chain.map(_.event_id) ===
+      (0 until 10).map(i => s"a$i") :+ "b10")
+    assert(chain.map(_.offset) === (1L to 11L))
+    // per-commit txn ids stay globally unique across writers (events
+    // of ONE batch share a txn; here every append is its own batch)
+    val txns = chain.map(_.transaction_id)
+    assert(txns.distinct.size === 11, s"txn collision across writers: $txns")
+  }
+
+  test("same-head race: exactly one winner, loser rejected with the UNIQUE(previous_id) identity") {
+    val dir = Files.createTempDirectory("graft-sharedlog-race").toString
+    val a = openLog(spark, dir, "A")
+    a.registerDeciderEvent("C", "E")
+    assert(a.appendEvent(in("e0", None)).isRight)
+    val b = openLog(spark.newSession(), dir, "B")
+
+    // both observe head e0 and race to extend it: A commits first
+    assert(a.appendEvent(in("a1", Some("e0"))).isRight)
+    // B validates AFTER A's commit (serialized merge) and must see
+    // previous_id=e0 already claimed
+    val loser = b.appendEvent(in("b1", Some("e0")))
+    assert(loser === Left(AppendError.DuplicatePreviousId("b1")))
+    // no lost commits, no torn state: both replicas agree
+    b.resync()
+    assert(b.getEvents("p1", "C").collect().map(_.event_id).toSeq === Seq("e0", "a1"))
+  }
+
+  test("two writers hammering one stream concurrently: linear chain, every event on both replicas") {
+    val dir = Files.createTempDirectory("graft-sharedlog-hammer").toString
+    val a = openLog(spark, dir, "A")
+    a.registerDeciderEvent("C", "E")
+    val b = openLog(spark.newSession(), dir, "B")
+    b.resync()
+
+    val rounds = 12
+    def hammer(log: SharedLog, tag: String): (Int, Int) = {
+      var won = 0; var lost = 0
+      for (i <- 0 until rounds) {
+        log.resync()
+        val head = log.getLastEvent("p1").map(_.event_id)
+        log.appendEvent(in(s"$tag$i", head)) match {
+          case Right(_) => won += 1
+          case Left(_: AppendError.DuplicatePreviousId) => lost += 1
+          case Left(_: AppendError.NullPreviousOnNonFirst) => lost += 1
+          case Left(e) => fail(s"unexpected rejection identity: $e")
+        }
+      }
+      (won, lost)
+    }
+    val fa = scala.concurrent.Future(hammer(a, "a"))(scala.concurrent.ExecutionContext.global)
+    val fb = scala.concurrent.Future(hammer(b, "b"))(scala.concurrent.ExecutionContext.global)
+    val (wa, la) = scala.concurrent.Await.result(fa, scala.concurrent.duration.Duration(300, "s"))
+    val (wb, lb) = scala.concurrent.Await.result(fb, scala.concurrent.duration.Duration(300, "s"))
+    assert(wa + la === rounds && wb + lb === rounds)
+    assert(wa + wb >= 1)
+
+    a.resync(); b.resync()
+    val chainA = a.getEvents("p1", "C").collect().toSeq
+    val chainB = b.getEvents("p1", "C").collect().toSeq
+    // no lost commits: every accepted append is on both replicas
+    assert(chainA.map(_.event_id) === chainB.map(_.event_id))
+    assert(chainA.size === wa + wb, "accepted appends must equal the merged chain length")
+    // the merged chain is LINEAR: each event claims exactly the prior one
+    assert(chainA.head.previous_id.isEmpty)
+    for (Seq(x, y) <- chainA.sliding(2))
+      assert(y.previous_id.contains(x.event_id),
+        s"chain broken at ${y.event_id} (prev ${y.previous_id})")
+    // offsets are the global sequence with no gaps or dups
+    assert(chainA.map(_.offset) === (1L to chainA.size.toLong))
+  }
+
+  test("crashed producer mid-mutex: TTL expiry lets the survivor commit") {
+    val dir = Files.createTempDirectory("graft-sharedlog-crash").toString
+    val t0 = 1700000000000L
+    var nowMs = t0
+    val clock = () => new Timestamp(nowMs)
+    val a = openLog(spark, dir, "A", ttlMs = 5000L)
+    a.now = clock
+    a.registerDeciderEvent("C", "E")
+    assert(a.appendEvent(in("e0", None)).isRight)
+
+    // a third producer claims the commit mutex and dies holding it
+    val fsm = new FsMutex(new org.apache.hadoop.fs.Path(dir),
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration),
+      "crasher", clock, 5000L, "_logmutex-")
+    fsm.acquire() // never released
+
+    // past the TTL the survivor's claim loop takes the dead holder's
+    // mutex over and the log advances (the blocked-before-expiry phase
+    // is FsMutex's claim loop — not awaited here, it would just spin)
+    nowMs = t0 + 5001L
+    val b = openLog(spark.newSession(), dir, "B", ttlMs = 5000L)
+    b.now = clock
+    assert(b.appendEvent(in("b1", Some("e0"))).isRight)
+    assert(b.getEvents("p1", "C").count() === 2L)
+  }
+
+  test("compact + vacuum + fresh open: base carries events and registry; chain continues") {
+    val dir = Files.createTempDirectory("graft-sharedlog-compact").toString
+    val a = openLog(spark, dir, "A")
+    a.registerDeciderEvent("C", "E")
+    var prev: Option[String] = None
+    for (i <- 0 until 8) {
+      assert(a.appendEvent(in(s"e$i", prev)).isRight)
+      prev = Some(s"e$i")
+    }
+    a.compact()
+    a.vacuum()
+
+    // a fresh writer must reconstruct everything from the base alone
+    val c = openLog(spark.newSession(), dir, "C2")
+    assert(c.allEvents.count() === 8L)
+    assert(c.deciderRegistry.collect().map(_.decider).toSeq === Seq("C"))
+    assert(c.appendEvent(in("e8", Some("e7"))).isRight)
+    assert(c.maxOffset() === 9L)
+    // txn ids stay unique THROUGH the base fold (the counter re-seats
+    // from the data, not the folded commit count)
+    val txns = c.allEvents.collect().map(_.transaction_id).toSeq
+    assert(txns.distinct.size === txns.size, s"txn collision after compact: $txns")
+
+    // the original writer keeps working after the vacuum too
+    a.resync()
+    assert(a.allEvents.count() === 9L)
+  }
+}
