@@ -358,6 +358,42 @@ final class ViewStreams(val store: EventStore) {
       .collect().toSeq
   }
 
+  /** Streaming form of the SHARED consumption loop (S5 × SKIP LOCKED;
+    * closes the "openSharedJournal exists only on the batch path"
+    * gap): feed the at-rest log as a file stream of [[EventRow]]; each
+    * micro-batch folds the NEW events into the local replica — which
+    * fires the head fanout (M1) through the shared journal — and runs
+    * one shared-lease drain tick. N processes each running this query
+    * against one SharedJournal directory split the view's partitions
+    * exactly like the batch path: same journal, same cross-process
+    * mutex, same lease identities, so streaming consumers, batch
+    * pollers, and the FStoreApi push tick can all share one view.
+    *
+    * Delivered batches go to `sink`; the consumer ACKs what it durably
+    * handled ([[ackBatch]]) — or doesn't, and the delivery re-leases
+    * after `seconds` (at-least-once, the crashed-consumer path).
+    * Ticking is event-driven: new log files trigger a drain; a QUIET
+    * log's expired leases redeliver on the next tick from any consumer
+    * sharing the journal (this query, a batch poll, or the FStoreApi
+    * rate-tick).
+    */
+  def runSharedDelivery(view: String, events: Dataset[EventRow],
+                        limit: Int = 1, seconds: Long = 300L)
+                       (sink: Seq[EventRow] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[EventRow], _: Long) =>
+        // fold only the unseen tail: the file source replays existing
+        // files on a fresh start, and the local replica may have been
+        // seeded by load()
+        val head = store.maxOffset()
+        store.commitBulk(batch.filter(_.offset > head))
+        val got = streamEvents(view, limit, seconds)
+        if (got.nonEmpty) sink(got)
+      }
+      .start()
+
   /** Stages 1+2. Caller holds stateLock (and the shared mutex when in
     * shared mode).
     */

@@ -39,4 +39,73 @@ class FileSourceDeliverySpec extends SparkSpec {
       assert(got.map(_.event_id).toSet === Set("f1", "f2"))
     } finally q.stop()
   }
+
+  test("two STREAMING consumers split one view's partitions via the shared journal") {
+    import graft.store.ViewStreams
+    val t0 = 1700000000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    def mk(session: org.apache.spark.sql.SparkSession): (EventStore, ViewStreams) = {
+      val st = new EventStore(session)
+      st.now = () => new Timestamp(clock.get())
+      st.registerDeciderEvent("Order", "E")
+      (st, new ViewStreams(st))
+    }
+
+    // producer: 8 partitions × 1 chained event, at rest as plain parquet
+    val (stP, _) = mk(spark)
+    stP.append((0 until 8).map(p => EventInput("E", s"e$p-0", "Order", s"p$p", "{}")))
+    val logDir = java.nio.file.Files.createTempDirectory("sharedstream-log").toString
+    stP.allEvents.write.mode("overwrite").parquet(logDir)
+    val jDir = java.nio.file.Files.createTempDirectory("sharedstream-j").toString
+    val schema = stP.allEvents.schema
+
+    def consumer(name: String): (ViewStreams,
+        java.util.concurrent.ConcurrentLinkedQueue[EventRow],
+        org.apache.spark.sql.streaming.StreamingQuery) = {
+      val session = spark.newSession()
+      import session.implicits._
+      val (_, vs) = mk(session)
+      vs.openSharedJournal(jDir, ownerId = name)
+      if (name == "A") vs.registerView("v", startAt = Some(new Timestamp(t0 - 1000)))
+      val sunk = new java.util.concurrent.ConcurrentLinkedQueue[EventRow]()
+      val stream = session.readStream.schema(schema).parquet(logDir).as[EventRow]
+      val q = vs.runSharedDelivery("v", stream, limit = 4, seconds = 300)(
+        got => { got.foreach(sunk.add); () })
+      (vs, sunk, q)
+    }
+
+    import scala.jdk.CollectionConverters._
+    val (vsA, gotA, qA) = consumer("A")
+    try {
+      qA.processAllAvailable()
+      // A's single tick leased at most `limit` partitions
+      assert(gotA.size === 4, s"A leased ${gotA.asScala.map(_.decider_id)}")
+
+      val (vsB, gotB, qB) = consumer("B")
+      try {
+        qB.processAllAvailable()
+        // B (same files, same view, same journal) takes the REST:
+        // disjoint split, union complete — SKIP LOCKED across queries
+        assert(gotB.size === 4, s"B leased ${gotB.asScala.map(_.decider_id)}")
+        val partsA = gotA.asScala.map(_.decider_id).toSet
+        val partsB = gotB.asScala.map(_.decider_id).toSet
+        assert((partsA & partsB).isEmpty, s"double delivery: ${partsA & partsB}")
+        assert(partsA ++ partsB === (0 until 8).map(p => s"p$p").toSet)
+
+        // both ACK; the producer appends a second chained round — the
+        // new file ticks both queries and the drain continues
+        vsA.ackBatch("v", gotA.asScala.map(e => (e.decider_id, e.offset)).toSeq)
+        vsB.ackBatch("v", gotB.asScala.map(e => (e.decider_id, e.offset)).toSeq)
+        gotA.clear(); gotB.clear()
+        stP.append((0 until 8).map(p =>
+          EventInput("E", s"e$p-1", "Order", s"p$p", "{}", previous_id = Some(s"e$p-0"))))
+        stP.allEvents.filter(col("offset") > 8).write.mode("append").parquet(logDir)
+        qA.processAllAvailable(); qB.processAllAvailable()
+        val round2 = (gotA.asScala ++ gotB.asScala).map(_.event_id).toSet
+        assert((gotA.asScala.map(_.decider_id) ++ gotB.asScala.map(_.decider_id)).toSet.size === 8,
+          s"round 2 incomplete: $round2")
+        assert(round2 === (0 until 8).map(p => s"e$p-1").toSet, s"round 2: $round2")
+      } finally { qB.stop(); vsB.closeSharedJournal() }
+    } finally { qA.stop(); vsA.closeSharedJournal() }
+  }
 }
