@@ -51,7 +51,7 @@ final class SharedJournal(dirStr: String,
                           val writerId: String,
                           clock: () => Timestamp,
                           mutexTtlMs: Long = 30000L,
-                          compactThreshold: Int = 64) {
+                          val compactThreshold: Int = SharedJournal.DefaultCompactThreshold) {
   import ControlJournal.{Record, JView, JLock}
   import SharedJournal._
 
@@ -150,6 +150,7 @@ final class SharedJournal(dirStr: String,
         pending.foreach { case (_, _, _, rec) => ControlJournal.applyRecord(views, locks, rec) }
         // Lamport receive: our next append must order after everything read
         lamport = (lamport +: snap.map(_._2.maxAt).getOrElse(0L) +: pending.map(_._1)).max
+        lastPendingCount = pending.size
         return (views, locks, pending)
       }
     }
@@ -207,6 +208,7 @@ final class SharedJournal(dirStr: String,
     }
     entryCache.filterInPlace { case ((laneId, s), _) => s > wm.getOrElse(laneId, 0L) }
     snapshotSeqs().filter(_ < n).foreach(s => fs.delete(snapshotPath(s), false))
+    lastPendingCount = 0 // everything just folded
     (views.values.toSeq, locks.values.toSeq)
   }
 
@@ -217,6 +219,14 @@ final class SharedJournal(dirStr: String,
     val wm = readLatestSnapshot().map(_._2.laneSeqs).getOrElse(Map.empty[String, Long])
     pendingEntries(wm).size >= compactThreshold
   }
+
+  /** Un-folded entry count observed by the LAST fold (replay or
+    * checkpoint) — lets a poll loop that just resynced decide
+    * compaction without paying [[compactionDue]]'s second lane listing
+    * and snapshot read per round.
+    */
+  def pendingSinceLastFold: Int = lastPendingCount
+  @volatile private var lastPendingCount: Int = 0
 
   // ------------------------------------------------------------------
   // File plumbing
@@ -252,6 +262,7 @@ final class SharedJournal(dirStr: String,
 }
 
 object SharedJournal {
+  val DefaultCompactThreshold = 64
   private val MutexPrefix = "_mutex-"
   private val SnapshotPrefix = "snapshot-"
   private val EntryName = """(\d{20})\.json""".r

@@ -317,10 +317,16 @@ final class ViewStreams(val store: EventStore) {
     *  3. Next-offset resolution: per leased partition, MIN(offset)
     *     among events past `last_offset` (J1 equi-join + band residual
     *     + A1 grouped MIN) — DATA-plane: Spark join, leased side
-    *     broadcast (≤ limit rows), events side pruned by the semi-join
-    *     before the band filter.
-    *  4. Fetch: semi-join events on the winning offsets (J2), global
-    *     ORDER BY offset — data-plane.
+    *     broadcast (≤ limit rows).
+    *  4. Fetch the winning rows (J2), global ORDER BY offset.
+    *
+    * Stages 3+4 are ONE job and ONE scan of the log: the band join
+    * prunes to the leased partitions' tails, then a rank-1 window per
+    * partition (W2) picks each head — the window's shuffle moves only
+    * the ≤ limit partitions' pending tails, and the log is not scanned
+    * a second time for the fetch (a poll loop pays per-round job
+    * latency; halving scans halves the drain's wall time at toy batch
+    * sizes and the I/O at any size).
     *
     * `FOR UPDATE SKIP LOCKED` has no Spark analogue and needs none:
     * lock state is single-owner per key (SURVEY §7.4.3); concurrent
@@ -336,23 +342,26 @@ final class ViewStreams(val store: EventStore) {
     // partitions instead of double-leasing them — and opportunistically
     // fold a checkpoint when the merged journal has grown.
     val leased = underSharedMutex {
-      stateLock.synchronized(shared).filter(_.compactionDue()).foreach { s =>
-        val (v, l) = s.checkpoint(); setState(v, l)
-      }
+      // the resync that just ran counted the un-folded entries — no
+      // second lane listing for the compaction-due check
+      stateLock.synchronized(shared)
+        .filter(s => s.pendingSinceLastFold >= s.compactThreshold)
+        .foreach { s => val (v, l) = s.checkpoint(); setState(v, l) }
       selectAndLease(view, limit, seconds)
     }
     if (leased.isEmpty) return Nil
 
-    // Stage 3+4: data-plane joins over the log.
+    // Stage 3+4: one job, one scan (see pipeline doc above).
     val leasedDf = leased.map(l => (l.decider_id, l.last_offset))
       .toDF("c_decider_id", "c_last_offset")
-    val nextOffsets = store.allEvents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"decider_id").orderBy($"offset")
+    store.allEvents
       .join(broadcast(leasedDf), $"decider_id" === $"c_decider_id" &&
         $"offset" > $"c_last_offset")
-      .groupBy($"decider_id").agg(min($"offset").as("next_off"))
-      .select($"next_off")
-    store.allEvents
-      .join(broadcast(nextOffsets), $"offset" === $"next_off", "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("c_decider_id", "c_last_offset", "rn")
       .orderBy($"offset")
       .as[EventRow]
       .collect().toSeq
