@@ -34,6 +34,76 @@ class SqlSurfaceSpec extends SparkSpec {
          ON pmod(e.user_id, 25) = n.n_nationkey""").head().getLong(0) > 0L)
   }
 
+  /** Registry-wide front-door sweep: every oracle whose SQL Spark can
+    * parse AND execute must produce the same result through
+    * `spark.sql` as through the DataFrame registry form. Oracles
+    * written in DuckDB-only dialect (list comprehensions,
+    * string_split, 4-arg regexp_replace, …) are recorded as skips —
+    * they are the documented non-Spark-SQL-expressible few; the
+    * ANSI-shaped majority (TPC-H, aggregates, windows, set ops) must
+    * all agree. Mismatches fail the test: a query that parses but
+    * disagrees is a real dialect-semantics hazard a SQL user would
+    * hit at the front door.
+    */
+  test("registry sweep: every Spark-parsable oracle agrees with its DataFrame form") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    Tables.registerSqlViews(spark, sf)
+
+    // normalized, order-insensitive result image (columns sorted by
+    // name — the driver's own compare convention; floats rounded so
+    // aggregation-order noise can't fail an agreement check)
+    def image(df: DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted.toSeq
+      val tsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      df.select(cols.map(col): _*).collect().toSeq.map(_.toSeq.map {
+        case null => "<null>"
+        case d: Double => f"$d%.6g"
+        case f: Float => f"$f%.6g"
+        case b: java.math.BigDecimal => f"${b.doubleValue()}%.6g"
+        // SQL yields TIMESTAMP (session-tz java.sql.Timestamp), the
+        // registry yields TIMESTAMP_NTZ (LocalDateTime) — same instant
+        // under the UTC session; render both canonically
+        case t: java.sql.Timestamp =>
+          t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(tsFmt)
+        case l: java.time.LocalDateTime => l.format(tsFmt)
+        case x => x.toString
+      }).sortBy(_.mkString("|"))
+    }
+
+    val skipped = scala.collection.mutable.Buffer.empty[String]
+    val mismatched = scala.collection.mutable.Buffer.empty[String]
+    var agreed = 0
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      val viaSql =
+        try Some(image(spark.sql(sql)))
+        catch {
+          // DuckDB-only dialect: parse/analysis failures, or execution
+          // failures from functions whose Spark namesake differs
+          case _: org.apache.spark.sql.catalyst.parser.ParseException => None
+          case _: org.apache.spark.sql.AnalysisException => None
+          case scala.util.control.NonFatal(_) => None
+        }
+      viaSql match {
+        case None => skipped += name
+        case Some(s) =>
+          val d = image(SparkEntry.queries(name)(spark, sf))
+          if (s == d) agreed += 1
+          else {
+            mismatched += name
+            info(s"MISMATCH $name: sql=${s.take(3)} df=${d.take(3)}")
+          }
+      }
+    }
+    info(s"front-door sweep: $agreed agreed, ${skipped.size} dialect-skipped")
+    info(s"skipped: ${skipped.mkString(", ")}")
+    assert(mismatched.isEmpty,
+      s"SQL front door disagrees with the DataFrame registry on: $mismatched")
+    // the sweep must stay meaningful: the ANSI-shaped majority of the
+    // registry (TPC-H + aggregates + windows + set ops) parses on Spark
+    assert(agreed >= 35, s"only $agreed oracles ran via spark.sql — sweep degraded")
+  }
+
   test("custom Catalyst functions are callable from SQL") {
     Tables.registerSqlViews(spark, sf)
     val sims = spark.sql(
