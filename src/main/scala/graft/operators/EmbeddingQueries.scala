@@ -182,17 +182,19 @@ object EmbeddingQueries {
     * moving 2 × nBands vector copies); vectors re-join once, for the
     * deduped candidate pairs.
     */
-  private[operators] def annLshCandidates(s: SparkSession, e: DataFrame): DataFrame = {
+  private[operators] def annLshCandidates(s: SparkSession, e: DataFrame,
+                                          nBands: Int = AnnLshBands,
+                                          bits: Int = AnnLshBits,
+                                          nProbes: Int = AnnLshProbes): DataFrame = {
     graft.GraftExtensions.register(s)
-    val nBands = AnnLshBands; val bits = AnnLshBits
     val signed = e.select(col("vec_id").as("cid"),
       posexplode(call_function("band_sigs", col("embedding"),
         typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
     val probes = e.select(col("vec_id").as("qid"),
         posexplode(call_function("band_probes", col("embedding"),
-          typedlit(planes(nBands * bits)), lit(bits), lit(AnnLshProbes)))
+          typedlit(planes(nBands * bits)), lit(bits), lit(nProbes)))
           .as(Seq("idx", "sig")))
-      .select((col("idx") / lit(AnnLshProbes)).cast("int").as("band"),
+      .select((col("idx") / lit(nProbes)).cast("int").as("band"),
         col("sig"), col("qid"))
     probes
       .join(signed, Seq("band", "sig"))
@@ -200,6 +202,34 @@ object EmbeddingQueries {
       .select("qid", "cid")
       .distinct() // candidate union across bands and probes
   }
+
+  // ------------------------------------------------------------------
+  // Corpus-sized ANN parameters — the 100 TB knob the pinned oracle
+  // constants deliberately do NOT turn. The 10× slice measurement
+  // (BASELINE.md sf-scaling row, round 8) showed why both are needed:
+  // with FIXED bits/cells, per-bucket occupancy grows linearly in n,
+  // so the candidate join grows as n²/2^bits (LSH) / n²·nProbe/cells
+  // (IVF) — 22×/46× wall at 10× data. The registry keeps the pinned
+  // twins (emb_ann_lsh/emb_ann_ivf) because their DuckDB oracles
+  // replay the exact constants; the `_auto` twins below derive the
+  // parameters from the corpus size with these formulas and are the
+  // form a production corpus calls.
+
+  /** Hash width that holds expected bucket occupancy ~2 as n grows:
+    * bits = ceil(log2(n/2)), floored at the oracle point (10) and
+    * capped at 24 (16 M buckets — beyond that, grow bands instead).
+    * Candidate volume then stays ~n·bands·probes·occupancy = O(n).
+    */
+  def annLshBitsFor(n: Long): Int =
+    math.max(AnnLshBits,
+      math.min(24, math.ceil(math.log(math.max(2L, n) / 2.0) / math.log(2.0)).toInt))
+
+  /** Cell count ~√n (clamped [16, 4096]): balances the O(n·cells)
+    * assignment against the O(n²·nProbe/cells) re-rank — both land at
+    * ~n^1.5·const, the standard IVF operating point.
+    */
+  def ivfCellsFor(n: Long): Int =
+    math.max(IvfCells, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Full DuckDB replay of the multi-probe banded-LSH ANN pipeline.
     * The plane matrix goes in as string→FLOAT literals (Java
@@ -533,22 +563,21 @@ object EmbeddingQueries {
     // re-rank pipeline is mirrored CTE by CTE — so the approximate
     // operator is hash-verified end to end, not just floor-pinned.
     Q("emb_ann_lsh",
-      (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
-        // candidate generation (bands, query-aware probes, budget
-        // rationale): see annLshCandidates
-        val candidates = annLshCandidates(s, e)
-        val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        candidates.join(va, "qid").join(vb, "cid")
-          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("qid"), col("cid"), col("sim"))
-          .orderBy("qid")
-      },
+      (s, d) => annLshTop1(s, Tables.embeddings(s, d)),
       Some(annLshOracleSql(AnnLshBands, AnnLshBits, AnnLshProbes))),
+
+    // Corpus-sized twin (see annLshBitsFor): same construction, hash
+    // width derived from the table size so candidate volume stays
+    // linear in n. No SQL oracle — the parameters are data-dependent,
+    // so the driver records the rows-only check; at the oracle scale
+    // the formula returns the pinned constants and the twins coincide
+    // (AnnAutoSizeSpec asserts both facts).
+    Q("emb_ann_lsh_auto",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        annLshTop1(s, e, bits = annLshBitsFor(e.count()))
+      },
+      None),
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
@@ -559,44 +588,88 @@ object EmbeddingQueries {
     // boundary. The candidate join stays per-cell (O(n²·nProbe/k)),
     // re-ranked by exact cosine.
     Q("emb_ann_ivf",
+      (s, d) => annIvfTop1(s, Tables.embeddings(s, d)),
+      Some(annIvfOracleSql(IvfCells, IvfIters, IvfProbes))),
+
+    // Corpus-sized twin (see ivfCellsFor): cells ~√n keeps assign and
+    // re-rank balanced; rows-only driver check for the same reason as
+    // emb_ann_lsh_auto.
+    Q("emb_ann_ivf_auto",
       (s, d) => {
-        graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d)
-        // Coarse quantizer: deterministic driver-side Lloyd's on a
-        // BOUNDED sample — a k-cell quantizer is 16×64 floats, a
-        // driver micro-task, never a distributed ML fit on the full
-        // table (at corpus scale that would make the query pay a
-        // full-corpus KMeans per invocation). The fitted centroid
-        // matrix becomes a plan LITERAL.
-        import s.implicits._
-        // deterministic sample: the 4096 smallest vec_ids — the fit
-        // (first-k init, fixed-point updates) is order-sensitive by
-        // SPEC so the oracle can replay it
-        val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(IvfSampleN)
-          .as[Array[Float]].collect()
-        val centers = graft.functions.KMeansLite.fit(sample, k = IvfCells, iters = IvfIters)
-        val cLit = typedlit(centers.map(_.toSeq).toSeq)
-        // Cell assignment (database side, home cell) and the probe
-        // list (query side, nProbe=3 nearest cells — the standard IVF
-        // recall knob, recovering neighbors just across a Voronoi
-        // boundary) both run through the nearest_cells codegen kernel
-        // against the literal matrix: one fused loop in the scan
-        // projection, NO centroid crossJoin, NO per-vector window
-        // rank, nothing shuffled for assignment at all.
-        val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
-            .as("cell"))
-        val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            explode(call_function("nearest_cells", col("embedding"), cLit, lit(IvfProbes)))
-              .as("cell"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
-          .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("qid"), col("cid"), col("sim"))
-          .orderBy("qid")
+        val cells = ivfCellsFor(e.count())
+        annIvfTop1(s, e, cells = cells,
+          sampleN = math.min(8192, math.max(IvfSampleN, 32 * cells)))
       },
-      Some(annIvfOracleSql(IvfCells, IvfIters, IvfProbes)))
+      None)
   )
+
+  /** The emb_ann_lsh pipeline body, parameterized (the registry entry
+    * pins the oracle constants; emb_ann_lsh_auto sizes `bits` to the
+    * corpus).
+    */
+  def annLshTop1(s: SparkSession, emb: DataFrame,
+                 nBands: Int = AnnLshBands,
+                 bits: Int = AnnLshBits,
+                 nProbes: Int = AnnLshProbes): DataFrame = {
+    val e = withNorm(emb)
+    // candidate generation (bands, query-aware probes, budget
+    // rationale): see annLshCandidates
+    val candidates = annLshCandidates(s, e, nBands, bits, nProbes)
+    val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    candidates.join(va, "qid").join(vb, "cid")
+      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"), col("sim"))
+      .orderBy("qid")
+  }
+
+  /** The emb_ann_ivf pipeline body, parameterized (the registry entry
+    * pins the oracle constants; emb_ann_ivf_auto sizes `cells` to the
+    * corpus).
+    */
+  def annIvfTop1(s: SparkSession, e: DataFrame,
+                 cells: Int = IvfCells,
+                 iters: Int = IvfIters,
+                 nProbes: Int = IvfProbes,
+                 sampleN: Int = IvfSampleN): DataFrame = {
+    graft.GraftExtensions.register(s)
+    // Coarse quantizer: deterministic driver-side Lloyd's on a
+    // BOUNDED sample — a k-cell quantizer is cells×64 floats, a
+    // driver micro-task, never a distributed ML fit on the full
+    // table (at corpus scale that would make the query pay a
+    // full-corpus KMeans per invocation). The fitted centroid
+    // matrix becomes a plan LITERAL.
+    import s.implicits._
+    // deterministic sample: the sampleN smallest vec_ids — the fit
+    // (first-k init, fixed-point updates) is order-sensitive by
+    // SPEC so the oracle can replay it
+    val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
+      .as[Array[Float]].collect()
+    val centers = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
+    val cLit = typedlit(centers.map(_.toSeq).toSeq)
+    // Cell assignment (database side, home cell) and the probe
+    // list (query side, nProbes nearest cells — the standard IVF
+    // recall knob, recovering neighbors just across a Voronoi
+    // boundary) both run through the nearest_cells codegen kernel
+    // against the literal matrix: one fused loop in the scan
+    // projection, NO centroid crossJoin, NO per-vector window
+    // rank, nothing shuffled for assignment at all.
+    val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
+        .as("cell"))
+    val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
+          .as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"), col("sim"))
+      .orderBy("qid")
+  }
 }

@@ -13,7 +13,18 @@ Design (see BASELINE.md "sf-scaling spot-check"):
   shingles, so near-dup pair counts scale x10 like a real corpus, not
   x100 like naive duplication (a one-token suffix keeps Jaccard >= 0.8
   and turns every doc into a 10-clique with its replicas).
-- all other tables ride along unscaled so graft.Bench can resolve them.
+- embeddings x10 (round 8): per-replica ORTHOGONAL maps (a cyclic
+  dimension shift composed with a deterministic sign-flip diagonal).
+  Orthogonality preserves norms and all within-replica inner products
+  -- each replica's neighbor structure is EXACTLY the source's -- while
+  cross-replica cosines scatter like random vectors, so ANN candidate
+  sets and true-neighbor counts scale x10, not x100.
+- TPC-H facts+dims x10 (round 8): customer/supplier/part/orders/
+  lineitem replicated under disjoint key offsets with FK references
+  rewritten consistently (replica lineitems reference replica parts/
+  suppliers/orders), so every join's output scales linearly and the
+  broadcast ceilings of the dimension sides really get crossed.
+  nation/region stay fixed (25/5 rows, genuinely constant dimensions).
 """
 import shutil
 import sys
@@ -47,8 +58,57 @@ COPY (
   FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(0,10)) AS i) r
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
-for t in ["embeddings", "region", "nation", "customer", "supplier",
-          "part", "orders", "lineitem"]:
+# embeddings x10: replica i applies the orthogonal map
+#   y[j] = sign(i, j) * x[(j + 7*i) mod 64]
+# (cyclic shift = permutation matrix, sign pattern = diagonal +-1 --
+# their product is orthogonal; i=0 is the identity).
+DIM = 64
+def emb_expr(i: int) -> str:
+    terms = []
+    for j in range(DIM):
+        srcidx = (j + 7 * i) % DIM + 1  # DuckDB lists are 1-based
+        sign = "-" if i > 0 and (j * i + i) % 3 == 0 else ""
+        terms.append(f"CAST({sign}embedding[{srcidx}] AS FLOAT)")
+    return "[" + ", ".join(terms) + "]"
+
+emb_cases = " ".join(
+    f"WHEN r.i = {i} THEN {emb_expr(i)}" for i in range(10))
+con.execute(f"""
+COPY (
+  SELECT vec_id + r.i * 10000000 AS vec_id,
+         CASE {emb_cases} END AS embedding,
+         label
+  FROM read_parquet('{src}/embeddings.parquet'), (SELECT unnest(range(0,10)) AS i) r
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+
+# TPC-H x10 under disjoint key offsets; FKs rewritten consistently.
+C_OFF, S_OFF, P_OFF, O_OFF = 10_000_000, 1_000_000, 10_000_000, 100_000_000
+rep = "(SELECT unnest(range(0,10)) AS i) r"
+scaled = {
+    "customer": f"SELECT c_custkey + r.i * {C_OFF} AS c_custkey, c_name, "
+                f"c_nationkey, c_acctbal, c_mktsegment "
+                f"FROM read_parquet('{src}/customer.parquet'), {rep}",
+    "supplier": f"SELECT s_suppkey + r.i * {S_OFF} AS s_suppkey, s_name, "
+                f"s_nationkey, s_acctbal "
+                f"FROM read_parquet('{src}/supplier.parquet'), {rep}",
+    "part":     f"SELECT p_partkey + r.i * {P_OFF} AS p_partkey, p_name, "
+                f"p_brand, p_type, p_size, p_retailprice "
+                f"FROM read_parquet('{src}/part.parquet'), {rep}",
+    "orders":   f"SELECT o_orderkey + r.i * {O_OFF} AS o_orderkey, "
+                f"o_custkey + r.i * {C_OFF} AS o_custkey, o_orderstatus, "
+                f"o_totalprice, o_orderdate, o_orderpriority "
+                f"FROM read_parquet('{src}/orders.parquet'), {rep}",
+    "lineitem": f"SELECT l_orderkey + r.i * {O_OFF} AS l_orderkey, "
+                f"l_partkey + r.i * {P_OFF} AS l_partkey, "
+                f"l_suppkey + r.i * {S_OFF} AS l_suppkey, l_linenumber, "
+                f"l_quantity, l_extendedprice, l_discount, l_tax, "
+                f"l_returnflag, l_linestatus, l_shipdate "
+                f"FROM read_parquet('{src}/lineitem.parquet'), {rep}",
+}
+for t, q in scaled.items():
+    con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+
+for t in ["region", "nation"]:
     shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
 ev = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/events.parquet')").fetchone()[0]
