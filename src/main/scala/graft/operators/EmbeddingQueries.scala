@@ -394,6 +394,25 @@ object EmbeddingQueries {
       .orderBy("vid_a", "vid_b")
   }
 
+  /** Corpus-sized near-dup banding (the emb_near_dup_lsh ×10-slice
+    * note, BASELINE.md round 8: fixed bits=12 went 6.3× at 10× data —
+    * random band collisions scale n²/2^bits). bits = ceil(log2 n)+1
+    * bounds total random candidates at ~bands·n; bands then restores
+    * exhaustive recall for the threshold: per-plane agreement
+    * p = 1 − arccos(t)/π, a true pair escapes all bands with
+    * (1−p^bits)^bands ≤ 1e-6. Output still EQUALS the exact all-pairs
+    * form (candidates are exact-verified), so the auto twin carries
+    * the same DuckDB oracle as the pinned one.
+    */
+  def nearDupLshAuto(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val n = emb.count()
+    val bits = math.max(12,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 1)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bands = math.max(48, math.ceil(math.log(1e6) / math.pow(p, bits)).toInt)
+    nearDupLsh(s, emb, threshold, nBands = bands, bitsPerBand = bits)
+  }
+
   /** The declarative top-k plan — the semantic spec of the kernel
     * form, kept as its equivalence twin (CosineTopKSpec) and as the
     * shuffle-shaped variant the block-pair generalization would merge
@@ -541,6 +560,21 @@ object EmbeddingQueries {
     // pairs, so this oracle checks schema/emptiness only.
     Q("emb_near_dup_lsh",
       (s, d) => nearDupLsh(s, Tables.embeddings(s, d), 0.95),
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings)
+             SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.95
+             ORDER BY vid_a, vid_b""")),
+
+    // Corpus-sized banding twin (see nearDupLshAuto): unlike the ANN
+    // autos this one keeps the FULL exact oracle — the exact-verify
+    // step makes its output equal the all-pairs form at any banding.
+    Q("emb_near_dup_lsh_auto",
+      (s, d) => nearDupLshAuto(s, Tables.embeddings(s, d), 0.95),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm

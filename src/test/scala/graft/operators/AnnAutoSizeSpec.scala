@@ -27,6 +27,27 @@ class AnnAutoSizeSpec extends SparkSpec {
     assert(EmbeddingQueries.ivfCellsFor(100000000L) === 4096) // cap
   }
 
+  test("near-dup auto banding equals the exact form on a planted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 planted near-dup pairs among 60 random-ish vectors
+    val rnd = new scala.util.Random(7)
+    def v(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def tweak(x: Array[Float]): Array[Float] =
+      x.zipWithIndex.map { case (a, i) => if (i % 16 == 0) a + 0.01f else a }
+    val base = Seq.fill(57)(v())
+    val pairs = Seq(v(), v(), v())
+    val rows = (base ++ pairs ++ pairs.map(tweak)).zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = EmbeddingQueries.nearDupExactPlan(spark, emb, 0.95).collect()
+    val auto = EmbeddingQueries.nearDupLshAuto(spark, emb, 0.95).collect()
+    assert(exact.nonEmpty, "planted pairs must clear the threshold")
+    assert(auto.toSeq === exact.toSeq,
+      "auto banding must not lose any exact pair (recall is exhaustive by construction)")
+  }
+
   test("auto twins equal the pinned twins where the formulas return the pinned constants") {
     // LSH: bits floor (10) covers every n ≤ 2048, including sf0.001's
     // 500 vectors — the auto twin must be bit-identical to the

@@ -68,6 +68,58 @@ class FStoreApiSpec extends SparkSpec {
     assert(!api.unscheduleEvents("push-view"))
   }
 
+  test("wedged async endpoint: the tick completes and unsent events redeliver at lease expiry") {
+    val api = new FStoreApi(spark)
+    var clock = 1700000000000L
+    api.store.now = () => new Timestamp(clock)
+    api.registerDeciderEvent("Order", "Placed")
+    api.registerView("wedge-view", startAt = Some(new Timestamp(0L)))
+    (0 until 4).foreach(i =>
+      assert(api.appendEvent("Placed", s"w$i", "Order", s"o-$i", "{}").isRight))
+    clock += 1000
+
+    // capacity-1 async sender on an endpoint that hangs forever: one
+    // payload occupies the worker, every later enqueue finds the
+    // queue full — the tick must RETURN (tryApply path), not block
+    // behind apply()'s backpressure
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hung: (String, String) => Unit =
+      (_, _) => { started.incrementAndGet(); gate.await() }
+    val sender = new graft.streaming.PushSink.AsyncSender(
+      transport = hung, capacity = 1, closeFlushMs = 50L)
+    try {
+      // virtual-time interval path: each runner loop calls clock() —
+      // continued clock calls prove the tick BODY keeps completing
+      val clockCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val vclock = new java.util.concurrent.atomic.AtomicLong(0L)
+      api.scheduleEvents("wedge-view", "1 seconds", "http://x/fn", sender,
+        () => { clockCalls.incrementAndGet(); vclock.get() },
+        ms => { vclock.addAndGet(ms); Thread.sleep(1) })
+      val deadline = System.currentTimeMillis() + 30000
+      while (clockCalls.get() < 6 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(clockCalls.get() >= 6,
+        "the delivery loop stalled behind the wedged endpoint")
+      api.unscheduleEvents("wedge-view")
+
+      // tick 1 leased all partitions and handed ONE payload to the
+      // (hung) worker; the other enqueues were declined, not dropped
+      assert(started.get() === 1, s"worker started ${started.get()} sends")
+      assert(sender.dropped === 0L, "declined enqueues must not count as drops")
+      assert(api.streamEvents("wedge-view", limit = 10).isEmpty,
+        "events stay leased while the lease is live")
+
+      // nothing was acked: at lease expiry every event redelivers —
+      // the same at-least-once path a crashed consumer takes
+      clock += 301 * 1000
+      val redelivered = api.streamEvents("wedge-view", limit = 10)
+      assert(redelivered.map(_.decider_id).toSet ===
+        (0 until 4).map(i => s"o-$i").toSet,
+        "every un-acked event must redeliver after its lease expires")
+    } finally { gate.countDown(); sender.close() }
+  }
+
   test("schedule_events accepts a 5-field cron string and pushes on its ticks") {
     val api = new FStoreApi(spark)
     // virtual clock shared by the store (lease logic) and the cron
