@@ -172,4 +172,56 @@ class SharedProducersSpec extends SparkSpec {
     a.resync()
     assert(a.allEvents.count() === 9L)
   }
+
+  test("end-to-end cross-process pipeline: SharedLog producers feed SharedJournal consumers") {
+    // process P: producer appending through the shared commit log;
+    // processes C1/C2: consumers on their own SparkSessions sharing one
+    // view's partitions — every boundary crossed through the filesystem
+    val logDir = Files.createTempDirectory("graft-e2e-log").toString
+    val jDir = Files.createTempDirectory("graft-e2e-j").toString
+    val t0 = 1700000000000L
+    val clock = () => new Timestamp(t0)
+
+    val p = openLog(spark, logDir, "P")
+    p.now = clock
+    p.registerDeciderEvent("C", "E")
+    p.append((0 until 6).map(i => in(s"e$i-0", None, part = s"p$i")))
+
+    def consumer(name: String): (SharedLog, ViewStreams) = {
+      val session = spark.newSession()
+      val log = openLog(session, logDir, name)
+      log.now = clock
+      // the consumer's ViewStreams rides the SharedLog's local replica:
+      // resync folds rival commits via commitBulk, whose head fanout
+      // (M1) updates this consumer's lock matrix through the shared
+      // journal — the cross-process append trigger
+      val vs = new ViewStreams(log.eventStore)
+      vs.openSharedJournal(jDir, ownerId = name)
+      (log, vs)
+    }
+
+    val (logA, vsA) = consumer("CA")
+    vsA.registerView("v", startAt = Some(new Timestamp(0L)))
+    logA.resync() // folds P's commits; fanout populates the view heads
+    val (logB, vsB) = consumer("CB")
+    logB.resync()
+
+    val gotA = vsA.streamEvents("v", limit = 3, seconds = 300)
+    val gotB = vsB.streamEvents("v", limit = 3, seconds = 300)
+    assert(gotA.size === 3 && gotB.size === 3)
+    val partsA = gotA.map(_.decider_id).toSet
+    val partsB = gotB.map(_.decider_id).toSet
+    assert((partsA & partsB).isEmpty, s"double delivery: ${partsA & partsB}")
+    assert(partsA ++ partsB === (0 until 6).map(i => s"p$i").toSet)
+
+    // the producer keeps appending; both consumers see round 2 after
+    // ack + resync — the full pipeline loops
+    vsA.ackBatch("v", gotA.map(e => (e.decider_id, e.offset)))
+    vsB.ackBatch("v", gotB.map(e => (e.decider_id, e.offset)))
+    p.append((0 until 6).map(i => in(s"e$i-1", Some(s"e$i-0"), part = s"p$i")))
+    logA.resync(); logB.resync()
+    val round2 = vsA.streamEvents("v", limit = 6, seconds = 300) ++
+      vsB.streamEvents("v", limit = 6, seconds = 300)
+    assert(round2.map(_.event_id).toSet === (0 until 6).map(i => s"e$i-1").toSet)
+  }
 }
