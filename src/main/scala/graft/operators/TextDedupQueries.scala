@@ -333,6 +333,143 @@ object TextDedupQueries {
              FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Corpus-LM quality score (the CCNet-style perplexity filter): a
+    // bigram language model with add-one smoothing is fit ON the
+    // corpus itself (unigram + bigram count tables — two map-side-
+    // combined aggregations), and each document is scored by its
+    // average negative log-likelihood under it; high-NLL docs are the
+    // gibberish/boilerplate tail a perplexity filter drops.
+    // Determinism across engines: each bigram's NLL term is
+    // ln((c1+V)/(cb+1)) of EXACT integers — one IEEE division and one
+    // ln; the term is floored to integer micro-nats (a 1-ulp ln
+    // divergence flips a floor only within ~1e-10 of a boundary), so
+    // the aggregated sums compare exactly and avg_nll is a single
+    // rounded division of exact integers. Scale: the score join is
+    // keyed by (w1, w2) — linear in corpus tokens, no driver state.
+    Q("doc_lm_nll",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+        // sequence(1, 0) is DESCENDING in Spark, so the short-doc case
+        // must be an explicit empty array (the doc_substring_dedup
+        // guard pattern)
+        val bi = toks.select(col("doc_id"),
+            explode(when(size(col("ws")) >= 2,
+              expr("""transform(sequence(1, size(ws) - 1),
+                       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+              .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+              .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .transform(graft.Caching.persistOnce(_))
+        val uni = toks.select(explode(col("ws")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+          .transform(graft.Caching.persistOnce(_))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        bi.join(bc, Seq("w1", "w2"))
+          .join(uni, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nll_micro",
+            floor(log((col("c1") + col("v")).cast("double") /
+              (col("cb") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_micro_sum"))
+          .withColumn("avg_nll",
+            round(col("nll_micro_sum").cast("double") / lit(1e6) / col("n_bigrams"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                      string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+               FROM documents),
+             tok AS (SELECT unnest(ws) AS w1 FROM w),
+             uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w1),
+             v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+             bix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+             bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bix),
+             bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+             agg AS (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(CAST(floor(ln(CAST(c1 + v.v AS DOUBLE) /
+                        CAST(cb + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS nll_micro_sum
+               FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+               GROUP BY doc_id)
+             SELECT doc_id, n_bigrams, nll_micro_sum,
+                    round(CAST(nll_micro_sum AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_nll
+             FROM agg ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    // MOSS local fingerprinting scheme): 5-word k-gram md5 hashes, and
+    // from every window of 4 consecutive grams the MINIMUM hash is
+    // selected — guaranteeing any shared run of ≥ 8 words contributes
+    // at least one COMMON fingerprint while storing only ~2/(w+1) of
+    // the grams. Hashes compare as md5 hex STRINGS (identical
+    // lexicographic order on both engines, no numeric conversion).
+    // The window minimum runs as a FRAME window over exploded grams,
+    // not a nested array lambda (CollapseProject would inline the
+    // gram transform into the per-window lambda — the shingles()
+    // lesson). Together with the outer-generate workaround below,
+    // 18.7 s → 1.5 s at sf0.1. One doc_id shuffle, frame min, and an
+    // exchange-reusing aggregation.
+    Q("doc_winnow_fingerprint",
+      (s, d) => {
+        val w4 = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+          .withColumn("grams", when(size(col("ws")) >= 5, expr(
+            """transform(sequence(1, size(ws) - 4),
+                 i -> md5(array_join(slice(ws, i, 5), ' ')))"""))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          // OUTER posexplode, null rows dropped AFTER the Generate: a
+          // plain posexplode makes InferFiltersFromGenerate push a
+          // `size(grams) > 0` filter below the projection, where the
+          // whole gram transform is INLINED three times (and the split
+          // re-runs per lambda element — no CSE across lambda bounds);
+          // the resulting expression took ~7 s of fixed codegen time
+          // alone. The outer form infers nothing; the null filter
+          // below runs on materialized columns.
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+            posexplode_outer(col("grams")).as(Seq("pos", "g")))
+          .filter(col("g").isNotNull)
+          .withColumn("wmin", min(col("g")).over(w4))
+          // one window per start position j = pos ≤ nG-4 (0-based; a
+          // short doc keeps its single clamped window at pos 0)
+          .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+          .groupBy("doc_id")
+          .agg(first(col("n_grams")).as("n_grams"),
+            countDistinct(col("wmin")).as("n_fp"),
+            min(col("wmin")).as("fp_min"),
+            max(col("wmin")).as("fp_max"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+               SELECT doc_id,
+                      string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+               FROM documents),
+             g AS (SELECT doc_id,
+                          CASE WHEN len(ws) >= 5
+                               THEN [md5(list_aggregate(ws[i:i+4], 'string_agg', ' '))
+                                     FOR i IN range(1, len(ws) - 3)]
+                               ELSE [] END AS grams
+                   FROM w),
+             win AS (SELECT doc_id, grams,
+                            list_distinct([list_min(grams[j:j+3])
+                                           FOR j IN range(1, greatest(len(grams) - 2, 2))]) AS fps
+                     FROM g WHERE len(grams) >= 1)
+             SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                    CAST(len(fps) AS BIGINT) AS n_fp,
+                    list_min(fps) AS fp_min, list_max(fps) AS fp_max
+             FROM win ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Duplication-rate dashboard by source: share of each source's
     // docs whose normalized fingerprint occurs more than once
     // CORPUS-WIDE (a crawl-quality triage view — which feeds are
