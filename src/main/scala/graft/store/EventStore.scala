@@ -153,6 +153,7 @@ final class EventStore(val spark: SparkSession) {
       events = events.union(accepted.toDS()).localCheckpoint()
       headOffset = accepted.last.offset
       nextTxn += 1
+      noteCommitted(accepted)
       // the disk snapshot stays live: streamSlice reads it up to
       // flushedOffset and unions the in-memory tail past it, so
       // bucket-pruned scans keep working between incremental flushes
@@ -161,16 +162,125 @@ final class EventStore(val spark: SparkSession) {
     AppendResult(accepted, rejected)
   }
 
-  /** Driver-side fast path for bounded batches (≤ SmallBatchMax): the
-    * committed-log facts the flag columns encode are ≤ batch-size
-    * values, so they come from TWO narrow jobs against the cached log
-    * (a per-stream state aggregate and an id/prev membership filter)
-    * instead of the join/window/flatMapGroups pipeline — per-call
-    * latency drops to the two filters + the commit. The replay itself
-    * is [[EventStore.replayStream]], the same code the distributed
-    * path executes, so the semantics cannot diverge.
+  // ------------------------------------------------------------------
+  // OLTP fast path: membership sketches + hot-stream cache.
+  //
+  // The reference wins the sequential single-append shape outright
+  // (µs B-tree probes vs ~100 ms of Spark job overhead per validation
+  // lookup). The fix is driver state that answers the validation
+  // questions withOUT a job — but ONLY when it can answer them
+  // EXACTLY; anything uncertain falls back to the job path, so the
+  // semantics cannot diverge:
+  //
+  //  - `idSketch` / `prevSketch` / `streamSketch`: Bloom filters over
+  //    ALL committed event_ids, claimed previous_ids, and stream keys.
+  //    While `sketchComplete` holds (fresh store, or after
+  //    [[enableFastAppend]] seeds them from the log in one distributed
+  //    pass) a MISS is definitive — the id/prev/stream is certainly
+  //    absent — and that is the only answer the fast path trusts; a
+  //    hit (present OR false positive) routes to the jobs.
+  //  - `hotStreams`: exact (finalized, n, head event id) per stream
+  //    touched this session — maintained under commitLock at commit,
+  //    so the chained-append shape (prev = current head) resolves
+  //    prev-existence exactly. Bounded LRU; eviction only costs the
+  //    fast path.
+  //
+  // commitBulk / load() set sketchComplete = false (rows not seen by
+  // the driver); enableFastAppend re-seeds. Shared-log replicas fold
+  // rivals' commits through commitBulk, so the fast path self-disables
+  // in shared mode — conservative, never wrong.
+
+  private var idSketch = org.apache.spark.util.sketch.BloomFilter.create(1 << 20, 0.01)
+  private var prevSketch = org.apache.spark.util.sketch.BloomFilter.create(1 << 20, 0.01)
+  private var streamSketch = org.apache.spark.util.sketch.BloomFilter.create(1 << 20, 0.01)
+  private var sketchComplete = true
+  private final case class HotStream(finalized: Boolean, n: Long, headId: Option[String])
+  private val hotStreams =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), HotStream]
+  private val HotStreamCap = 65536
+
+  /** Re-seed the membership sketches from the committed log (one
+    * distributed pass over three narrow columns) and re-arm the
+    * zero-job append fast path after a load()/bulk ingest. Sketch
+    * memory is ~1.2 MB per 10⁶ ids at 1% fpp — size `fpp` down (or
+    * skip enabling) if driver memory is tighter than append latency.
+    */
+  def enableFastAppend(fpp: Double = 0.01): Unit = commitLock.synchronized {
+    val n = math.max(1024L, headOffset * 2)
+    val df = events.toDF()
+    idSketch = df.stat.bloomFilter("event_id", n, fpp)
+    prevSketch = df.filter($"previous_id".isNotNull).stat.bloomFilter("previous_id", n, fpp)
+    streamSketch = df.select(concat_ws("|", $"decider", $"decider_id").as("sk"))
+      .stat.bloomFilter("sk", n, fpp)
+    hotStreams.clear()
+    sketchComplete = true
+  }
+
+  /** Record an accepted commit in the fast-path state (caller holds
+    * commitLock).
+    */
+  private def noteCommitted(accepted: Seq[EventRow]): Unit = {
+    accepted.foreach { e =>
+      idSketch.putString(e.event_id)
+      e.previous_id.foreach(prevSketch.putString)
+      streamSketch.putString(s"${e.decider}|${e.decider_id}")
+    }
+    accepted.groupBy(e => (e.decider, e.decider_id)).foreach { case (k, es) =>
+      val prior = hotStreams.remove(k) // re-insert = LRU touch
+      val fin = prior.exists(_.finalized) || es.exists(_.is_final)
+      val n = prior.map(_.n).getOrElse(0L) + es.size
+      hotStreams(k) = HotStream(fin, n, Some(es.last.event_id))
+    }
+    while (hotStreams.size > HotStreamCap) hotStreams.remove(hotStreams.head._1)
+  }
+
+  /** Zero-job validation: Some(flags) when EVERY row of the batch is
+    * exactly answerable from the sketches + hot cache, None otherwise
+    * (caller runs the job path). Accept decisions only ever ride on
+    * definitive answers: sketch MISSES and session-exact cache hits.
+    */
+  private def fastValidate(batch: Seq[EventInput]): Option[Seq[(EventInput, Long, String)]] = {
+    if (!sketchComplete) return None
+    val flagged = batch.zipWithIndex.map { case (e, idx) =>
+      val key = (e.decider, e.decider_id)
+      val hot = hotStreams.get(key)
+      val streamKnown = hot.isDefined || !streamSketch.mightContainString(s"${e.decider}|${e.decider_id}")
+      if (!streamKnown) return None // exists in log but not cached
+      val (fin, n) = hot.map(h => (h.finalized, h.n)).getOrElse((false, 0L))
+      if (idSketch.mightContainString(e.event_id)) return None // maybe dup
+      val (prevInStream, prevDup) = e.previous_id match {
+        case None => (false, false)
+        case Some(p) =>
+          if (prevSketch.mightContainString(p)) return None // maybe claimed
+          if (!idSketch.mightContainString(p)) (false, false) // definitely absent; intra-batch handled by replay
+          else if (hot.exists(_.headId.contains(p))) (true, false) // exact: the session head
+          else return None // committed somewhere, membership unknown
+      }
+      val rank = batch.take(idx).count(_.event_id == e.event_id) + 1
+      EventStore.Flagged(e, idx.toLong,
+        decidersMap.contains((e.decider, e.event, e.event_version)),
+        prev_in_stream = prevInStream, dup_event_id = false,
+        dup_prev_id = prevDup, finalized = fin, n_committed = n, eid_rank = rank)
+    }
+    Some(flagged.groupBy(f => (f.in.decider, f.in.decider_id))
+      .values.toSeq.flatMap(EventStore.replayStream))
+  }
+
+  /** Driver-side fast path for bounded batches (≤ SmallBatchMax): when
+    * the sketches can answer exactly, validation is pure driver work
+    * ([[fastValidate]], zero jobs — the OLTP chained-append shape);
+    * otherwise the committed-log facts come from TWO narrow jobs
+    * against the cached log (a per-stream state aggregate and an
+    * id/prev membership filter) instead of the join/window/
+    * flatMapGroups pipeline. The replay itself is
+    * [[EventStore.replayStream]], the same code the distributed path
+    * executes, so the semantics cannot diverge.
     */
   private[store] def smallBatchValidate(batch: Seq[EventInput]): Seq[(EventInput, Long, String)] = {
+    fastValidate(batch) match {
+      case Some(r) => return r
+      case None => ()
+    }
     val inputs = batch.zipWithIndex.map { case (e, i) =>
       (e, i.toLong, decidersMap.contains((e.decider, e.event, e.event_version)))
     }
@@ -318,6 +428,10 @@ final class EventStore(val spark: SparkSession) {
     * cardinality), not the rows.
     */
   private[store] def commitBulk(rows: Dataset[EventRow]): Long = commitLock.synchronized {
+    // rows never pass through the driver: the membership sketches can
+    // no longer claim completeness (re-seed with enableFastAppend)
+    sketchComplete = false
+    hotStreams.clear()
     val staged = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = staged.count()
     if (n > 0) {
@@ -604,6 +718,8 @@ final class EventStore(val spark: SparkSession) {
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
+    sketchComplete = false // history not seen by the driver
+    hotStreams.clear()
     events = spark.read.parquet(eventsPath(dir)).drop("bucket", "day")
       .as[EventRow]
     diskLayout = Some((dir, buckets))

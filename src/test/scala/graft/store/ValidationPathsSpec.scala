@@ -64,4 +64,45 @@ class ValidationPathsSpec extends SparkSpec {
       s.append(batch)
     }
   }
+
+  test("sketch fast path (fresh store) agrees with the pure job path (loaded store) append for append") {
+    // `fast` keeps its complete membership sketches (zero-job path
+    // live); `slow` is save/load-cycled so sketchComplete drops and
+    // every append runs the job path. Identical inputs must produce
+    // identical accept/reject sequences — the differential proof that
+    // the sketches only ever answer what they know exactly.
+    val rnd = new scala.util.Random(99)
+    val fast = freshStore()
+    val slow = freshStore()
+    val seed = Seq(
+      EventInput("Good", "c0", "D", "s0", "{}"),
+      EventInput("Good", "c1", "D", "s0", "{}", previous_id = Some("c0")),
+      EventInput("Good", "c2", "D", "s1", "{}"))
+    assert(fast.append(seed).rejected.isEmpty)
+    assert(slow.append(seed).rejected.isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fastpath").toString
+    slow.save(dir); slow.load(dir) // drops the sketches → job path only
+    (0 until 5).foreach { round =>
+      val batch = randomBatch(rnd, 10 + rnd.nextInt(15), Seq("c0", "c1", "c2"))
+        .map(e => e.copy(event_id = s"r$round-${e.event_id}",
+          previous_id = e.previous_id.map(p =>
+            if (p.startsWith("b")) s"r$round-$p" else p)))
+      val ra = fast.append(batch)
+      val rb = slow.append(batch)
+      assert(ra.accepted.map(_.event_id) === rb.accepted.map(_.event_id),
+        s"round $round accept divergence")
+      assert(ra.rejected === rb.rejected, s"round $round reject divergence")
+    }
+    // the OLTP chained shape rides the fast path end to end: a fresh
+    // stream chained through its head must accept every link on both
+    var prev: Option[String] = None
+    for (i <- 0 until 30) {
+      val e = EventInput("Good", s"chain$i", "D", "s9", "{}", previous_id = prev)
+      assert(fast.appendEvent(e).isRight, s"fast rejected chain$i")
+      assert(slow.appendEvent(e).isRight, s"slow rejected chain$i")
+      prev = Some(s"chain$i")
+    }
+    assert(fast.getEvents("s9", "D").count() === 30L)
+    assert(slow.getEvents("s9", "D").count() === 30L)
+  }
 }
