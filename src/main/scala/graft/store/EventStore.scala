@@ -453,6 +453,21 @@ final class EventStore(val spark: SparkSession) {
     n
   }
 
+  /** Fold rows ALREADY validated and offset-assigned by another
+    * process's store (SharedLog resync, driver-bounded commits): like
+    * [[commitBulk]] but driver-resident, so the membership sketches
+    * stay complete and the append fast path survives shared mode.
+    * Rows must arrive in their committed order.
+    */
+  private[store] def commitReplicated(rows: Seq[EventRow]): Unit = commitLock.synchronized {
+    if (rows.isEmpty) return
+    events = events.union(rows.toDS()).localCheckpoint()
+    headOffset = math.max(headOffset, rows.map(_.offset).max)
+    nextTxn += 1
+    noteCommitted(rows)
+    onCommit(rows)
+  }
+
   /** Broadcast only when the build side is known-bounded; the committed
     * id sets grow with the log, so leave join-strategy choice to
     * Catalyst/AQE there (it will pick SMJ once they exceed the

@@ -226,9 +226,14 @@ final class SharedLog(val spark: SparkSession,
       store.registerDeciderEvent(m.decider, m.event, m.eventVersion, m.description)
       ()
     case "events" =>
-      store.commitBulk(
-        spark.read.parquet(new Path(dir, m.file).toString).as[EventRow])
-      ()
+      val ds = spark.read.parquet(new Path(dir, m.file).toString).as[EventRow]
+      // driver-bounded commits fold through the driver so the local
+      // replica's membership sketches stay COMPLETE — the append fast
+      // path keeps working in shared mode; big bulk commits take the
+      // distributed fold (which conservatively drops the sketches)
+      if (m.count > 0 && m.count <= EventStore.SmallBatchMax)
+        store.commitReplicated(ds.collect().toSeq.sortBy(_.offset))
+      else { store.commitBulk(ds); () }
     case "compact" =>
       // a live reader already holds every offset ≤ m.maxOffset
       ()
