@@ -104,5 +104,19 @@ class ValidationPathsSpec extends SparkSpec {
     }
     assert(fast.getEvents("s9", "D").count() === 30L)
     assert(slow.getEvents("s9", "D").count() === 30L)
+
+    // enableFastAppend re-seeds the sketches from the loaded log: the
+    // re-armed store must still reject everything the log forbids
+    slow.enableFastAppend()
+    assert(slow.appendEvent(EventInput("Good", "c0", "D", "s5", "{}"))
+      === Left(AppendError.DuplicateEventId("c0")), "re-used id must still reject")
+    assert(slow.appendEvent(EventInput("Good", "px", "D", "s0", "{}",
+      previous_id = Some("c0")))
+      === Left(AppendError.DuplicatePreviousId("px")), "claimed prev must still reject")
+    assert(slow.appendEvent(EventInput("Good", "py", "D", "s0", "{}"))
+      === Left(AppendError.NullPreviousOnNonFirst("py")))
+    // and a clean chained append on the re-armed store still lands
+    assert(slow.appendEvent(EventInput("Good", "chain30", "D", "s9", "{}",
+      previous_id = Some("chain29"))).isRight)
   }
 }
