@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The codec seam ([[MediaCodec]]) carries REAL decoders for every
   * format the JDK can read without native libraries — PNG / JPEG /
-  * BMP / GIF images (javax.imageio) and PCM WAV audio
-  * (javax.sound.sampled) — plus a real nearest-neighbor raster resize
-  * and PCM resampler. Only video containers (mp4 / H.264) remain
-  * stubbed: their decoders genuinely need native libraries absent
-  * from this environment; the synthetic-header fallback stands in for
-  * them so the pipeline shape stays testable end to end. The
+  * BMP / GIF images (javax.imageio), PCM WAV audio
+  * (javax.sound.sampled), and MJPEG-in-AVI video (a RIFF chunk walk
+  * over the `movi` list; each frame is a plain JPEG handed to
+  * javax.imageio) — plus a real nearest-neighbor raster resize and
+  * PCM resampler. Only inter-frame-coded video (mp4 / H.264 / VP9)
+  * remains stubbed: those decoders genuinely need native libraries
+  * absent from this environment; the synthetic-header fallback stands
+  * in for them so the pipeline shape stays testable end to end. The
   * surrounding plumbing — schema, batched `mapPartitions` execution,
   * partition sizing, metadata projection — is real and tested either
   * way.
@@ -70,15 +72,71 @@ object Media {
       b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
     /** Dispatch on content, not on `kind`: a mislabeled row decodes by
       * what it actually is. Images: one frame of packed RGB
       * (3 bytes/pixel, row-major). WAV: width = sample rate, height =
       * channels, frames = 1-second PCM windows (first `maxFrames`).
+      * AVI/MJPEG: frames = the first `maxFrames` video frames as
+      * packed RGB, dims from the first decodable frame.
       */
     def decode(kind: String, bytes: Array[Byte], maxFrames: Int): Decoded =
       if (isImage(bytes)) decodeImage(bytes)
+      else if (isAvi(bytes)) decodeAvi(bytes, maxFrames)
       else if (isWav(bytes)) decodeWav(bytes, maxFrames)
       else decodeSynthetic(bytes, maxFrames)
+
+    /** MJPEG-in-AVI: the one video container a bare JDK really
+      * decodes. AVI is RIFF — `RIFF <size> AVI ` then a chunk tree;
+      * frame payloads live in the `movi` LIST as `NNdc`/`NNdb` chunks
+      * (compressed / uncompressed DIB for stream NN), and for MJPEG
+      * each payload IS a complete JPEG. The walk below tolerates
+      * unknown chunks (skipped by their declared size, odd sizes
+      * padded to even per RIFF) and corrupt sizes (walk stops), takes
+      * the first `maxFrames` JPEG-looking frame chunks, and decodes
+      * each through the same ImageIO path as still images.
+      * Inter-frame codecs (H.264 etc.) have no JPEG magic and fall
+      * out as zero frames rather than garbage.
+      */
+    private def decodeAvi(bytes: Array[Byte], maxFrames: Int): Decoded = {
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      val want = math.max(1, maxFrames)
+      val raw = scala.collection.mutable.Buffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var ok = true
+        while (ok && o + 8 <= end && raw.size < want) {
+          val id = fourcc(o)
+          val sz = le32(o + 4)
+          val dataStart = o + 8
+          if (sz < 0 || dataStart + sz > end) ok = false // corrupt size: stop
+          else {
+            val dataEnd = dataStart + sz.toInt
+            if (id == "LIST" && dataStart + 4 <= dataEnd)
+              walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+            else if ((id.endsWith("dc") || id.endsWith("db")) &&
+                     dataEnd - dataStart > 2 &&
+                     (bytes(dataStart) & 0xff) == 0xff &&
+                     (bytes(dataStart + 1) & 0xff) == 0xd8)
+              raw += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            o = dataEnd + (sz.toInt & 1) // RIFF pads chunks to even
+          }
+        }
+      }
+      walk(12, bytes.length)
+      val decoded = raw.map(decodeImage).filter(_.frames.nonEmpty)
+      decoded.headOption match {
+        case Some(first) => Decoded(first.width, first.height,
+          decoded.flatMap(_.frames).toSeq)
+        case None => Decoded(0, 0, Nil)
+      }
+    }
 
     private def decodeImage(bytes: Array[Byte]): Decoded = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

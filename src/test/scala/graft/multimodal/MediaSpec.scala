@@ -143,6 +143,57 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("REAL video decode: an MJPEG AVI yields per-frame rasters with true dims") {
+    // build a genuine MJPEG AVI in memory: RIFF container, movi LIST,
+    // one 00dc chunk per JPEG frame (each frame a solid color)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    val w = 16; val h = 12
+    val colors = Seq(0xc00000, 0x00c000, 0x0000c0)
+    val jpegs = colors.map { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", buf))
+      buf.toByteArray
+    }
+    val movi = chunk("LIST",
+      "movi".getBytes("US-ASCII") ++ jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    // a junk chunk the walker must skip by size
+    val junk = chunk("JUNK", Array.fill(7)(0x55.toByte))
+    val payload = "AVI ".getBytes("US-ASCII") ++ junk ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+
+    val d = Media.MediaCodec.decode("video", avi, maxFrames = 2)
+    assert(d.width === w && d.height === h, "dims must come from the first frame")
+    assert(d.frames.size === 2, "maxFrames must cap the sampled frames")
+    // JPEG is lossy: solid-color frames decode within a small tolerance
+    for ((frame, c) <- d.frames.zip(colors)) {
+      assert(frame.length === w * h * 3)
+      val i = ((h / 2) * w + w / 2) * 3
+      val (r, g, b) = (frame(i) & 0xff, frame(i + 1) & 0xff, frame(i + 2) & 0xff)
+      val (er, eg, eb) = ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+      assert(math.abs(r - er) < 16 && math.abs(g - eg) < 16 && math.abs(b - eb) < 16,
+        s"frame color ($r,$g,$b) far from expected ($er,$eg,$eb)")
+    }
+    // all three frames when the cap allows
+    assert(Media.MediaCodec.decode("video", avi, maxFrames = 10).frames.size === 3)
+
+    // end-to-end: the Dataset pipeline samples and resizes AVI frames
+    import spark.implicits._
+    val media = Seq(Media.MediaRow(7L, "video", avi, w, h, 0L)).toDS()
+    val feat = Media.extractFeatures(media).collect().head
+    assert(feat.width === w && feat.height === h && feat.n_frames_sampled >= 2)
+    val resized = Media.resizeFrames(media, 8, 6, maxFrames = 3).collect()
+    assert(resized.length === 3 && resized.forall(_.n_bytes === 8 * 6 * 3))
+  }
+
   test("metadata-only aggregation prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     Media.synthesize(docs).write.mode("overwrite").parquet(dir)
