@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Generate the 10x scaling slice used by the BASELINE.md spot-check.
 
-Usage: python3 tools/make_sf1ish.py [src_sf_dir] [dst_dir]
-Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1ish
+Usage: python3 tools/make_sf1ish.py [src_sf_dir] [dst_dir] [replicas]
+Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1ish, 10 replicas
+(replicas=100 builds the two-decade slice used by the round-8 100x
+spot-check; permutations are SEEDED RANDOM shuffles, not rotations, so
+any replica count keeps cross-replica shingle overlap at zero)
 
 Design (see BASELINE.md "sf-scaling spot-check"):
 - events x10: disjoint event_id/user_id ranges per replica so group
@@ -33,6 +36,7 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/sf1ish"
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 import os
 os.makedirs(dst, exist_ok=True)
@@ -42,11 +46,19 @@ con.execute(f"""
 COPY (
   SELECT event_id + r.i * 1000000000 AS event_id, epoch_ns(ts) AS ts,
          user_id + r.i * 10000000 AS user_id, event_type, value, props
-  FROM read_parquet('{src}/events.parquet'), (SELECT unnest(range(0,10)) AS i) r
+  FROM read_parquet('{src}/events.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
 
 alphabet = "abcdefghijklmnopqrstuvwxyz"
-perms = [alphabet[i:] + alphabet[:i] for i in range(10)]  # i=0 identity
+import random as _rnd
+_r = _rnd.Random(4242)
+def _perm(i):
+    if i == 0:
+        return alphabet  # identity replica
+    l = list(alphabet)
+    _r.shuffle(l)
+    return "".join(l)
+perms = [_perm(i) for i in range(REPS)]  # seeded, distinct at any REPS
 cases = " ".join(
     f"WHEN r.i = {i} THEN translate(text, '{alphabet}', '{p}')"
     for i, p in enumerate(perms))
@@ -55,7 +67,7 @@ COPY (
   SELECT doc_id + r.i * 100000000 AS doc_id,
          CASE {cases} END AS text,
          lang, source, n_chars
-  FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(0,10)) AS i) r
+  FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
 # embeddings x10: replica i applies the orthogonal map
@@ -72,18 +84,18 @@ def emb_expr(i: int) -> str:
     return "[" + ", ".join(terms) + "]"
 
 emb_cases = " ".join(
-    f"WHEN r.i = {i} THEN {emb_expr(i)}" for i in range(10))
+    f"WHEN r.i = {i} THEN {emb_expr(i)}" for i in range(REPS))
 con.execute(f"""
 COPY (
   SELECT vec_id + r.i * 10000000 AS vec_id,
          CASE {emb_cases} END AS embedding,
          label
-  FROM read_parquet('{src}/embeddings.parquet'), (SELECT unnest(range(0,10)) AS i) r
+  FROM read_parquet('{src}/embeddings.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
 # TPC-H x10 under disjoint key offsets; FKs rewritten consistently.
 C_OFF, S_OFF, P_OFF, O_OFF = 10_000_000, 1_000_000, 10_000_000, 100_000_000
-rep = "(SELECT unnest(range(0,10)) AS i) r"
+rep = f"(SELECT unnest(range(0,{REPS})) AS i) r"
 scaled = {
     "customer": f"SELECT c_custkey + r.i * {C_OFF} AS c_custkey, c_name, "
                 f"c_nationkey, c_acctbal, c_mktsegment "
