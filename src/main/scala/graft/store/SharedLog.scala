@@ -205,6 +205,14 @@ final class SharedLog(val spark: SparkSession,
     while (i < seqs.length && !recovered) {
       val s = seqs(i)
       readCommit(s) match {
+        case Some(m) if m.kind == "compact" && store.maxOffset() < m.maxOffset =>
+          // LAGGING reader meeting a compact: the commits between our
+          // head and the base may already be vacuumed — and vacuumed
+          // seqs simply vanish from the listing, so no missing-file
+          // error would ever fire. The base is the shared truth;
+          // rebuild from it. (A caught-up reader skips the manifest —
+          // it already holds every offset ≤ maxOffset.)
+          rebuild(); recovered = true
         case Some(m) =>
           try { applyCommit(m); lastSeen = s }
           catch {

@@ -173,6 +173,67 @@ class SharedProducersSpec extends SparkSpec {
     assert(a.allEvents.count() === 9L)
   }
 
+  test("property: random interleaved append/compact/vacuum/reopen schedules keep replicas identical") {
+    for (seed <- Seq(11, 47, 203)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-sharedlog-prop$seed").toString
+      var a = openLog(spark, dir, "A")
+      a.registerDeciderEvent("C", "E")
+      var b = openLog(spark.newSession(), dir, "B")
+      var nextId = 0
+      val streams = Seq("p0", "p1", "p2")
+      var accepted = 0
+
+      for (step <- 0 until 24) {
+        val (w, tag) = if (rnd.nextBoolean()) (a, "A") else (b, "B")
+        rnd.nextInt(10) match {
+          case n if n < 6 => // append to a random stream, chaining its observed head
+            w.resync()
+            val s0 = streams(rnd.nextInt(streams.size))
+            val head = w.getLastEvent(s0).map(_.event_id)
+            val id = s"$tag-$nextId"; nextId += 1
+            w.appendEvent(in(id, head, part = s0)) match {
+              case Right(_) => accepted += 1
+              case Left(_: AppendError.DuplicatePreviousId) => ()
+              case Left(_: AppendError.NullPreviousOnNonFirst) => ()
+              case Left(e) => fail(s"seed $seed step $step: unexpected $e")
+            }
+          case 6 | 7 => w.resync()
+          case 8 => w.compact()
+          case 9 =>
+            // vacuum after compact retires history under the OTHER
+            // writer; its next resync must recover by rebuild
+            w.compact(); w.vacuum()
+        }
+        // occasionally a writer "restarts": a fresh instance, same id,
+        // must reconstruct its state from the shared truth alone
+        if (rnd.nextInt(8) == 0) {
+          if (w eq a) a = openLog(spark, dir, "A")
+          else b = openLog(spark.newSession(), dir, "B")
+        }
+      }
+
+      a.resync(); b.resync()
+      val evA = a.allEvents.collect().sortBy(_.offset)
+      val evB = b.allEvents.collect().sortBy(_.offset)
+      assert(evA.map(e => (e.event_id, e.offset)).toSeq ===
+        evB.map(e => (e.event_id, e.offset)).toSeq,
+        s"seed $seed: replicas diverged")
+      assert(evA.length === accepted, s"seed $seed: lost or duplicated commits")
+      assert(evA.map(_.offset).toSeq === (1L to accepted.toLong),
+        s"seed $seed: offset gaps")
+      for (s0 <- streams) {
+        val chain = a.getEvents(s0, "C").collect().toSeq
+        if (chain.nonEmpty) {
+          assert(chain.head.previous_id.isEmpty, s"seed $seed $s0: broken root")
+          for (Seq(x, y) <- chain.sliding(2))
+            assert(y.previous_id.contains(x.event_id),
+              s"seed $seed $s0: chain broken at ${y.event_id}")
+        }
+      }
+    }
+  }
+
   test("end-to-end cross-process pipeline: SharedLog producers feed SharedJournal consumers") {
     // process P: producer appending through the shared commit log;
     // processes C1/C2: consumers on their own SparkSessions sharing one
