@@ -497,7 +497,7 @@ final class EventStore(val spark: SparkSession) {
         // after save() rebased `events` onto the disk files, a
         // vacuous tail filter would re-scan those same files without
         // the bucket pruning this path exists to provide
-        val disk = spark.read.parquet(eventsPath(dir))
+        val disk = readEventsDir(eventsPath(dir))
           .filter($"bucket" === pmod(hash(lit(deciderId)), lit(buckets)))
           .drop("bucket", "day")
         if (flushedOffset < headOffset)
@@ -529,7 +529,7 @@ final class EventStore(val spark: SparkSession) {
       .atZone(zone).toLocalDate.toString
     val base = diskLayout match {
       case Some((dir, _)) =>
-        val disk = spark.read.parquet(eventsPath(dir))
+        val disk = readEventsDir(eventsPath(dir))
           .filter($"day" >= fromDay)
           .drop("bucket", "day")
         // tail only when unflushed events exist (see streamSlice)
@@ -639,6 +639,19 @@ final class EventStore(val spark: SparkSession) {
   private def eventsPath(dir: String): String =
     EventStore.resolveEventsPath(dir, spark.sparkContext.hadoopConfiguration)
 
+  /** At-rest schema = row columns + the two partition columns. Every
+    * read of an event directory passes it EXPLICITLY: an EMPTY log's
+    * published version holds no files at all, and schema inference on
+    * it throws — save() of a fresh store, or a reader loading it,
+    * would crash (the lifecycle property caught this on its first
+    * step). With the schema supplied, empty reads are just empty.
+    */
+  private lazy val atRestSchema = org.apache.spark.sql.Encoders.product[EventRow]
+    .schema.add("bucket", "int").add("day", "string")
+
+  private def readEventsDir(path: String): DataFrame =
+    spark.read.schema(atRestSchema).parquet(path)
+
   /** Full snapshots publish MVCC-style: write a NEW `events_v<N>`
     * directory, then atomically flip the `_current` pointer — a reader
     * resolving the pointer never observes a half-written or absent
@@ -660,7 +673,7 @@ final class EventStore(val spark: SparkSession) {
     // plan may still lazily reference files of an OLDER version that
     // the next rewrite retires — exactly the compact() hazard, so the
     // same rebase (also truncates the union lineage for free)
-    events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
+    events = readEventsDir(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
     diskLayout = Some((dir, buckets))
     flushedOffset = headOffset
   }
@@ -717,7 +730,7 @@ final class EventStore(val spark: SparkSession) {
     val conf = spark.sparkContext.hadoopConfiguration
     val curPath = eventsPath(dir)
     val newVer = EventStore.nextVersionName(dir, conf)
-    spark.read.parquet(curPath)
+    readEventsDir(curPath)
       .repartition(col("bucket"), col("day"))
       .sortWithinPartitions($"bucket", $"day", $"decider_id", $"offset")
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
@@ -728,14 +741,14 @@ final class EventStore(val spark: SparkSession) {
     val tail = events.filter($"offset" > flushedOffset).localCheckpoint(true)
     fenceLogWriter()
     EventStore.publishVersion(dir, newVer, conf, retainDepth)
-    events = spark.read.parquet(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
+    events = readEventsDir(s"$dir/$newVer").drop("bucket", "day").as[EventRow]
       .union(tail)
   }
 
   def load(dir: String, buckets: Int = 32): Unit = commitLock.synchronized {
     sketchComplete = false // history not seen by the driver
     hotStreams.clear()
-    events = spark.read.parquet(eventsPath(dir)).drop("bucket", "day")
+    events = readEventsDir(eventsPath(dir)).drop("bucket", "day")
       .as[EventRow]
     diskLayout = Some((dir, buckets))
     decidersMap.clear()
