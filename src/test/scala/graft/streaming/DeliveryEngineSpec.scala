@@ -128,6 +128,86 @@ class DeliveryEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: random event/ack/nack schedules stay ordered, leased, at-least-once") {
+    for (seed <- Seq(3, 91, 445)) {
+      val rnd = new scala.util.Random(seed)
+      val lockS = 30L
+      var st = LockState(0, 0, Nil, offsetFinal = false)
+      var t = T
+      var appended = 0L
+      var acked = 0L
+      var lastDelivery: Option[(Long, Long)] = None // (offset, leaseUntilMs)
+      var releasedSince = true // ack/nack freed the lease since the last delivery
+      val deliveredOffsets = scala.collection.mutable.Set.empty[Long]
+
+      def run(inputs: Seq[DeliveryInput]): Unit = {
+        val (st1, out) = transition("v", lockS)("p", inputs.iterator, st)
+        st = st1
+        assert(out.size <= 1, s"seed $seed: >1 delivery in one batch for one key")
+        out.foreach { d =>
+          // ordered: always the smallest un-acked offset (acks are
+          // contiguous by construction below)
+          assert(d.offset === acked + 1,
+            s"seed $seed: delivered ${d.offset}, expected head ${acked + 1}")
+          // leased: a second delivery needs expiry or an explicit release
+          lastDelivery.foreach { case (_, until) =>
+            assert(releasedSince || t > until,
+              s"seed $seed: delivery at $t inside a live lease (until $until)")
+          }
+          lastDelivery = Some((d.offset, t + lockS * 1000))
+          releasedSince = false
+          deliveredOffsets += d.offset
+        }
+      }
+
+      for (_ <- 0 until 60) {
+        t += 1000L + rnd.nextInt(20000)
+        val inputs = scala.collection.mutable.Buffer.empty[DeliveryInput]
+        if (rnd.nextInt(3) == 0) { // new chained event
+          appended += 1
+          inputs += event(ev(s"x$appended", "p", appended, t))
+        }
+        if (lastDelivery.exists(_._1 == acked + 1) && rnd.nextInt(3) == 0) {
+          rnd.nextInt(3) match {
+            case 0 => inputs += ack("p", new Timestamp(t), acked + 1)
+              acked += 1; releasedSince = true
+            case 1 => inputs += nack("p", new Timestamp(t)); releasedSince = true
+            case _ => inputs += scheduleNack("p", new Timestamp(t), 2000L)
+              // delayed redelivery: treat as released once its delay passes;
+              // conservatively mark released (the lease check uses OR-expiry)
+              releasedSince = true
+          }
+        }
+        if (inputs.isEmpty) inputs += nack("p", new Timestamp(t)) // time carrier
+        // control messages apply BEFORE the batch-end delivery decision,
+        // so any ack/nack/scheduled-nack in this batch frees the lease
+        // for the very delivery this run may emit
+        if (inputs.exists(i => i.ack.isDefined || i.nack || i.nackDelayMs.isDefined))
+          releasedSince = true
+        run(inputs.toSeq)
+      }
+
+      // drain: keep acking + advancing until everything is delivered
+      var guard = 0
+      while (acked < appended && guard < 10000) {
+        guard += 1
+        t += lockS * 1000 + 1000
+        run(Seq(nack("p", new Timestamp(t))))
+        lastDelivery.filter(_._1 == acked + 1).foreach { _ =>
+          t += 1000
+          // the ack applies before the batch-end delivery decision, so
+          // this run may deliver the NEXT head — advance the model first
+          acked += 1; releasedSince = true
+          run(Seq(ack("p", new Timestamp(t), acked)))
+        }
+      }
+      assert(acked === appended, s"seed $seed: drain stalled at $acked/$appended")
+      // at-least-once totality: every appended offset was delivered
+      assert(deliveredOffsets === (1L to appended).toSet,
+        s"seed $seed: missing deliveries ${(1L to appended).toSet -- deliveredOffsets}")
+    }
+  }
+
   test("push sink envelope matches the reference payload shape") {
     import spark.implicits._
     val d = Seq(Delivered("v", "p1", 7, "e7", """{"x":1}""", redelivery = false)).toDS()
