@@ -104,6 +104,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(agreed >= 35, s"only $agreed oracles ran via spark.sql — sweep degraded")
   }
 
+  test("registry consistency: oracles key real queries; only the documented few lack oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphans = o -- q
+    assert(orphans.isEmpty, s"oracles without a query (typo guard): $orphans")
+    // rows-only entries must stay a deliberate, documented set — a new
+    // operator landing without an oracle should fail here first
+    val rowsOnly = q -- o
+    assert(rowsOnly === Set("emb_ann_lsh_auto", "emb_ann_ivf_auto"),
+      s"undocumented rows-only queries: ${rowsOnly -- Set("emb_ann_lsh_auto", "emb_ann_ivf_auto")}")
+  }
+
   test("custom Catalyst functions are callable from SQL") {
     Tables.registerSqlViews(spark, sf)
     val sims = spark.sql(
