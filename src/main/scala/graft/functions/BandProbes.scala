@@ -83,7 +83,8 @@ object BandProbes {
     * subset order. Non-positive bits/nProbes yield an empty array; the
     * probe width clamps to `min(ProbeWidth, bits)` and nProbes to the
     * subset count. The engine's own ANN path (EmbeddingQueries) passes
-    * bits=16, nProbes≤16 — untouched by the clamp, so the DuckDB
+    * bits=10 (the corpus-sized auto scales it up to 24) and
+    * nProbes≤16 = 2^ProbeWidth — untouched by the clamp, so the DuckDB
     * oracle replay is unaffected.
     */
   def compute(vec: ArrayData, planes: ArrayData, bits: Int, nProbes: Int): ArrayData = {

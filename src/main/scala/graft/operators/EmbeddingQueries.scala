@@ -185,12 +185,18 @@ object EmbeddingQueries {
   private[operators] def annLshCandidates(s: SparkSession, e: DataFrame,
                                           nBands: Int = AnnLshBands,
                                           bits: Int = AnnLshBits,
-                                          nProbes: Int = AnnLshProbes): DataFrame = {
+                                          nProbes: Int = AnnLshProbes,
+                                          queries: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(s)
     val signed = e.select(col("vec_id").as("cid"),
       posexplode(call_function("band_sigs", col("embedding"),
         typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
-    val probes = e.select(col("vec_id").as("qid"),
+    // The query side defaults to the corpus itself (the registry's
+    // self-join ANN); a separate query table is the search-API shape —
+    // and because every qid's candidates depend only on ITS probes,
+    // restricting queries gives exactly the full run's per-query
+    // results (AnnRecallSpec uses this to measure 10× recall cheaply).
+    val probes = queries.getOrElse(e).select(col("vec_id").as("qid"),
         posexplode(call_function("band_probes", col("embedding"),
           typedlit(planes(nBands * bits)), lit(bits), lit(nProbes)))
           .as(Seq("idx", "sig")))
@@ -230,6 +236,65 @@ object EmbeddingQueries {
     */
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCells, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** The auto twins' RECALL budget, not just their hash width (the
+    * round-8 lesson, BASELINE.md sf-scaling rows: auto bits alone kept
+    * the wall sub-quadratic but recall@1 eroded 0.656 → 0.271 at 10×
+    * because the probe budget stayed at the oracle constants). All
+    * three formulas floor at the oracle point — n ≤ 2048 covers
+    * sf0.01 (500 vectors, the driver's correctness gate) and sf0.1
+    * (2 000, the bench) — so the pinned-constant DuckDB replay
+    * oracles verify the auto entries verbatim there
+    * (AnnAutoSizeSpec asserts the coincidence).
+    *
+    * Bands double per decade past the floor (capped at 64): with bits
+    * holding bucket occupancy ~2, recall is bought by bands × probes.
+    * The measured 10× point (32 bands × 16 probes at bits 14)
+    * restores recall 0.630 @ candidate fraction 0.046.
+    */
+  def annLshBandsFor(n: Long): Int =
+    if (n <= 2048) AnnLshBands
+    else math.min(64,
+      AnnLshBands * (1 << math.ceil(math.log10(n / 2048.0)).toInt))
+
+  /** Probes step to the kernel's perturbation-set ceiling (2^ProbeW =
+    * 16) past the oracle floor — the cheapest recall knob: no extra
+    * signature columns, only more bucket lookups per band.
+    */
+  def annLshProbesFor(n: Long): Int =
+    if (n <= 2048) AnnLshProbes else 1 << ProbeW
+
+  /** IVF probe budget ~1.5·√cells past the oracle floor: total
+    * re-rank work is n·(nProbe/cells)·n ≈ n^1.75 — sub-quadratic —
+    * while the probed cell fraction decays only as n^-0.25, so recall
+    * degrades gracefully instead of collapsing with the
+    * fixed-constant fraction nProbe/cells ~ 1/√n. The 1.5 coefficient
+    * is the measured 10× operating point: nProbe 18 of 142 cells →
+    * recall@1 0.590 @ candidate fraction 0.128 (√cells alone = 12 →
+    * 0.468; the corpus is ANN-adversarial near-uniform vectors, so
+    * these are floor-case numbers — clustered corpora do better at
+    * the same budget, and the LSH auto is the cheaper scale path
+    * here: 0.594 recall @ 0.046 fraction).
+    */
+  def ivfProbesFor(n: Long): Int =
+    if (n <= 2048) IvfProbes
+    else math.min(64, math.ceil(1.5 * math.sqrt(ivfCellsFor(n).toDouble)).toInt)
+
+  /** Quantizer sample sized to the cell count (≥32 points per cell,
+    * within [IvfSampleN, 8192]) — shared by the auto entry and
+    * AnnAutoSizeSpec so the oracle's LIMIT matches by construction.
+    */
+  def ivfSampleFor(cells: Int): Int =
+    math.min(8192, math.max(IvfSampleN, 32 * cells))
+
+  /** The driver's correctness gate runs Verify at sf0.01 — 500
+    * embedding rows (TESTDATA.md). The auto twins' oracle SQL below
+    * replays the construction at exactly the constants the formulas
+    * return for that n; AnnAutoSizeSpec pins both the count and the
+    * formula values so a testdata regeneration can't silently
+    * invalidate the replay.
+    */
+  private[operators] val OracleScaleN = 500L
 
   /** Full DuckDB replay of the multi-probe banded-LSH ANN pipeline.
     * The plane matrix goes in as string→FLOAT literals (Java
@@ -409,7 +474,15 @@ object EmbeddingQueries {
     val bits = math.max(12,
       math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 1)
     val p = 1.0 - math.acos(threshold) / math.Pi
-    val bands = math.max(48, math.ceil(math.log(1e6) / math.pow(p, bits)).toInt)
+    // Cap at 4096 bands: for low thresholds p^bits underflows toward 0
+    // and the uncapped ceil (toInt of +Infinity = Int.MaxValue) would
+    // request a plane literal that OOMs the driver. Below the cap the
+    // escape bound (1-p^bits)^bands ≤ 1e-6 no longer holds for small
+    // p — banding recall is exhaustive only for the high thresholds
+    // (≥ ~0.9) near-dup detection actually uses; a sub-0.9 threshold
+    // degrades to best-effort candidates, never to a crash.
+    val bands = math.min(4096,
+      math.max(48, math.ceil(math.log(1e6) / math.pow(p, bits)).toInt))
     nearDupLsh(s, emb, threshold, nBands = bands, bitsPerBand = bits)
   }
 
@@ -600,18 +673,23 @@ object EmbeddingQueries {
       (s, d) => annLshTop1(s, Tables.embeddings(s, d)),
       Some(annLshOracleSql(AnnLshBands, AnnLshBits, AnnLshProbes))),
 
-    // Corpus-sized twin (see annLshBitsFor): same construction, hash
-    // width derived from the table size so candidate volume stays
-    // linear in n. No SQL oracle — the parameters are data-dependent,
-    // so the driver records the rows-only check; at the oracle scale
-    // the formula returns the pinned constants and the twins coincide
-    // (AnnAutoSizeSpec asserts both facts).
+    // Corpus-sized twin: hash width AND recall budget derived from the
+    // table size (annLshBitsFor / annLshBandsFor / annLshProbesFor) so
+    // candidate volume stays ~linear in n while recall holds. The
+    // oracle is the pinned twin's replay SQL VERBATIM: at the driver's
+    // oracle scale (sf0.01, n = 500) every formula sits on its floor
+    // and returns the pinned constant, so the constructions coincide
+    // bit-for-bit (AnnAutoSizeSpec asserts the coincidence and the
+    // count; AnnRecallSpec pins the scaled budget's recall on the 10×
+    // slice).
     Q("emb_ann_lsh_auto",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        annLshTop1(s, e, bits = annLshBitsFor(e.count()))
+        val n = e.count()
+        annLshTop1(s, e, nBands = annLshBandsFor(n),
+          bits = annLshBitsFor(n), nProbes = annLshProbesFor(n))
       },
-      None),
+      Some(annLshOracleSql(AnnLshBands, AnnLshBits, AnnLshProbes))),
 
     // ----------------------------------------------------------------
     // IVF-bucketed ANN (the second scale path; Spark-only): MLlib
@@ -625,17 +703,24 @@ object EmbeddingQueries {
       (s, d) => annIvfTop1(s, Tables.embeddings(s, d)),
       Some(annIvfOracleSql(IvfCells, IvfIters, IvfProbes))),
 
-    // Corpus-sized twin (see ivfCellsFor): cells ~√n keeps assign and
-    // re-rank balanced; rows-only driver check for the same reason as
-    // emb_ann_lsh_auto.
+    // Corpus-sized twin (see ivfCellsFor / ivfProbesFor): cells ~√n
+    // keeps assign and re-rank balanced; nProbe ~√cells keeps the
+    // re-rank sub-quadratic (n^1.75) with gracefully-decaying cell
+    // coverage. Unlike the LSH auto, the cells formula is already off
+    // its floor at the oracle scale (ivfCellsFor(500) = 23 ≠ 16), so
+    // the oracle replays the construction at the AUTO's own constants
+    // — same generator, evaluated at the formulas' sf0.01 values
+    // (nProbe and sampleN do sit on their floors there;
+    // AnnAutoSizeSpec pins all four).
     Q("emb_ann_ivf_auto",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cells = ivfCellsFor(e.count())
-        annIvfTop1(s, e, cells = cells,
-          sampleN = math.min(8192, math.max(IvfSampleN, 32 * cells)))
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        annIvfTop1(s, e, cells = cells, nProbes = ivfProbesFor(n),
+          sampleN = ivfSampleFor(cells))
       },
-      None)
+      Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes)))
   )
 
   /** The emb_ann_lsh pipeline body, parameterized (the registry entry
@@ -645,16 +730,23 @@ object EmbeddingQueries {
   def annLshTop1(s: SparkSession, emb: DataFrame,
                  nBands: Int = AnnLshBands,
                  bits: Int = AnnLshBits,
-                 nProbes: Int = AnnLshProbes): DataFrame = {
+                 nProbes: Int = AnnLshProbes,
+                 queries: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(emb)
     // candidate generation (bands, query-aware probes, budget
     // rationale): see annLshCandidates
-    val candidates = annLshCandidates(s, e, nBands, bits, nProbes)
-    val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val candidates = annLshCandidates(s, e, nBands, bits, nProbes, queries)
+    val va = queries.getOrElse(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     candidates.join(va, "qid").join(vb, "cid")
       .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+      // explicit narrow projection BEFORE the window: the rank shuffle
+      // must carry (qid, cid, sim), never the two vectors — belt and
+      // braces against a pruning regression (at corpus scale the wide
+      // form shuffles ~0.5 kB × candidate pairs)
+      .select(col("qid"), col("cid"), col("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("qid"), col("cid"), col("sim"))
@@ -669,7 +761,32 @@ object EmbeddingQueries {
                  cells: Int = IvfCells,
                  iters: Int = IvfIters,
                  nProbes: Int = IvfProbes,
-                 sampleN: Int = IvfSampleN): DataFrame = {
+                 sampleN: Int = IvfSampleN,
+                 queries: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
+      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+      // narrow projection before the rank shuffle (see annLshTop1)
+      .select(col("qid"), col("cid"), col("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"), col("sim"))
+      .orderBy("qid")
+  }
+
+  /** The IVF candidate stage (everything before the exact-cosine
+    * re-rank), exposed — like [[annLshCandidates]] — so AnnRecallSpec
+    * can pin the probe BUDGET (candidate fraction) alongside recall.
+    * Emits one (qid, cid) row per probed pair with both vectors
+    * attached; (qid, cid) is unique by construction (one home cell
+    * per cid, distinct probed cells per qid).
+    */
+  private[operators] def annIvfCandidates(s: SparkSession, e: DataFrame,
+                                          cells: Int = IvfCells,
+                                          iters: Int = IvfIters,
+                                          nProbes: Int = IvfProbes,
+                                          sampleN: Int = IvfSampleN,
+                                          queries: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(s)
     // Coarse quantizer: deterministic driver-side Lloyd's on a
     // BOUNDED sample — a k-cell quantizer is cells×64 floats, a
@@ -695,15 +812,13 @@ object EmbeddingQueries {
     val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
         .as("cell"))
-    val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    // query side defaults to the corpus (self-join ANN); a separate
+    // query table is the search-API shape — per-query independence
+    // makes a restricted run equal the full run on those queries
+    val probes = queries.getOrElse(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
           .as("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("qid"), col("cid"), col("sim"))
-      .orderBy("qid")
   }
 }

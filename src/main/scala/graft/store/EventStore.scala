@@ -795,12 +795,30 @@ object EventStore {
   private def readPointer(dir: String, conf: Configuration): Option[String] = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val p = new HPath(s"$dir/$PointerFile")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        try return Some(
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      } catch {
+        // Transient by construction: the pointer flip renames the data
+        // file and (on ChecksumFileSystem, i.e. local FS) its .crc
+        // sidecar in two non-atomic steps, so a concurrent reader can
+        // catch the window where they mismatch (ChecksumException) or
+        // the file is mid-replace (FileNotFoundException after the
+        // exists check). The flip completes in microseconds — retry
+        // briefly; a PERSISTENT error is real and rethrows.
+        case e @ (_: org.apache.hadoop.fs.ChecksumException
+                  | _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt > 50) throw e
+          Thread.sleep(2)
+      }
     }
+    None // unreachable
   }
 
   /** Next version to write: one past the max of the pointer's version

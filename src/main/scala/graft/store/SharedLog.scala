@@ -111,19 +111,36 @@ final class SharedLog(val spark: SparkSession,
 
   /** Batch append with the full reference validation semantics,
     * serialized against every other PROCESS's appends (see class doc).
+    *
+    * The store's onCommit fanout is DEFERRED until the manifest
+    * publish succeeds: the local commit only becomes shared truth at
+    * publish, and if publish loses the race (mutex TTL expired
+    * mid-commit) [[rebuild]] discards the batch — but a fanout that
+    * already fired cannot be unfired, so a concurrent drain thread in
+    * this process could lease phantom events at offsets a rival's
+    * different events later occupy (a lost-delivery path). Suppressing
+    * the hook across validate+commit and firing it post-publish makes
+    * fanout-order equal commit-sequence order.
     */
   def append(batch: Seq[EventInput]): AppendResult =
     mutex.withLock(synchronized {
       resyncLocked()
-      val res = store.append(batch)
+      val hook = store.onCommit
+      store.onCommit = _ => ()
+      val res =
+        try store.append(batch)
+        finally store.onCommit = hook
       if (res.accepted.nonEmpty) {
         val seq = lastSeen + 1
         val file = f"data/$writerId-$seq%020d.parquet"
         res.accepted.toDS().coalesce(1)
           .write.mode("overwrite").parquet(new Path(dir, file).toString)
+        // throws after rebuild() on a lost race — the fanout below
+        // then never fires for the discarded batch
         publish(seq, LogCommit(kind = "events", writer = writerId, file = file,
           minOffset = res.accepted.head.offset, maxOffset = res.accepted.last.offset,
           count = res.accepted.size.toLong))
+        hook(res.accepted)
       }
       res
     })
@@ -217,8 +234,13 @@ final class SharedLog(val spark: SparkSession,
           try { applyCommit(m); lastSeen = s }
           catch {
             // data file vacuumed beneath a lagging reader: the
-            // documented recovery is a rebuild from the compacted base
-            case _: org.apache.spark.sql.AnalysisException =>
+            // documented recovery is a rebuild from the compacted base.
+            // NonFatal, not just AnalysisException — a file deleted
+            // between plan resolution and execution surfaces as
+            // SparkException / FileNotFoundException instead. A
+            // genuine bug rethrows from rebuild's own unguarded
+            // applyCommit, so this cannot mask one silently.
+            case scala.util.control.NonFatal(_) =>
               rebuild(); recovered = true
           }
         case None =>
@@ -252,7 +274,13 @@ final class SharedLog(val spark: SparkSession,
     * (events + registry snapshot), then every later commit in order.
     */
   private def rebuild(): Unit = {
+    // carry the fanout wiring over to the replacement store — a
+    // rebuild beneath a wired delivery layer must keep firing for
+    // commits folded after it (the refold of already-seen history is
+    // at-least-once noise; the M1 head upsert is idempotent)
+    val hook = if (store != null) store.onCommit else null
     store = new EventStore(spark)
+    if (hook != null) store.onCommit = hook
     store.now = () => now()
     lastSeen = 0L
     val seqs = commitSeqs()

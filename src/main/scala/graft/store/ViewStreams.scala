@@ -393,11 +393,28 @@ final class ViewStreams(val store: EventStore) {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[EventRow], _: Long) =>
-        // fold only the unseen tail: the file source replays existing
-        // files on a fresh start, and the local replica may have been
-        // seeded by load()
+        // Fold only unseen rows. One narrow agg (pruned to `offset`)
+        // picks the path: a batch strictly above the local head is the
+        // normal in-order tail — fold as-is, the watermark is exact.
+        // A batch reaching AT or below the head is a fresh-start file
+        // replay or an out-of-order file discovery (the file source
+        // orders by modification time; cross-writer ties break by
+        // PATH, which sorts writer-first, not seq-first) — there the
+        // watermark would silently drop lower-offset events that the
+        // replica never held (a lost-delivery gap), so dedupe by
+        // MEMBERSHIP instead: anti-join on the offsets already held.
         val head = store.maxOffset()
-        store.commitBulk(batch.filter(_.offset > head))
+        val mm = batch.groupBy().agg(min(col("offset")), count(lit(1))).collect()(0)
+        if (mm.getLong(1) > 0L) {
+          if (mm.getLong(0) > head) { store.commitBulk(batch); () }
+          else {
+            val have = store.allEvents.toDF().select(col("offset").as("have_offset"))
+            store.commitBulk(batch.toDF()
+              .join(have, col("offset") === col("have_offset"), "left_anti")
+              .as[EventRow])
+            ()
+          }
+        }
         val got = streamEvents(view, limit, seconds)
         if (got.nonEmpty) sink(got)
       }

@@ -181,22 +181,51 @@ object PushSink {
     }
   }
 
+  /** Per-JVM live senders, keyed by query name with a start-time
+    * version (newest wins). Executor-side tasks route through this
+    * registry so all partitions of all micro-batches in one JVM share
+    * ONE sender — the connection-pool idiom: an [[AsyncSender]] keeps
+    * one queue + worker per executor (pg_net's model distributed),
+    * instead of a throwaway copy per task whose in-flight payloads
+    * would vanish with the task. On the driver JVM (and therefore in
+    * local mode) the registered instance IS the caller's, so
+    * `flush`/`dropped`/`close` — and test-injected recorder closures —
+    * observe the real delivery state.
+    */
+  private val jvmSenders =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (String, String) => Unit)]()
+
   /** Attach a push sink to a delivered-events stream. `send` defaults
     * to [[HttpSender]] (tests inject a recorder); batches are
     * converted to payload strings first so the sender sees only
     * (url, body).
+    *
+    * Delivery is EXECUTOR-side (`foreachPartition`): rows never fan in
+    * through the driver — the send happens where the partition lives,
+    * matching pg_net's async model at scale. A task failure fails the
+    * micro-batch; its events stay un-acked and redeliver (the same
+    * at-least-once contract the synchronous form had).
     */
   def start(name: String,
             delivered: Dataset[DeliveryEngine.Delivered],
             url: String,
             poolingDelayS: Long,
             send: (String, String) => Unit = HttpSender): StreamingQuery = {
+    val version = System.nanoTime()
+    jvmSenders.put(name, (version, send))
+    val sendCopy = send // serialized into the task closure for remote executors
     envelope(delivered).writeStream
       .queryName(name)
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(poolingDelayS * 1000L))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select("body").collect().foreach(r => send(url, r.getString(0)))
+        batch.select("body").foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          // newest-version registry hit; a remote executor seeds its
+          // JVM's slot from the serialized copy on first touch
+          val s = jvmSenders.compute(name, (_, cur) =>
+            if (cur != null && cur._1 >= version) cur else (version, sendCopy))._2
+          rows.foreach(r => s(url, r.getString(0)))
+        }
       }
       .start()
   }

@@ -110,10 +110,12 @@ class SqlSurfaceSpec extends SparkSpec {
     val orphans = o -- q
     assert(orphans.isEmpty, s"oracles without a query (typo guard): $orphans")
     // rows-only entries must stay a deliberate, documented set — a new
-    // operator landing without an oracle should fail here first
+    // operator landing without an oracle should fail here first.
+    // Round 9 closed the last two (the ANN autos carry the replay SQL
+    // generated at the formulas' oracle-scale constants), so the set
+    // is empty: EVERY registry entry is hash-verified.
     val rowsOnly = q -- o
-    assert(rowsOnly === Set("emb_ann_lsh_auto", "emb_ann_ivf_auto"),
-      s"undocumented rows-only queries: ${rowsOnly -- Set("emb_ann_lsh_auto", "emb_ann_ivf_auto")}")
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: $rowsOnly")
   }
 
   test("custom Catalyst functions are callable from SQL") {

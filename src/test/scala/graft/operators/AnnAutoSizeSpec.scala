@@ -13,7 +13,7 @@ class AnnAutoSizeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("sizing formulas: pinned at the oracle point, logarithmic/sqrt growth beyond") {
-    // the sf0.1 corpus (2 000 vectors) IS the oracle point
+    // sf0.01 (500) and sf0.1 (2 000) both sit on the bits floor
     assert(EmbeddingQueries.annLshBitsFor(2000) === 10)
     // 10× data: +3-4 bits keeps bucket occupancy ~2
     assert(EmbeddingQueries.annLshBitsFor(20000) === 14)
@@ -25,6 +25,43 @@ class AnnAutoSizeSpec extends SparkSpec {
     assert(EmbeddingQueries.ivfCellsFor(200) === 16) // floor = oracle point
     assert(EmbeddingQueries.ivfCellsFor(20000) === 142) // ~sqrt(n)
     assert(EmbeddingQueries.ivfCellsFor(100000000L) === 4096) // cap
+  }
+
+  test("recall-budget formulas: pinned at the oracle point, bands×2/decade, probes to the kernel ceiling") {
+    // floors cover both oracle (500) and bench (2 000) scales
+    assert(EmbeddingQueries.annLshBandsFor(500) === 16)
+    assert(EmbeddingQueries.annLshBandsFor(2048) === 16)
+    assert(EmbeddingQueries.annLshProbesFor(2048) === 9)
+    assert(EmbeddingQueries.ivfProbesFor(2048) === 3)
+    // the measured 10× point: 32 bands × 16 probes (BASELINE.md r8 row)
+    assert(EmbeddingQueries.annLshBandsFor(20000) === 32)
+    assert(EmbeddingQueries.annLshProbesFor(20000) === 16)
+    // 100×: bands cap at 64, probes stay at the 2^ProbeWidth ceiling
+    assert(EmbeddingQueries.annLshBandsFor(200000) === 64)
+    assert(EmbeddingQueries.annLshBandsFor(1000000000L) === 64)
+    // IVF probes ~1.5√cells (the measured 10× operating point:
+    // recall 0.590 at nProbe 18): 1.5√142 → 18, 1.5√448 → 32, cap 64
+    assert(EmbeddingQueries.ivfProbesFor(20000) === 18)
+    assert(EmbeddingQueries.ivfProbesFor(200000) === 32)
+    assert(EmbeddingQueries.ivfProbesFor(1000000000L) === 64)
+  }
+
+  test("oracle-scale constants: the auto twins' replay SQL is generated at the formulas' sf0.01 values") {
+    // the driver's Verify runs at sf0.01 — if testdata regeneration
+    // ever changes this count, the hard-coded OracleScaleN (and the
+    // IVF auto's oracle constants with it) must be re-derived
+    val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    assert(n === EmbeddingQueries.OracleScaleN)
+    // LSH auto: every formula on its floor → pinned replay SQL verbatim
+    assert(EmbeddingQueries.annLshBitsFor(n) === 10)
+    assert(EmbeddingQueries.annLshBandsFor(n) === 16)
+    assert(EmbeddingQueries.annLshProbesFor(n) === 9)
+    // IVF auto: cells OFF its floor (23) — oracle generated at 23;
+    // nProbe and sampleN on their floors (3, 4096 = IvfSampleN, the
+    // generator's hard-coded LIMIT)
+    assert(EmbeddingQueries.ivfCellsFor(n) === 23)
+    assert(EmbeddingQueries.ivfProbesFor(n) === 3)
+    assert(EmbeddingQueries.ivfSampleFor(23) === 4096)
   }
 
   test("near-dup auto banding equals the exact form on a planted corpus") {

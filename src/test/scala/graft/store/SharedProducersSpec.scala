@@ -234,6 +234,117 @@ class SharedProducersSpec extends SparkSpec {
     }
   }
 
+  test("lost publish race: the commit fanout must NOT fire for a batch the rebuild discards") {
+    // The ADVICE-flagged lost-delivery path: A's mutex TTL expires
+    // mid-commit, rival B publishes A's seq first, A's publish hits the
+    // create-exclusive wall and rebuild() discards A's batch. If the
+    // onCommit fanout had already fired (pre-round-9 behavior: inside
+    // store.append, BEFORE publish), a drain thread could lease phantom
+    // events at offsets B's different events now occupy. The fanout
+    // must fire only after publish succeeds.
+    val dir = Files.createTempDirectory("graft-sharedlog-phantom").toString
+    val t0 = 1700000000000L
+    var nowMs = t0
+    val a = openLog(spark, dir, "A", ttlMs = 5000L)
+    a.now = () => new Timestamp(nowMs)
+    a.registerDeciderEvent("C", "E")
+    assert(a.appendEvent(in("e0", None)).isRight)
+
+    val b = openLog(spark.newSession(), dir, "B", ttlMs = 5000L)
+    b.now = () => new Timestamp(nowMs)
+
+    val fanout = scala.collection.mutable.ArrayBuffer.empty[String]
+    a.eventStore.onCommit = rows => fanout ++= rows.map(_.event_id)
+
+    // Deterministic mid-commit theft, driven through A's injectable
+    // clock: armed call #1 is mutex.acquire (A claims at t0 expiring
+    // t0+5000); call #2 is store.append's created_at — there, expire
+    // A's claim and let B race the same head e0 to a published commit.
+    var armedCalls = 0
+    a.now = () => {
+      armedCalls += 1
+      if (armedCalls == 2) {
+        nowMs += 5001L // A's claim is now expired
+        assert(b.appendEvent(in("b1", Some("e0"))).isRight,
+          "rival B must win the stolen-mutex commit")
+      }
+      new Timestamp(nowMs)
+    }
+
+    intercept[ControlJournal.OwnershipHeldException] {
+      a.appendEvent(in("a1", Some("e0")))
+    }
+    assert(!fanout.contains("a1"),
+      s"fanout fired for the discarded batch (phantom delivery): $fanout")
+    // A rebuilt from the shared truth: B's event is the chain, A's is
+    // gone, and the carried-over hook saw b1 through the refold
+    val chain = a.getEvents("p1", "C").collect().map(_.event_id).toSeq
+    assert(chain === Seq("e0", "b1"), s"A's replica after lost race: $chain")
+    assert(fanout.contains("b1"),
+      "the carried-over hook must keep firing for commits folded after rebuild")
+    // and A can keep appending (fresh chain head observed)
+    assert(a.appendEvent(in("a2", Some("b1"))).isRight)
+    assert(fanout.contains("a2"), "post-publish fanout must fire for won commits")
+  }
+
+  test("property: two writers + one lagging reader under compact/vacuum — no phantom, no lost commit") {
+    // The r8 single-lifecycle property caught a real lost-commit bug;
+    // this interleaves the exact class it hit (a reader lagging across
+    // a vacuumed compact) with TWO live writers: every snapshot the
+    // reader ever observes must be a subset of the final shared truth
+    // (no phantoms), and its final resync must converge to it exactly
+    // (no losses).
+    for (seed <- Seq(19, 101, 787)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-sharedlog-lag$seed").toString
+      val a = openLog(spark, dir, "A")
+      a.registerDeciderEvent("C", "E")
+      val b = openLog(spark.newSession(), dir, "B")
+      var r = openLog(spark.newSession(), dir, "R") // reader: never appends
+      val streams = Seq("p0", "p1")
+      var nextId = 0
+      var accepted = 0
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long)]]
+
+      for (step <- 0 until 24) {
+        val (w, tag) = if (rnd.nextBoolean()) (a, "A") else (b, "B")
+        rnd.nextInt(10) match {
+          case n if n < 5 =>
+            w.resync()
+            val s0 = streams(rnd.nextInt(streams.size))
+            val head = w.getLastEvent(s0).map(_.event_id)
+            val id = s"$tag-$nextId"; nextId += 1
+            w.appendEvent(in(id, head, part = s0)) match {
+              case Right(_) => accepted += 1
+              case Left(_: AppendError.DuplicatePreviousId) => ()
+              case Left(_: AppendError.NullPreviousOnNonFirst) => ()
+              case Left(e) => fail(s"seed $seed step $step: unexpected $e")
+            }
+          case 5 | 6 => w.compact()
+          case 7 => w.compact(); w.vacuum()
+          case 8 =>
+            // the reader resyncs only here — it LAGS, and when a vacuum
+            // passed its position this resync takes the rebuild path
+            r.resync()
+            snapshots += r.allEvents.collect().map(e => (e.event_id, e.offset)).toSet
+          case 9 =>
+            // reader restart: reconstructs from the shared truth alone
+            r = openLog(spark.newSession(), dir, "R")
+            snapshots += r.allEvents.collect().map(e => (e.event_id, e.offset)).toSet
+        }
+      }
+
+      a.resync(); r.resync()
+      val truth = a.allEvents.collect().map(e => (e.event_id, e.offset)).toSet
+      assert(truth.size === accepted, s"seed $seed: lost or duplicated commits")
+      for ((snap, i) <- snapshots.zipWithIndex)
+        assert(snap.subsetOf(truth),
+          s"seed $seed snapshot $i: reader observed phantom rows ${snap -- truth}")
+      val got = r.allEvents.collect().map(e => (e.event_id, e.offset)).toSet
+      assert(got === truth, s"seed $seed: lagging reader diverged after final resync")
+    }
+  }
+
   test("end-to-end cross-process pipeline: SharedLog producers feed SharedJournal consumers") {
     // process P: producer appending through the shared commit log;
     // processes C1/C2: consumers on their own SparkSessions sharing one

@@ -215,6 +215,28 @@ class DeliveryEngineSpec extends SparkSpec {
     assert(body === """{"view":"v","decider_id":"p1","offset":7,"data":"{\"x\":1}"}""")
   }
 
+  test("push delivery runs EXECUTOR-side (no driver fan-in); every partition's payload arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val source = MemoryStream[DeliveryInput]
+    val delivered = DeliveryEngine.run("pushexec", 300, source.toDS())
+    val q = PushSink.start("push_exec_q", delivered, "http://localhost:0/fn", 1,
+      (_, body) => { sent.add((Thread.currentThread().getName, body)); () })
+    try {
+      source.addData((1 to 6).map(i => event(ev(s"e$i", s"p$i", 1, T))): _*)
+      val deadline = System.currentTimeMillis() + 30000
+      while (sent.size < 6 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      import scala.jdk.CollectionConverters._
+      val got = sent.asScala.toSeq
+      assert(got.map(_._2).toSet.size === 6, s"missing payloads: ${got.map(_._2)}")
+      // the send ran inside Spark tasks (foreachPartition), not on the
+      // streaming micro-batch thread — the driver never collects rows
+      assert(got.forall(_._1.contains("Executor task launch worker")),
+        s"sends not executor-side: ${got.map(_._1).distinct}")
+    } finally q.stop()
+  }
+
   test("scheduler replaces and unschedules named view queries (M10)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

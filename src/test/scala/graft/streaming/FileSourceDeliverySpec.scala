@@ -40,6 +40,49 @@ class FileSourceDeliverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order file arrival: lower-offset events surfacing in a later batch still fold and deliver") {
+    // The file source orders by modification time (cross-writer ties
+    // break by path, writer-first), so a lower-offset file CAN surface
+    // after a higher-offset one crossed a micro-batch boundary. The
+    // old max-offset watermark silently dropped those rows — a
+    // permanent delivery gap; the membership fold must deliver them.
+    import graft.store.ViewStreams
+    val t0 = 1700000000000L
+    val stP = new EventStore(spark)
+    stP.now = () => new Timestamp(t0)
+    stP.registerDeciderEvent("Order", "E")
+    stP.append((1 to 4).map(p => EventInput("E", s"e$p", "Order", s"p$p", "{}")))
+    val logDir = java.nio.file.Files.createTempDirectory("oo-log").toString
+    // the HIGH half (offsets 3-4) lands first…
+    stP.allEvents.filter(col("offset") > 2).write.mode("append").parquet(logDir)
+
+    val session = spark.newSession()
+    import session.implicits._
+    val stC = new EventStore(session)
+    stC.now = () => new Timestamp(t0)
+    stC.registerDeciderEvent("Order", "E")
+    val vs = new ViewStreams(stC)
+    vs.registerView("v", startAt = Some(new Timestamp(t0 - 1000)))
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[EventRow]()
+    val schema = stP.allEvents.schema
+    val stream = session.readStream.schema(schema).parquet(logDir).as[EventRow]
+    val q = vs.runSharedDelivery("v", stream, limit = 8, seconds = 300)(
+      got => { got.foreach(sunk.add); () })
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(sunk.asScala.map(_.event_id).toSet === Set("e3", "e4"))
+      // …then the LOW half (offsets 1-2) arrives in a later batch,
+      // entirely below the replica's head
+      stP.allEvents.filter(col("offset") <= 2).write.mode("append").parquet(logDir)
+      q.processAllAvailable()
+      assert(sunk.asScala.map(_.event_id).toSet === Set("e1", "e2", "e3", "e4"),
+        s"lower-offset events were dropped: ${sunk.asScala.map(_.event_id)}")
+      // and the replica holds the full gapless sequence exactly once
+      assert(stC.allEvents.collect().map(_.offset).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("two STREAMING consumers split one view's partitions via the shared journal") {
     import graft.store.ViewStreams
     val t0 = 1700000000000L
