@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -299,6 +299,127 @@ object TextDedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Top-V vocabulary cap for [[docLmNll]]: standard truncated-LM
+    * sizing, far above every observed testdata vocabulary (31 words at
+    * sf0.001-0.1, 3 010 at the 100× slice) so the cap is NON-BINDING at
+    * oracle scale and the uncapped DuckDB oracle stays valid verbatim
+    * — while bounding the model tables at real corpus scale.
+    */
+  val LmVocabCap = 32768
+
+  /** Folded-OOV token for [[docLmNll]]. Tokenization strips everything
+    * outside [a-z0-9 ], so a control character can never collide with
+    * a real token.
+    */
+  val LmOovToken = "\u0001oov"
+
+  /** CCNet-style bigram-LM corpus perplexity score with a TOP-V
+    * vocabulary (count-desc, word-asc — deterministic under ties) and
+    * a single folded OOV token; add-one smoothing over the MAPPED
+    * vocabulary, so when the cap does not bind the model is exactly
+    * the uncapped one (identity mapping, identical counts, identical
+    * smoothing denominator).
+    *
+    * Scale design — the model tables, not the corpus, are the join
+    * build sides:
+    *  - the corpus-sized bigram stream is only ever the PROBE side of
+    *    hash joins against vocabulary-bounded tables (keep set ≤ V
+    *    rows; per-bigram NLL term table ≤ observed bigram types, which
+    *    the cap bounds). The previous form shuffled every bigram
+    *    occurrence through sort-merge joins keyed on (w1[, w2]) — with
+    *    a natural-language vocabulary those keys have tiny cardinality
+    *    (31 distinct at sf0.1!), so 27 M rows at the 100× slice piled
+    *    onto a handful of skewed sort tasks: 108 s. Broadcasting the
+    *    term table keeps the probe in one whole-stage-codegen pass:
+    *    no bigram row is ever shuffled (the final per-doc aggregate
+    *    map-side combines to one row per document before its
+    *    exchange).
+    *  - the broadcast is size-guarded, not assumed: if the term table
+    *    exceeds LmBroadcastCeiling rows (pathological corpus — near-V²
+    *    observed bigram types), the plan falls back to a plain join
+    *    and AQE picks the strategy. The count() that decides is over
+    *    the already-aggregated (small) table.
+    */
+  val LmBroadcastCeiling = 3000000L
+
+  private[operators] def docLmNll(docs: DataFrame,
+                                  vocabCap: Int = LmVocabCap): DataFrame = {
+    // cached: the tokenized corpus feeds the bigram-count pass, the
+    // last-token pass, and the scoring pass — measured at the 100×
+    // slice, recomputing the regex+split per pass costs ~2× the cache.
+    val toks = docs
+      .select(col("doc_id"),
+        split(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+      .transform(graft.Caching.persistOnce(_))
+    // sequence(1, 0) is DESCENDING in Spark, so the short-doc case
+    // must be an explicit empty array (the doc_substring_dedup
+    // guard pattern)
+    val bi = toks.select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+          expr("""transform(sequence(1, size(ws) - 1),
+                   i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // RAW bigram-type counts: the one corpus-wide aggregation pass
+    // over the bigram stream (map-side combine against the tiny type
+    // space). Unigram counts are DERIVED from it instead of a second
+    // explode pass: every token occurrence is either some bigram's w1
+    // or its document's LAST token (single-token docs included), so
+    // c(w) = Σ_w2 cbRaw(w, w2) + #docs-ending-in-w — exact identity.
+    val bcRaw = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .transform(graft.Caching.persistOnce(_))
+    val lastCnt = toks.select(element_at(col("ws"), -1).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("lc"))
+    val uniRaw = bcRaw.groupBy(col("w1").as("w")).agg(sum(col("cb")).as("bc1"))
+      .join(lastCnt, Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("bc1"), lit(0L)) + coalesce(col("lc"), lit(0L))).as("c"))
+      .transform(graft.Caching.persistOnce(_))
+    val keep = uniRaw.orderBy(col("c").desc, col("w").asc).limit(vocabCap)
+      .select(col("w").as("kw"))
+      .transform(graft.Caching.persistOnce(_))
+    def fold(w: Column, kw: Column): Column =
+      when(kw.isNull, lit(LmOovToken)).otherwise(w)
+    // MAPPED unigram table, derived from the raw counts (dropped words
+    // fold into one OOV row) — never re-touches the token stream.
+    val uni = uniRaw.join(broadcast(keep), col("w") === col("kw"), "left")
+      .select(fold(col("w"), col("kw")).as("w1"), col("c"))
+      .groupBy("w1").agg(sum(col("c")).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    // mapped bigram-type counts + per-bigram smoothed NLL term — all
+    // small-side work (the OOV fold runs on bigram TYPES, not the
+    // corpus-sized occurrence stream).
+    val cbM = bcRaw
+      .join(broadcast(keep.select(col("kw").as("k1"))), col("w1") === col("k1"), "left")
+      .join(broadcast(keep.select(col("kw").as("k2"))), col("w2") === col("k2"), "left")
+      .select(fold(col("w1"), col("k1")).as("w1"),
+        fold(col("w2"), col("k2")).as("w2"), col("cb"))
+      .groupBy("w1", "w2").agg(sum(col("cb")).as("cb"))
+    val terms = cbM.join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(log((col("c1") + col("v")).cast("double") /
+          (col("cb") + lit(1)).cast("double")) * lit(1e6)).cast("long").as("nll_micro"))
+      .transform(graft.Caching.persistOnce(_))
+    val lookup = if (terms.count() <= LmBroadcastCeiling) broadcast(terms) else terms
+    // scoring: the ONLY other pass over the bigram stream — fold joins
+    // + term lookup stay in one whole-stage-codegen span, and the
+    // per-doc aggregate map-side combines before its exchange.
+    val biM = bi
+      .join(broadcast(keep.select(col("kw").as("k1"))), col("w1") === col("k1"), "left")
+      .join(broadcast(keep.select(col("kw").as("k2"))), col("w2") === col("k2"), "left")
+      .select(col("doc_id"), fold(col("w1"), col("k1")).as("w1"),
+        fold(col("w2"), col("k2")).as("w2"))
+    biM.join(lookup, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_micro_sum"))
+      .withColumn("avg_nll",
+        round(col("nll_micro_sum").cast("double") / lit(1e6) / col("n_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -335,51 +456,20 @@ object TextDedupQueries {
     // ----------------------------------------------------------------
     // Corpus-LM quality score (the CCNet-style perplexity filter): a
     // bigram language model with add-one smoothing is fit ON the
-    // corpus itself (unigram + bigram count tables — two map-side-
-    // combined aggregations), and each document is scored by its
-    // average negative log-likelihood under it; high-NLL docs are the
+    // corpus itself and each document is scored by its average
+    // negative log-likelihood under it; high-NLL docs are the
     // gibberish/boilerplate tail a perplexity filter drops.
     // Determinism across engines: each bigram's NLL term is
     // ln((c1+V)/(cb+1)) of EXACT integers — one IEEE division and one
     // ln; the term is floored to integer micro-nats (a 1-ulp ln
     // divergence flips a floor only within ~1e-10 of a boundary), so
     // the aggregated sums compare exactly and avg_nll is a single
-    // rounded division of exact integers. Scale: the score join is
-    // keyed by (w1, w2) — linear in corpus tokens, no driver state.
+    // rounded division of exact integers. The vocabulary is capped at
+    // top-V with an OOV fold (LmVocabCap, non-binding at oracle scale
+    // — see docLmNll), so the oracle below is the uncapped model and
+    // stays valid verbatim.
     Q("doc_lm_nll",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            split(trim(regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
-        // sequence(1, 0) is DESCENDING in Spark, so the short-doc case
-        // must be an explicit empty array (the doc_substring_dedup
-        // guard pattern)
-        val bi = toks.select(col("doc_id"),
-            explode(when(size(col("ws")) >= 2,
-              expr("""transform(sequence(1, size(ws) - 1),
-                       i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
-              .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
-              .as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .transform(graft.Caching.persistOnce(_))
-        val uni = toks.select(explode(col("ws")).as("w1"))
-          .groupBy("w1").agg(count(lit(1)).as("c1"))
-          .transform(graft.Caching.persistOnce(_))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        bi.join(bc, Seq("w1", "w2"))
-          .join(uni, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .withColumn("nll_micro",
-            floor(log((col("c1") + col("v")).cast("double") /
-              (col("cb") + lit(1)).cast("double")) * lit(1e6)).cast("long"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_micro_sum"))
-          .withColumn("avg_nll",
-            round(col("nll_micro_sum").cast("double") / lit(1e6) / col("n_bigrams"), 6))
-          .orderBy("doc_id")
-      },
+      (s, d) => docLmNll(Tables.documents(s, d)),
       Some("""WITH w AS (
                SELECT doc_id,
                       string_split(trim(regexp_replace(regexp_replace(lower(text),
