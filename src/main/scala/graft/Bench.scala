@@ -258,10 +258,14 @@ object Bench {
     // contract line (metric/queries/errors) prints LAST and compact,
     // and the full combined JSON is also written to BENCH_LATEST.json
     // so the numbers survive in the repo regardless of capture windows.
+    // `valid` marks a run every query completed — consumers comparing
+    // totals across rounds must skip invalid runs (a total that sums
+    // only the surviving queries is not comparable to a clean one).
+    val valid = errors.isEmpty
     val contractLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the bench

@@ -39,18 +39,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4 rejects at
-    * schema inference ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long
-    * (nanosAsLong) and convert to a microsecond TimestampType here.
-    * The test data carries no sub-microsecond components and DuckDB
-    * also surfaces the column at µs, so both sides see equal values.
-    * `ts div 1000` (integer division) — NOT `/ 1000` — because epoch
-    * nanos (~1.7e18) exceed a double's 2^53 exact-integer range.
+  /** `events.ts` has shipped as two physical parquet types across
+    * testdata generations: `timestamp[ns]` (which Spark 4 rejects at
+    * schema inference, [PARQUET_TYPE_ILLEGAL], so we read it via
+    * nanosAsLong and rescale) and `timestamp[us]` (which Spark infers
+    * directly, as TIMESTAMP_NTZ when isAdjustedToUTC=false). Branch on
+    * the inferred type so either generation loads:
+    *  - LongType → nanos: `ts div 1000` (integer division — NOT
+    *    `/ 1000`, epoch nanos ~1.7e18 exceed a double's 2^53 exact
+    *    range) then timestamp_micros.
+    *  - timestamp already → cast to TimestampType (session-TZ). All
+    *    entry points pin spark.sql.session.timeZone=UTC, so NTZ→LTZ
+    *    is value-preserving and downstream arithmetic/display is
+    *    identical to the nanos path. DuckDB surfaces the column at µs
+    *    naive, so both sides see equal values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TimestampNTZType (or future variants): normalize to LTZ
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -26,10 +26,10 @@ object Verify {
     // query, else the driver's compare would silently skip it.
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     require(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
-    var failed = 0
-    SparkEntry.queries
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       // Output path is literally `<name>.parquet` per the driver
       // contract (it is a directory — Spark always writes one — but a
       // driver globbing the literal name, pyarrow.read_table, and
@@ -37,7 +37,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
-        failed += 1
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -60,7 +60,17 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable coverage trace: which queries ran vs. errored.
+    // A query that throws writes no parquet, so without this the
+    // driver's correctness artifact silently loses the row (round-9
+    // lesson — 32 rows vanished behind one loader regression).
+    val summary =
+      s"""{"attempted": ${attempted.size}, "succeeded": ${attempted.size - errors.size},""" +
+      s""" "failed": ${errors.size}, "errors": ${
+        errors.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+      }}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
