@@ -266,9 +266,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // Only an UNFILTERED run may become the committed LATEST artifact —
+    // a SPARK_GRAFT_BENCH_ONLY subset run (local iteration) must not
+    // clobber the full-inventory numbers downstream comparisons read.
+    if (onlyFilter.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
+      catch { case _: Throwable => () } // read-only cwd must not fail the bench
     println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
     println(contractLine)
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BandProbes, BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -40,11 +40,30 @@ object GraftExtensions {
       (FunctionIdentifier("nearest_cells"),
         new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
         (children: Seq[Expression]) =>
-          NearestCells(children.head, children(1), children(2))))
+          NearestCells(children.head, children(1), children(2))),
+      (FunctionIdentifier("adc_sum"),
+        new ExpressionInfo(classOf[AdcSum].getName, "adc_sum"),
+        (children: Seq[Expression]) => AdcSum(children.head, children(1))))
 
   /** Idempotent post-hoc registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // ObjectHashAggregate (the exec behind TopKByScore and every other
+    // typed Aggregator here) falls back to SORT-based aggregation
+    // after 128 distinct keys per task — sized for unbounded object
+    // buffers, not ours: a TopKByScore buffer is ≤ k small structs
+    // (~0.5 kB at k=32), so a million-group hash map is a few hundred
+    // MB per task, while the fallback re-introduces the full
+    // candidate-matrix sort the aggregate exists to avoid (measured:
+    // the IVF-PQ ADC shortlist over ~200 k query groups). Raise it to
+    // keep bounded-buffer aggregations hash-based; users with
+    // unbounded custom Aggregators can lower it per session.
+    if (spark.conf.getOption(ObjHashFallbackKey).forall(_ == "128"))
+      spark.conf.set(ObjHashFallbackKey, (1 << 22).toString)
+  }
+
+  private val ObjHashFallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 }

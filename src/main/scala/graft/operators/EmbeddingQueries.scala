@@ -86,6 +86,15 @@ object EmbeddingQueries {
   private val IvfIters = 5
   private val IvfProbes = 3
   private val IvfSampleN = 4096
+  // Product-quantization parameters (emb_ann_ivfpq): 64-dim vectors
+  // split into PqM subspaces of PqSub dims; each subspace carries a
+  // PqCodes-entry codebook (4 bits/code — the 8 codes of a vector
+  // pack into 32 bits at production scale; kept as ARRAY<INT> here
+  // for plan readability). PqRerank = exact-re-rank shortlist depth.
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqCodes = 16
+  private val PqRerank = 32
 
   /** Full DuckDB replay of the IVF ANN pipeline, INCLUDING the
     * quantizer fit: KMeansLite's Lloyd iterations are unrolled as CTE
@@ -99,38 +108,52 @@ object EmbeddingQueries {
     * (IEEE round-to-nearest-even on both engines) matching what the
     * nearest_cells kernel consumes.
     */
-  private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+  /** KMeansLite's Lloyd-fit replay as a CTE block over an (offset,
+    * dims) SLICE of the sample vectors — shared by the coarse
+    * quantizer (offset 0, 64 dims) and each PQ subspace codebook fit
+    * (offset m·PqSub, PqSub dims); `pfx` keeps the per-fit CTE names
+    * disjoint inside one WITH chain. Produces `${pfx}cf(cell, c)` —
+    * the float-rounded centers as double lists.
+    */
+  private def fitCteBlock(pfx: String, off: Int, dims: Int, k: Int, iters: Int): String = {
+    def idx(v: String) = if (off == 0) v else s"$off+$v"
     def dist(emb: String, c: String) =
-      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> (CAST($emb[${idx("i")}] AS DOUBLE) - $c[i]) * (CAST($emb[${idx("i")}] AS DOUBLE) - $c[i])))"
     val iterations = (1 to iters).map { t =>
-      s"""a$t AS (
+      s"""${pfx}a$t AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT s.vec_id, s.embedding, c.cell,
                     row_number() OVER (PARTITION BY s.vec_id
                       ORDER BY ${dist("s.embedding", "c.c")} ASC, c.cell ASC) AS rn
-             FROM samp s, c${t - 1} c) WHERE rn = 1),
-         m$t AS (
+             FROM samp s, ${pfx}c${t - 1} c) WHERE rn = 1),
+         ${pfx}m$t AS (
            SELECT cell, g.i AS dim,
-                  CAST(sum(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0)) AS DOUBLE)
+                  CAST(sum(floor(CAST(embedding[${idx("g.i")}] AS DOUBLE) * 1048576.0)) AS DOUBLE)
                     / (count(*) * 1048576.0) AS m
-           FROM a$t, (SELECT unnest(range(1, 65)) AS i) g
+           FROM ${pfx}a$t, (SELECT unnest(range(1, ${dims + 1})) AS i) g
            GROUP BY cell, g.i),
-         c$t AS (
+         ${pfx}c$t AS (
            SELECT p.cell, COALESCE(n.c, p.c) AS c
-           FROM c${t - 1} p LEFT JOIN (
-             SELECT cell, array_agg(m ORDER BY dim) AS c FROM m$t GROUP BY cell) n
+           FROM ${pfx}c${t - 1} p LEFT JOIN (
+             SELECT cell, array_agg(m ORDER BY dim) AS c FROM ${pfx}m$t GROUP BY cell) n
              ON p.cell = n.cell)"""
     }.mkString(",\n")
-    s"""WITH samp AS (
-         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
-       c0 AS (
+    s"""${pfx}c0 AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+                list_transform(range(1, ${dims + 1}), i -> CAST(embedding[${idx("i")}] AS DOUBLE)) AS c
          FROM (SELECT vec_id, embedding FROM samp ORDER BY vec_id LIMIT $k)),
        $iterations,
-       cf AS (
+       ${pfx}cf AS (
          SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
-         FROM c$iters),
+         FROM ${pfx}c$iters)"""
+  }
+
+  private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+    def dist(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    s"""WITH samp AS (
+         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
+       ${fitCteBlock("", 0, 64, k, iters)},
        assigned AS (
          SELECT vec_id AS cid, cell FROM (
            SELECT e.vec_id, f.cell,
@@ -156,6 +179,93 @@ object EmbeddingQueries {
                   ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
                            c.cid ASC) AS rnk
          FROM cand c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.cid = b.vec_id)
+       SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
+  }
+
+  /** Full DuckDB replay of the IVF-PQ pipeline: the coarse fit plus
+    * all PqM per-subspace codebook fits are unrolled via
+    * [[fitCteBlock]] (9 Lloyd replays in one WITH chain), then code
+    * assignment, the per-query ADC tables, the ADC-ranked shortlist,
+    * and the exact re-rank are mirrored CTE by CTE. Bit-identity
+    * rests on the same three pillars as annIvfOracleSql — replayable
+    * fits, ascending-index double folds everywhere (the per-pair ADC
+    * sum is a range(1,9) list fold in BOTH engines, never a GROUP BY
+    * sum whose order is unspecified), and float→double roundings that
+    * are IEEE-identical — so the approximate operator is
+    * hash-verified end to end.
+    */
+  private def annIvfPqOracleSql(k: Int, iters: Int, nProbe: Int,
+                                sampleN: Int, rerank: Int): String = {
+    def dist64(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    val subFits = (0 until PqM)
+      .map(m => fitCteBlock(s"s${m}_", m * PqSub, PqSub, PqCodes, iters))
+      .mkString(",\n")
+    val cbUnion = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cell AS code, c FROM s${m}_cf")
+      .mkString(" UNION ALL ")
+    s"""WITH samp AS (
+         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+       ${fitCteBlock("", 0, 64, k, iters)},
+       $subFits,
+       cb AS ($cbUnion),
+       assigned AS (
+         SELECT vec_id AS cid, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist64("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS qid, cell FROM (
+           SELECT e.vec_id, f.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist64("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn <= $nProbe),
+       codes AS (
+         SELECT vec_id, m, code FROM (
+           SELECT e.vec_id, b.m, b.code,
+                  row_number() OVER (PARTITION BY e.vec_id, b.m
+                    ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}),
+                        i -> (CAST(e.embedding[b.m*$PqSub+i] AS DOUBLE) - b.c[i])
+                           * (CAST(e.embedding[b.m*$PqSub+i] AS DOUBLE) - b.c[i]))) ASC,
+                      b.code ASC) AS rn
+           FROM embeddings e, cb b) WHERE rn = 1),
+       codesl AS (
+         SELECT vec_id, array_agg(code ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+       adc AS (
+         SELECT e.vec_id AS qid, b.m, b.code,
+                list_sum(list_transform(range(1, ${PqSub + 1}),
+                  i -> CAST(e.embedding[b.m*$PqSub+i] AS DOUBLE) * b.c[i])) AS pd
+         FROM embeddings e, cb b),
+       adc1 AS (SELECT qid, m, array_agg(pd ORDER BY code) AS pl FROM adc GROUP BY qid, m),
+       adc2 AS (SELECT qid, array_agg(pl ORDER BY m) AS tbl FROM adc1 GROUP BY qid),
+       n AS (
+         SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       cand AS (
+         SELECT p.qid, a.cid
+         FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.cid),
+       scored AS (
+         SELECT c.qid, c.cid,
+                list_sum(list_transform(range(1, ${PqM + 1}), i -> t.tbl[i][kk.codes[i]+1]))
+                  / (qn.nrm * cn.nrm) AS adc_sim
+         FROM cand c
+         JOIN codesl kk ON c.cid = kk.vec_id
+         JOIN adc2 t ON c.qid = t.qid
+         JOIN n qn ON c.qid = qn.vec_id
+         JOIN n cn ON c.cid = cn.vec_id),
+       shortlist AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                    ORDER BY adc_sim DESC, cid ASC) AS rr
+           FROM scored) WHERE rr <= $rerank),
+       ranked AS (
+         SELECT s.qid, s.cid,
+                round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim,
+                row_number() OVER (PARTITION BY s.qid
+                  ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
+                           s.cid ASC) AS rnk
+         FROM shortlist s JOIN n a ON s.qid = a.vec_id JOIN n b ON s.cid = b.vec_id)
        SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
   }
 
@@ -720,7 +830,41 @@ object EmbeddingQueries {
         annIvfTop1(s, e, cells = cells, nProbes = ivfProbesFor(n),
           sampleN = ivfSampleFor(cells))
       },
-      Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes)))
+      Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes))),
+
+    // ----------------------------------------------------------------
+    // IVF-PQ ANN (the third scale path — the memory/shuffle-compressed
+    // form a 100 TB vector corpus actually ships): coarse IVF cells as
+    // above, but the CANDIDATE JOIN carries each database vector as
+    // PqM=8 four-bit codebook codes (+ its exact norm) instead of the
+    // 256-byte raw vector — a ~6× cut of the fat side of the ANN
+    // shuffle, and per-pair scoring drops from a 64-term dot to 8
+    // table lookups against the query's precomputed ADC tables. The
+    // ADC shortlist (top-PqRerank per query) then re-ranks by exact
+    // cosine over the raw vectors — a join that ships only
+    // n·PqRerank pairs. Every stage replayed in the DuckDB oracle,
+    // including all nine quantizer fits.
+    Q("emb_ann_ivfpq",
+      (s, d) => annIvfPqTop1(s, Tables.embeddings(s, d)),
+      Some(annIvfPqOracleSql(IvfCells, IvfIters, IvfProbes, IvfSampleN, PqRerank))),
+
+    // Corpus-sized twin: coarse cells/probes/sample scale with n via
+    // the shared ivfCellsFor/ivfProbesFor/ivfSampleFor formulas (the
+    // PQ codebooks themselves do NOT grow with n — 4-bit codes are a
+    // fixed-rate compression, which is what makes PQ the at-scale
+    // form). The oracle replays at the formulas' sf0.01 values, same
+    // contract as emb_ann_ivf_auto (AnnAutoSizeSpec pins the
+    // coincidence).
+    Q("emb_ann_ivfpq_auto",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        annIvfPqTop1(s, e, cells = cells, nProbes = ivfProbesFor(n),
+          sampleN = ivfSampleFor(cells))
+      },
+      Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
+        IvfSampleN, PqRerank)))
   )
 
   /** The emb_ann_lsh pipeline body, parameterized (the registry entry
@@ -739,18 +883,14 @@ object EmbeddingQueries {
     val va = queries.getOrElse(e)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    candidates.join(va, "qid").join(vb, "cid")
+    // narrow projection BEFORE the top-1 aggregation: the exchange
+    // must carry (qid, cid, sim), never the two vectors — belt and
+    // braces against a pruning regression (at corpus scale the wide
+    // form shuffles ~0.5 kB × candidate pairs); top1BySim then
+    // reduces map-side, so the exchange is ~one row per (query, task)
+    top1BySim(candidates.join(va, "qid").join(vb, "cid")
       .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-      // explicit narrow projection BEFORE the window: the rank shuffle
-      // must carry (qid, cid, sim), never the two vectors — belt and
-      // braces against a pruning regression (at corpus scale the wide
-      // form shuffles ~0.5 kB × candidate pairs)
-      .select(col("qid"), col("cid"), col("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("qid"), col("cid"), col("sim"))
-      .orderBy("qid")
+      .select(col("qid"), col("cid"), col("sim")))
   }
 
   /** The emb_ann_ivf pipeline body, parameterized (the registry entry
@@ -762,17 +902,11 @@ object EmbeddingQueries {
                  iters: Int = IvfIters,
                  nProbes: Int = IvfProbes,
                  sampleN: Int = IvfSampleN,
-                 queries: Option[DataFrame] = None): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
+                 queries: Option[DataFrame] = None): DataFrame =
+    top1BySim(annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
       .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-      // narrow projection before the rank shuffle (see annLshTop1)
-      .select(col("qid"), col("cid"), col("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("qid"), col("cid"), col("sim"))
-      .orderBy("qid")
-  }
+      // narrow projection before the top-1 aggregation (see annLshTop1)
+      .select(col("qid"), col("cid"), col("sim")))
 
   /** The IVF candidate stage (everything before the exact-cosine
     * re-rank), exposed — like [[annLshCandidates]] — so AnnRecallSpec
@@ -821,4 +955,126 @@ object EmbeddingQueries {
           .as("cell"))
     probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
   }
+
+  /** IVF-PQ top-1 (see the registry entry for the scale rationale).
+    *
+    * Determinism contract with the oracle: the 9 quantizer fits are
+    * KMeansLite (replayable by spec); code assignment is the
+    * nearest_cells kernel over each 8-dim slice (ascending-index
+    * double folds, lower-index ties); the ADC tables are 8×16 partial
+    * dots of query slices against the codebook LITERALS (ascending
+    * zip_with folds); the per-pair ADC score folds the 8 table
+    * lookups in ascending subspace order via `aggregate(sequence(…))`
+    * — the same sequential left-fold DuckDB's
+    * `list_sum(list_transform(range(…)))` performs — so the shortlist
+    * ranking, and therefore the exact re-rank input, match
+    * bit-for-bit.
+    *
+    * Scale shape: `assigned` (the inverted file) carries (cell, cid,
+    * codes[8], nrm) — the raw embedding column is PRUNED before the
+    * candidate join, so the fat side of the shuffle is ~40 bytes per
+    * vector instead of ~260 (and the codes pack into one INT at 4
+    * bits each if the last factor matters). The raw vectors re-enter
+    * only for the n·rerank shortlist pairs.
+    */
+  def annIvfPqTop1(s: SparkSession, e0: DataFrame,
+                   cells: Int = IvfCells,
+                   iters: Int = IvfIters,
+                   nProbes: Int = IvfProbes,
+                   sampleN: Int = IvfSampleN,
+                   rerank: Int = PqRerank): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val e = withNorm(e0)
+    val sample = e0.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
+      .as[Array[Float]].collect()
+    val coarse = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val books = Array.tabulate(PqM) { m =>
+      graft.functions.KMeansLite.fit(
+        sample.map(_.slice(m * PqSub, (m + 1) * PqSub)), k = PqCodes, iters = iters)
+    }
+    def bookLit(m: Int) = typedlit(books(m).map(_.toSeq).toSeq)
+    // Inverted file: home cell + the 8 PQ codes + exact norm; the raw
+    // vector is dropped here — the whole point of the PQ form.
+    val assigned = e.select(col("vec_id").as("cid"),
+      element_at(call_function("nearest_cells", col("embedding"), coarseLit, lit(1)), 1)
+        .as("cell"),
+      array((0 until PqM).map(m =>
+        element_at(call_function("nearest_cells",
+          slice(col("embedding"), m * PqSub + 1, PqSub), bookLit(m), lit(1)), 1)): _*)
+        .as("codes"),
+      col("nrm"))
+    // Query side: probe list + ADC tables (8 subspaces × 16 codes of
+    // partial dots against the codebook literals — computed once per
+    // query row, a lookup per candidate pair afterwards).
+    val adcCol = array((0 until PqM).map { m =>
+      transform(bookLit(m), cb =>
+        aggregate(zip_with(slice(col("embedding"), m * PqSub + 1, PqSub), cb,
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v))
+    }: _*)
+    // Materialization barrier: without it CollapseProject inlines the
+    // ADC-table construction into the per-pair adc_sum and re-derives
+    // all 8×16 partial dots for EVERY candidate pair instead of once
+    // per (query, probe) row — the same trap withNorm documents,
+    // measured at 2.5× total wall on the 10× slice.
+    val probes = e.select(col("vec_id").as("qid"),
+      explode(call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes)))
+        .as("cell"),
+      adcCol.as("adc"), col("nrm").as("qnrm"))
+      .transform(graft.Caching.persistOnce(_))
+    // Per-pair ADC score through the adc_sum codegen kernel (one flat
+    // lookup loop — this runs once per candidate pair, the pipeline's
+    // hottest expression; the higher-order aggregate(sequence(…))
+    // equivalent is interpreted per element).
+    val adcSim = call_function("adc_sum", col("adc"), col("codes")) /
+      (col("qnrm") * col("nrm"))
+    // ADC shortlist as a BOUNDED top-k AGGREGATE, not a window: the
+    // TopKByScore Aggregator gets map-side partial aggregation, so
+    // each task reduces its candidate slice to ≤ rerank pairs per
+    // query BEFORE the exchange — the shuffle carries O(q·rerank·
+    // tasks) rows instead of the full candidate matrix, and no global
+    // sort happens at all. Same (score desc, id asc) order and
+    // truncation as the oracle's row_number shortlist.
+    // broadcast(assigned) is the PQ payoff made explicit: the coded
+    // inverted file is ~40 B/vector (12 MB at 200 k — just past the
+    // default autoBroadcast threshold, which is why the hint matters:
+    // without it the planner shuffles the 1 KB-ADC probe side BY CELL
+    // — measured 7.6 GB / 1360 s at the 100× slice), where the
+    // raw-vector side plain IVF joins never fit. Beyond ~25 M vectors
+    // even the coded file outgrows broadcast; the plan then is
+    // co-partitioning both sides by cell and shipping query VECTORS
+    // (ADC tables built post-exchange), which this operator's shape
+    // permits without changing semantics.
+    val shortlist = probes.join(broadcast(assigned), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc_sim", adcSim)
+      .select(col("qid"), col("cid"), col("adc_sim"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(rerank)(col("adc_sim"), col("cid")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+    val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    top1BySim(shortlist.join(va, "qid").join(vb, "cid")
+      .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+        col("qn"), col("cn")), 6))
+      .select(col("qid"), col("cid"), col("sim")))
+  }
+
+  /** Aggregation-shaped exact-top-1: row-for-row equal to
+    * `row_number().over(partitionBy(qid).orderBy(sim desc, cid asc))
+    * = 1` (struct max compares sim first, then -cid — highest sim,
+    * ties to the LOWEST cid), but executes as a map-side-combinable
+    * hash aggregate: each task reduces its candidate slice to one row
+    * per query before the exchange, where the window form shuffles
+    * and SORTS the entire candidate matrix. At the 10× slice this is
+    * the difference between exchanging ~50 M rows and ~q·tasks rows.
+    */
+  private def top1BySim(cands: DataFrame): DataFrame =
+    cands.groupBy("qid")
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("qid"), (-col("m.nc")).as("cid"), col("m.sim").as("sim"))
+      .orderBy("qid")
 }

@@ -107,5 +107,15 @@ class AnnAutoSizeSpec extends SparkSpec {
     // the full-table auto twin (23 cells at n=500) still answers every
     // query — a different, finer quantizer, same contract
     assert(graft.SparkEntry.queries("emb_ann_ivf_auto")(spark, sf).count() === 500L)
+
+    // IVF-PQ shares the coarse formulas (the codebooks are fixed-rate
+    // by design and do not scale with n): the auto twin's coincidence
+    // argument is the same as plain IVF's, asserted on the same
+    // 200-vector prefix, and the full-table auto answers every query
+    val pinnedPq = EmbeddingQueries.annIvfPqTop1(spark, e).collect()
+    val autoPq = EmbeddingQueries.annIvfPqTop1(spark, e,
+      cells = EmbeddingQueries.ivfCellsFor(200)).collect()
+    assert(autoPq.toSeq === pinnedPq.toSeq)
+    assert(graft.SparkEntry.queries("emb_ann_ivfpq_auto")(spark, sf).count() === 500L)
   }
 }

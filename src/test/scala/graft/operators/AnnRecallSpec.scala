@@ -70,6 +70,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(close >= 0.65, f"IVF approximation ratio degraded: $close%.3f")
   }
 
+  test("IVF-PQ ANN: ADC shortlist + exact re-rank holds recall near plain IVF") {
+    val (recall, coverage, close) = metricsOf("emb_ann_ivfpq")
+    info(f"emb_ann_ivfpq recall@1=$recall%.3f coverage=$coverage%.3f approx90=$close%.3f")
+    assert(coverage == 1.0, "IVF-PQ must emit a candidate for every query")
+    // PQ re-ranks the top-32 ADC-scored candidates of the SAME coarse
+    // candidate set as emb_ann_ivf (recall 0.564 at pinning time), so
+    // its recall is bounded above by IVF's; the gap measures ADC
+    // ranking distortion at 4 bits/subspace. Floor sits under the
+    // measured value with the usual margin.
+    val (ivfRecall, _, _) = metricsOf("emb_ann_ivf")
+    assert(recall >= ivfRecall - 0.10,
+      f"ADC shortlist ranking lost too much vs plain IVF: $recall%.3f vs $ivfRecall%.3f")
+    assert(close >= 0.60, f"IVF-PQ approximation ratio degraded: $close%.3f")
+  }
+
   test("banded LSH ANN covers every query and approximates top-1 well") {
     val (recall, coverage, close) = metricsOf("emb_ann_lsh")
     info(f"emb_ann_lsh recall@1=$recall%.3f coverage=$coverage%.3f approx90=$close%.3f")
