@@ -4,6 +4,39 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Runs every query, writing `<outDir>/<name>.parquet` per the driver
+    * contract. A query that THROWS still emits an artifact at its slot:
+    * a one-row parquet with schema `(err: string)` — deliberately
+    * oracle-incomparable, so the driver's compare records a RED row
+    * (schema/rows/hash mismatch) instead of the round-9 failure mode
+    * where the row silently vanished from the correctness artifact and
+    * 105 registered queries read as "73/73 green". Returns the error
+    * map (insertion-ordered).
+    */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+             queries: collection.Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : scala.collection.mutable.LinkedHashMap[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      // Output path is literally `<name>.parquet` per the driver
+      // contract (it is a directory — Spark always writes one — but a
+      // driver globbing the literal name, pyarrow.read_table, and
+      // pandas.read_parquet all accept a directory at that path).
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(errors(name).take(2000)).toDF("err")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        } catch { case _: Throwable => () } // the err row is best-effort
+      }
+    }
+    errors
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query names] — the
     // optional filter is a local iteration aid; the driver passes two.
@@ -26,21 +59,9 @@ object Verify {
     // query, else the driver's compare would silently skip it.
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     require(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    attempted.foreach { case (name, fn) =>
-      // Output path is literally `<name>.parquet` per the driver
-      // contract (it is a directory — Spark always writes one — but a
-      // driver globbing the literal name, pyarrow.read_table, and
-      // pandas.read_parquet all accept a directory at that path).
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val errors = runAll(spark, sfDir, outDir, attempted)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -159,6 +159,58 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 terms by TF-IDF (smoothed idf, ln-scaled tf) —
+    * the keyword-extraction pass behind corpus indexing and topic
+    * mixing. Scale: the corpus shuffles ONCE, keyed (doc_id, term), in
+    * the tf aggregation (map-side combine collapses repeats); the df
+    * table is vocabulary-bounded and the n_docs scalar is a 1-row
+    * broadcast, so the idf join never moves corpus-sized data; the
+    * top-3 cut is a doc_id-partitioned window over the tf table (one
+    * more bounded shuffle), not a global sort.
+    */
+  private def tfidfTopK(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      .transform(graft.Caching.persistOnce(_))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      // rank over the ROUNDED score (bm25TopK discipline): a 1-ulp ln()
+      // divergence between engines must not flip the cut
+      .withColumn("tfidf", round((lit(1.0) + log(col("tf")))
+        * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Weighted sampling WITHOUT replacement (k = 100, weight = n_chars)
+    * by the Efraimidis–Spirakis priority trick: key = u^(1/w) with u
+    * uniform per doc, keep the k largest keys — equivalently the k
+    * largest ln(u)/w, which is what both engines compare. u derives
+    * from the first 8 md5 hex digits of doc_id ((v + 0.5) / 2^32 —
+    * exact in a double), so the sample is DETERMINISTIC: reproducible
+    * across task retries, engines, and runs, unlike rand()-based
+    * sampling. Scale: one scan, zero shuffle before the global top-k
+    * (TakeOrderedAndProject keeps k rows per partition); the classic
+    * distributed weighted-reservoir shape.
+    */
+  private def sampleWeighted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)")
+          + lit(0.5)) / lit(4294967296.0))
+      // round-then-order, ties on doc_id: ulp-robust across engines
+      .withColumn("priority", round(log(col("u")) / col("n_chars").cast("double"), 6))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(100)
+
   private val SeqLen = 256
 
   /** Sequence packing: concatenate the corpus in doc_id order and cut
@@ -234,6 +286,46 @@ object CorpusQueries {
                     start_offset // 256 AS first_seq,
                     (start_offset + n_words - 1) // 256 AS last_seq
              FROM c ORDER BY doc_id""")),
+
+    Q("doc_tfidf_topk",
+      (s, d) => tfidfTopK(Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                            FROM documents),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                    FROM toks GROUP BY doc_id, term),
+             df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             sc AS (SELECT tf.doc_id, tf.term,
+                           round((1.0 + ln(tf.tf))
+                                 * ln((c.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+                    FROM tf, df, c WHERE tf.term = df.term),
+             r AS (SELECT doc_id, term, tfidf,
+                          CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+                   FROM sc)
+             SELECT doc_id, term, tfidf, rnk FROM r WHERE rnk <= 3
+             ORDER BY doc_id, rnk""")),
+
+    Q("doc_sample_weighted",
+      (s, d) => sampleWeighted(Tables.documents(s, d)),
+      Some("""WITH h AS (SELECT doc_id, source, n_chars,
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+                         FROM documents),
+             v AS (SELECT doc_id, source, n_chars,
+                     (CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS DOUBLE)) * 268435456.0
+                   + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216.0
+                   + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576.0
+                   + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536.0
+                   + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096.0
+                   + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256.0
+                   + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16.0
+                   + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1.0 AS vv
+                   FROM h)
+             SELECT doc_id, source, n_chars,
+                    round(ln((vv + 0.5) / 4294967296.0) / n_chars, 6) AS priority
+             FROM v
+             ORDER BY priority DESC, doc_id ASC LIMIT 100""")),
 
     Q("doc_boilerplate_overlap",
       (s, d) => boilerplateOverlap(Tables.documents(s, d)),

@@ -18,6 +18,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventStoreQueries {
 
+  /** Oracle-side (DuckDB) spelling of the normalized `events.ts` — the
+    * single choke point paired with [[graft.Tables.events]] on the
+    * Spark side. The testdata has shipped `ts` as both `timestamp[ns]`
+    * and `timestamp[us]` across generations (the round-9 drift); DuckDB
+    * reads either natively and this cast lands both on µs TIMESTAMP,
+    * matching what Tables.events yields under the UTC session. If the
+    * encoding drifts again (e.g. to epoch integers), THIS constant and
+    * Tables.events are the only two places to touch.
+    */
+  val TsSql = "CAST(ts AS TIMESTAMP)"
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -53,7 +64,7 @@ object EventStoreQueries {
               + when(col("t4").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
           .orderBy("user_id")
       },
-      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      Some(s"""WITH e AS (SELECT user_id, event_type, $TsSql AS ts
                          FROM events),
              s1 AS (SELECT user_id, min(ts) AS t1 FROM e
                     WHERE event_type = 'signup' GROUP BY user_id),
@@ -97,8 +108,8 @@ object EventStoreQueries {
           .agg(count(lit(1)).as("n_active"))
           .orderBy("cohort_week", "week_offset")
       },
-      Some("""WITH e AS (SELECT user_id,
-                           date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      Some(s"""WITH e AS (SELECT user_id,
+                           date_trunc('week', $TsSql) AS wk
                          FROM events WHERE event_type = 'purchase'),
              act AS (SELECT DISTINCT user_id, wk FROM e),
              first AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id)
@@ -123,7 +134,7 @@ object EventStoreQueries {
             col("ts").cast("timestamp_ntz").as("ts"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      Some(s"""SELECT user_id, event_id, event_type, $TsSql AS ts
              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
              WHERE rn = 1 ORDER BY user_id""")),
@@ -141,8 +152,8 @@ object EventStoreQueries {
             max(col("event_id"))).as("resume_offset"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id,
-             coalesce(min(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+      Some(s"""SELECT user_id,
+             coalesce(min(CASE WHEN $TsSql >= TIMESTAMP '2024-01-15'
                                THEN event_id END) - 1,
                       max(event_id)) AS resume_offset
              FROM events GROUP BY user_id ORDER BY user_id""")),
@@ -166,7 +177,7 @@ object EventStoreQueries {
                count(lit(1)).as("n_pending"))
           .orderBy("user_id")
       },
-      Some("""WITH locks AS (
+      Some(s"""WITH locks AS (
                SELECT user_id, min(event_id) +
                       CAST(floor((max(event_id) - min(event_id)) / 2) AS BIGINT) AS last_offset
                FROM events GROUP BY user_id)
@@ -205,7 +216,7 @@ object EventStoreQueries {
           .select(col("event_id"), col("event_type"), col("value"))
           .orderBy("event_id")
       },
-      Some("""WITH stats AS (
+      Some(s"""WITH stats AS (
                SELECT event_type AS t,
                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean,
                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) / count(value) AS ex2
@@ -236,11 +247,11 @@ object EventStoreQueries {
               count(col("value")).over(w)).as("avg_7d"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id,
+      Some(s"""SELECT event_id, user_id,
              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
                count(value) OVER w AS avg_7d
              FROM events
-             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             WINDOW w AS (PARTITION BY user_id ORDER BY $TsSql
                           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
              ORDER BY event_id""")),
 
@@ -262,14 +273,14 @@ object EventStoreQueries {
             lead("event_type", 1).over(wOrd).as("next_type"))
           .orderBy("user_id", "event_id")
       },
-      Some("""SELECT user_id, event_id,
+      Some(s"""SELECT user_id, event_id,
              first_value(event_type) OVER w AS ctx_first,
              last_value(event_type) OVER w AS ctx_last,
              lead(event_type) OVER w2 AS next_type
              FROM events
-             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             WINDOW w AS (PARTITION BY user_id ORDER BY $TsSql, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-                    w2 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                    w2 AS (PARTITION BY user_id ORDER BY $TsSql, event_id)
              ORDER BY user_id, event_id""")),
 
     // Distribution ranks: percent_rank + cume_dist complete the window
@@ -287,7 +298,7 @@ object EventStoreQueries {
             round(cume_dist().over(w), 6).as("cum_dist"))
           .orderBy("user_id", "event_id")
       },
-      Some("""SELECT user_id, event_id,
+      Some(s"""SELECT user_id, event_id,
              round(percent_rank() OVER w, 6) AS pct_rank,
              round(cume_dist() OVER w, 6) AS cum_dist
              FROM events
@@ -303,11 +314,11 @@ object EventStoreQueries {
             (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
           .orderBy("user_id", "event_id")
       },
-      Some("""SELECT user_id, event_id,
+      Some(s"""SELECT user_id, event_id,
              lag(event_id) OVER w AS prev_event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+             epoch_us($TsSql) - lag(epoch_us($TsSql)) OVER w AS gap_us
              FROM events
-             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             WINDOW w AS (PARTITION BY user_id ORDER BY $TsSql, event_id)
              ORDER BY user_id, event_id""")),
 
     // ----------------------------------------------------------------
@@ -326,7 +337,7 @@ object EventStoreQueries {
             col("event_type") <=> lit("click") as "is_click") // P9
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, value > 100 AS is_big,
+      Some(s"""SELECT event_id, value > 100 AS is_big,
              props IS NULL AS no_props,
              event_type IS NOT DISTINCT FROM 'click' AS is_click
              FROM events
@@ -347,10 +358,10 @@ object EventStoreQueries {
             ((unix_micros(col("ts")) - unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))) / lit(1000000L)).cast("long").as("age_s"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
-             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS lease_until,
-             CAST(ts AS TIMESTAMP) - INTERVAL 30 SECOND AS grace_start,
-             CAST((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS BIGINT) AS age_s
+      Some(s"""SELECT event_id,
+             $TsSql + INTERVAL 1 HOUR AS lease_until,
+             $TsSql - INTERVAL 30 SECOND AS grace_start,
+             CAST((epoch_us($TsSql) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS BIGINT) AS age_s
              FROM events WHERE user_id < 10 ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
@@ -365,7 +376,7 @@ object EventStoreQueries {
             regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
+      Some(s"""SELECT event_id,
              regexp_extract(props, '[0-9]+') AS first_num,
              regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled
              FROM events WHERE regexp_matches(event_type, '^(click|scroll|signup)')
@@ -383,7 +394,7 @@ object EventStoreQueries {
               col("event_id").as("o"))).as("envelope"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
+      Some(s"""SELECT event_id,
              to_json(struct_pack(u := user_id, t := event_type, o := event_id)) AS envelope
              FROM events WHERE user_id < 10 ORDER BY event_id""")),
 
@@ -399,7 +410,7 @@ object EventStoreQueries {
                count(lit(1)).as("n_events"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+      Some(s"""SELECT event_type, count(DISTINCT user_id) AS n_users,
              count(*) AS n_events
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -419,7 +430,7 @@ object EventStoreQueries {
               .cast("double").as("hi"))
           .orderBy("bucket")
       },
-      Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+      Some(s"""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
              count(*) AS n,
              CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
              CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi
@@ -435,7 +446,7 @@ object EventStoreQueries {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("ts").cast("timestamp_ntz").as("ts"))
       },
-      Some("""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      Some(s"""SELECT event_id, user_id, event_type, $TsSql AS ts
              FROM events WHERE event_id = 4242""")),
 
     // ----------------------------------------------------------------
@@ -448,8 +459,8 @@ object EventStoreQueries {
           .limit(1)
           .select(col("event_id"), col("user_id"), col("event_type"))
       },
-      Some("""SELECT event_id, user_id, event_type FROM events
-             ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 1""")),
+      Some(s"""SELECT event_id, user_id, event_type FROM events
+             ORDER BY $TsSql DESC, event_id DESC LIMIT 1""")),
 
     // ----------------------------------------------------------------
     // F3: string construction pack — repeat/format/pad (reference
@@ -465,7 +476,7 @@ object EventStoreQueries {
             reverse(col("event_type")).as("rev"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
+      Some(s"""SELECT event_id,
              printf('evt-%05d/%s', event_id, event_type) AS label,
              repeat('x', 8) AS pad8,
              lpad(CAST(user_id AS VARCHAR), 4, '0') AS uid4,
@@ -488,7 +499,7 @@ object EventStoreQueries {
               substring(h, 17, 4), substring(h, 21, 12)).as("stable_uuid"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
+      Some(s"""SELECT event_id,
              substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
              substr(h,17,4) || '-' || substr(h,21,12) AS stable_uuid
              FROM (SELECT event_id, md5('evt:' || CAST(event_id AS VARCHAR)) AS h
@@ -509,7 +520,7 @@ object EventStoreQueries {
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("day_start", "event_type")
       },
-      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+      Some(s"""SELECT date_trunc('day', $TsSql) AS day_start,
              event_type, count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""")),
@@ -530,7 +541,7 @@ object EventStoreQueries {
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("w_start", "event_type")
       },
-      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+      Some(s"""WITH e AS (SELECT $TsSql AS t, event_type, value FROM events),
              x AS (SELECT unnest([date_trunc('day', t) - INTERVAL 1 DAY,
                                   date_trunc('day', t)]) AS w_start,
                           event_type, value
@@ -562,14 +573,14 @@ object EventStoreQueries {
             max(unix_micros(col("ts"))).as("session_end_us"))
           .orderBy("user_id", "session_id")
       },
-      Some("""WITH g AS (
-               SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                      CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
-                           lag(epoch_us(CAST(ts AS TIMESTAMP)))
-                             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      Some(s"""WITH g AS (
+               SELECT user_id, event_id, epoch_us($TsSql) AS us,
+                      CASE WHEN epoch_us($TsSql) -
+                           lag(epoch_us($TsSql))
+                             OVER (PARTITION BY user_id ORDER BY $TsSql, event_id)
                            > 30 * 60 * 1000000 THEN 1
-                           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
-                             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                           WHEN lag(epoch_us($TsSql))
+                             OVER (PARTITION BY user_id ORDER BY $TsSql, event_id)
                            IS NULL THEN 1 ELSE 0 END AS gap_new
                FROM events),
              s AS (
@@ -613,7 +624,7 @@ object EventStoreQueries {
             coalesce(col("last_click"), lit(-1L)).as("last_click_id"))
           .orderBy("purchase_id")
       },
-      Some("""WITH c AS (
+      Some(s"""WITH c AS (
                SELECT user_id, ts, max(event_id) AS click_id
                FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
              SELECT p.event_id AS purchase_id,
@@ -636,7 +647,7 @@ object EventStoreQueries {
             round(expr("percentile(value, 0.99)"), 4).as("p99"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type,
+      Some(s"""SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,
              round(quantile_cont(value, 0.9), 4) AS p90,
              round(quantile_cont(value, 0.99), 4) AS p99
@@ -659,7 +670,7 @@ object EventStoreQueries {
             "signup" -> "n_signup", "error" -> "n_error"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id,
+      Some(s"""SELECT user_id,
              count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
              count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
@@ -716,7 +727,7 @@ object EventStoreQueries {
               col("le99") >= floor(lit(0.99 - eps) * col("n_vals")), lit(true)).as("p99_ok"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      Some(s"""SELECT event_type, count(DISTINCT user_id) AS exact_users,
              TRUE AS hll_within, TRUE AS p50_ok, TRUE AS p99_ok
              FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -732,7 +743,7 @@ object EventStoreQueries {
             explode(sequence(lit(1), pmod(col("user_id"), lit(5)) + 1)).as("s"))
           .orderBy("user_id", "s")
       },
-      Some("""SELECT user_id, s
+      Some(s"""SELECT user_id, s
              FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
                   UNNEST(generate_series(1, user_id % 5 + 1)) AS t(s)
              ORDER BY user_id, s"""))

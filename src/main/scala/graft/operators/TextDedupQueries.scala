@@ -159,58 +159,113 @@ object TextDedupQueries {
     * survivor). This is the step that turns pairwise near-dup output
     * into an actual dedup decision.
     *
-    * Scale: one join shuffle per round, O(component diameter) rounds —
-    * near-dup graphs are short-diameter by construction (similarity is
-    * near-transitive), so a handful of rounds; for adversarial
-    * diameters the same loop body swaps to the large-star/small-star
-    * contraction (O(log n) rounds) without changing the contract.
-    * Labels persist per round (previous round unpersisted) so each
-    * iteration reads cached state, not the whole lineage.
+    * Scale (the two round-9 fixes, each one shuffle-shape change):
+    *  - DEGREE-1 PRE-CONTRACTION: a leaf's label is decided entirely
+    *    by its one neighbor, so leaves are peeled before the loop and
+    *    re-attached after (one component-min regroup restores the
+    *    "label = min doc_id INCLUDING leaves" contract). Near-dup
+    *    graphs are leaf-heavy — most dups are isolated pairs — so this
+    *    typically halves the iterated edge set.
+    *  - DELTA (frontier) PROPAGATION: labels only ever decrease, so a
+    *    node needs to hear a new minimum exactly once — each round
+    *    joins edges against only the labels that CHANGED last round
+    *    (semi-naïve evaluation), not the full label table. Round 1
+    *    touches every edge; the frontier then collapses geometrically,
+    *    so rounds 2+ cost o(edges) instead of the full-edge shuffle
+    *    that made this the slowest 100×-slice entry (138 s).
+    * The fixpoint is unchanged: a smaller label reaches u the round
+    * after some neighbor first acquires it, values never increase, so
+    * delta ≡ full propagation. O(core diameter) rounds; adversarial
+    * diameters hand off to the large-star/small-star contraction
+    * (O(log n) rounds) with the identical contract. Every round's
+    * state is lineage-TRUNCATED (localCheckpoint) — without it each
+    * plan re-embeds (and Catalyst re-analyzes) the entire upstream
+    * edge-detection pipeline, which was ~3× the round cost.
     */
   def nearDupClusters(s: SparkSession, edgesIn: DataFrame,
                       maxRounds: Int = 20): DataFrame = {
+    // Eager checkpoint BEFORE the symmetrizing union: a lazy persist
+    // does not help there — both union branches scan the un-populated
+    // cache concurrently inside one job, so the (expensive) upstream
+    // pair-detection pipeline ran TWICE. Measured at the 100× slice
+    // this was ~32 s of the operator's 97 s wall.
     val edges = edgesIn.select(col("doc_a"), col("doc_b"))
-      .transform(graft.Caching.persistOnce(_))
-    // Symmetrized, pre-partitioned on the per-round join key, and
-    // lineage-TRUNCATED: without localCheckpoint every round's plan
-    // re-embeds (and Catalyst re-analyzes) the entire upstream
-    // edge-detection pipeline — that re-analysis, not the data, was
-    // ~3× the round cost. Truncation per iteration is the standard
-    // iterative-graph hygiene (GraphX does the same).
+      .localCheckpoint(true)
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_b"))
       .localCheckpoint(true)
-    var labels = sym.select(col("doc_a").as("doc"))
-      .distinct().withColumn("lbl", col("doc"))
+    // ---- degree-1 peel. deg counts edge ROWS (duplicate input edges
+    // inflate it), which is safe: inflation only suppresses a peel,
+    // never peels a non-leaf. deg==1 ⇒ exactly one row ⇒ min(doc_b) IS
+    // the single neighbor. An isolated a—b pair keeps its smaller
+    // endpoint in the core (peel iff the neighbor is non-leaf or
+    // smaller), so a peeled leaf's neighbor is never itself peeled and
+    // the post-loop re-attach join always finds a core label.
+    val degs = sym.groupBy(col("doc_a").as("node"))
+      .agg(count(lit(1)).as("deg"), min(col("doc_b")).as("nbr"))
       .localCheckpoint(true)
+    val leaves = degs.filter(col("deg") === 1)
+      .join(degs.select(col("node").as("nbr"), col("deg").as("nbr_deg")), "nbr")
+      .filter(col("nbr_deg") > 1 || col("nbr") < col("node"))
+      .select(col("node").as("leaf"), col("nbr"))
+      .localCheckpoint(true)
+    val coreSym = sym
+      .join(leaves.select(col("leaf").as("la")), col("doc_a") === col("la"), "left_anti")
+      .join(leaves.select(col("leaf").as("lb")), col("doc_b") === col("lb"), "left_anti")
+      .repartition(col("doc_b"))
+      .localCheckpoint(true)
+    // core nodes (incl. ones isolated by the peel) start self-labeled;
+    // the initial frontier is everything — round 1 ≡ full propagation.
+    var labels = degs.select(col("node").as("doc"))
+      .join(leaves.select(col("leaf").as("doc")), Seq("doc"), "left_anti")
+      .withColumn("lbl", col("doc"))
+      .repartition(col("doc"))
+      .localCheckpoint(true)
+    var frontier = labels
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = sym.join(labels, sym("doc_b") === labels("doc"))
-        .groupBy(sym("doc_a").as("doc")).agg(min(col("lbl")).as("nlbl"))
-      // the convergence check rides in the same pass as the update (a
-      // `changed` flag per row): the eager checkpoint is the round's
-      // one real job, the agg below reads the materialized result.
+    var frontierN = 1L
+    while (frontierN > 0 && round < maxRounds) {
+      // only frontier labels propagate: coreSym keeps its doc_b hash
+      // partitioning across rounds, so this join shuffles just the
+      // (small) frontier side
+      val nbrMin = coreSym
+        .join(frontier.select(col("doc").as("fdoc"), col("lbl")),
+          col("doc_b") === col("fdoc"))
+        .groupBy(col("doc_a").as("doc")).agg(min(col("lbl")).as("nlbl"))
+      // convergence check and next frontier ride the same pass: the
+      // eager checkpoint is the round's one real job, the agg and
+      // filter below read the materialized result
       val next = labels.withColumnRenamed("lbl", "old_lbl")
-        .join(nbrMin, "doc")
-        .select(col("doc"), least(col("old_lbl"), col("nlbl")).as("lbl"),
-          (least(col("old_lbl"), col("nlbl")) =!= col("old_lbl")).as("chg"))
+        .join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("old_lbl"), coalesce(col("nlbl"), col("old_lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("old_lbl")) < col("old_lbl")).as("chg"))
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+      frontierN = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
+      frontier = next.filter(col("chg")).select(col("doc"), col("lbl"))
       labels = next.select(col("doc"), col("lbl"))
       round += 1
     }
-    if (changed > 0) {
-      // adversarial diameter (> maxRounds): hand off to the O(log n)
-      // star contraction instead of failing — same contract, any
-      // correct CC algorithm yields identical clusters
-      return nearDupClustersStar(s, edgesIn)
+    if (frontierN > 0) {
+      // adversarial core diameter (> maxRounds): hand off to the
+      // O(log n) star contraction instead of failing — same contract,
+      // any correct CC algorithm yields identical clusters. Pass the
+      // CHECKPOINTED edges so the detection pipeline is not recomputed.
+      return nearDupClustersStar(s, edges)
     }
-    labels
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("doc") === col("lbl")).as("is_canonical"))
+    // ---- re-attach peeled leaves through their neighbor's component,
+    // then restore "cluster_id = component min" over ALL members (a
+    // peeled leaf may be the true minimum — e.g. the low end of a path)
+    val leafLbls = leaves
+      .join(labels.select(col("doc").as("nbr"), col("lbl")), Seq("nbr"))
+      .select(col("leaf").as("doc"), col("lbl"))
+    val members = labels.select(col("doc"), col("lbl")).union(leafLbls)
+    val compMin = members.groupBy("lbl").agg(min(col("doc")).as("m"))
+    members.join(compMin, "lbl")
+      .select(col("doc").as("doc_id"), col("m").as("cluster_id"),
+        (col("doc") === col("m")).as("is_canonical"))
       .orderBy("doc_id")
   }
 
