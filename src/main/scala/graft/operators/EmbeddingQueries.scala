@@ -397,6 +397,26 @@ object EmbeddingQueries {
   def ivfSampleFor(cells: Int): Int =
     math.min(8192, math.max(IvfSampleN, 32 * cells))
 
+  /** Scaled ADC re-rank budget for the IVF-PQ auto twin. At 4 bits ×
+    * 8 subspaces on this corpus (uncorrelated random vectors — PQ's
+    * adversarial case), the true neighbor's ADC rank scatters across a
+    * roughly constant FRACTION of the probe candidates, so a fixed
+    * re-rank COUNT collapses recall as the candidate set grows with n
+    * (measured on the 10× slice: rerank 32 → recall 0.242 vs the
+    * plain-IVF 0.590 ceiling; 128 → 0.402; 256 → 0.476; 512 → 0.554 ≈
+    * 94% of ceiling, the knee). Budget = ¼ of the expected candidate
+    * count n·nProbes/cells, floored at the oracle constant (so the
+    * formula COINCIDES with PqRerank at oracle scale: 500·3/23 ≈ 65
+    * candidates → floor binds) and capped at 4096 — past the cap the
+    * exact re-rank would dominate the pipeline and plain IVF is the
+    * better operator anyway. On real clustered embeddings the ADC
+    * distortion is far smaller and the floor usually binds; this
+    * formula is sized for the adversarial bound, not the typical case.
+    */
+  def pqRerankFor(n: Long, cells: Int, nProbes: Int): Int =
+    math.min(4096,
+      math.max(PqRerank, math.ceil(0.25 * n.toDouble * nProbes / cells).toInt))
+
   /** The driver's correctness gate runs Verify at sf0.01 — 500
     * embedding rows (TESTDATA.md). The auto twins' oracle SQL below
     * replays the construction at exactly the constants the formulas
@@ -852,16 +872,20 @@ object EmbeddingQueries {
     // the shared ivfCellsFor/ivfProbesFor/ivfSampleFor formulas (the
     // PQ codebooks themselves do NOT grow with n — 4-bit codes are a
     // fixed-rate compression, which is what makes PQ the at-scale
-    // form). The oracle replays at the formulas' sf0.01 values, same
-    // contract as emb_ann_ivf_auto (AnnAutoSizeSpec pins the
-    // coincidence).
+    // form), and the ADC re-rank budget scales via pqRerankFor (a
+    // fixed COUNT collapses recall as the probe set grows — the same
+    // parametric trap round 8 caught for the LSH probe budget). The
+    // oracle replays at the formulas' sf0.01 values, same contract as
+    // emb_ann_ivf_auto (AnnAutoSizeSpec pins the coincidence).
     Q("emb_ann_ivfpq_auto",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val n = e.count()
         val cells = ivfCellsFor(n)
-        annIvfPqTop1(s, e, cells = cells, nProbes = ivfProbesFor(n),
-          sampleN = ivfSampleFor(cells))
+        val nProbes = ivfProbesFor(n)
+        annIvfPqTop1(s, e, cells = cells, nProbes = nProbes,
+          sampleN = ivfSampleFor(cells),
+          rerank = pqRerankFor(n, cells, nProbes))
       },
       Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
         IvfSampleN, PqRerank)))
@@ -982,10 +1006,16 @@ object EmbeddingQueries {
                    iters: Int = IvfIters,
                    nProbes: Int = IvfProbes,
                    sampleN: Int = IvfSampleN,
-                   rerank: Int = PqRerank): DataFrame = {
+                   rerank: Int = PqRerank,
+                   queries: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(s)
     import s.implicits._
     val e = withNorm(e0)
+    // optional query restriction (recall measurement): per-query
+    // independence means the restricted run equals the full run on
+    // those queries — the corpus side (quantizers, inverted file) is
+    // always the FULL e0
+    val q = queries.map(withNorm).getOrElse(e)
     val sample = e0.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
       .as[Array[Float]].collect()
     val coarse = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
@@ -1018,7 +1048,7 @@ object EmbeddingQueries {
     // all 8×16 partial dots for EVERY candidate pair instead of once
     // per (query, probe) row — the same trap withNorm documents,
     // measured at 2.5× total wall on the 10× slice.
-    val probes = e.select(col("vec_id").as("qid"),
+    val probes = q.select(col("vec_id").as("qid"),
       explode(call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes)))
         .as("cell"),
       adcCol.as("adc"), col("nrm").as("qnrm"))
@@ -1053,7 +1083,7 @@ object EmbeddingQueries {
       .groupBy("qid")
       .agg(graft.functions.TopKByScore.topK(rerank)(col("adc_sim"), col("cid")).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cid"))
-    val va = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    val va = q.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("nrm").as("qn"))
     val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("nrm").as("cn"))

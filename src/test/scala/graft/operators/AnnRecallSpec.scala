@@ -175,6 +175,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(frac <= 0.15, f"10× IVF auto candidate budget blown: $frac%.4f")
   }
 
+  test("10× slice: the IVF-PQ auto holds recall near plain-IVF auto at the scaled budget") {
+    import org.apache.spark.sql.functions._
+    assume(slice10xEmb.isDefined, "10× slice tmp/sf1ish not present")
+    val e = slice10xEmb.get
+    val n = e.count()
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val exact = exactTop1On(e, q)
+    val cells = EmbeddingQueries.ivfCellsFor(n)
+    val nProbes = EmbeddingQueries.ivfProbesFor(n)
+    val rerank = EmbeddingQueries.pqRerankFor(n, cells, nProbes)
+    val got = EmbeddingQueries.annIvfPqTop1(spark, e, cells = cells,
+        nProbes = nProbes, sampleN = EmbeddingQueries.ivfSampleFor(cells),
+        rerank = rerank, queries = Some(q))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = got.count { case (qid, cid) => exact(qid)._1 == cid }.toDouble / exact.size
+    info(f"10× IVF-PQ auto (cells=$cells rerank=$rerank): recall=$recall%.3f")
+    // A FIXED rerank budget is the parametric scale trap this test
+    // exists to catch: at rerank=32 the 10× recall collapsed to 0.242
+    // (ADC rank of the true neighbor scatters over a constant FRACTION
+    // of the ~2500 probe candidates, so a constant count keeps an
+    // ever-thinner slice). pqRerankFor's ¼-of-candidates budget
+    // measured 0.572 here — 96% of the plain-IVF 0.590 ceiling; floor
+    // sits under it with the usual margin.
+    assert(recall >= 0.50, f"10× IVF-PQ auto recall eroded: $recall%.3f")
+  }
+
   test("LSH candidate budget: the probe set stays a small fraction of the pair space") {
     // The recall floors above are HALF the contract: without a budget
     // ceiling, a tuning change could buy them back by probing toward

@@ -49,6 +49,33 @@ class NearDupClustersSpec extends SparkSpec {
       "any correct CC algorithm must produce identical (node -> min-label) maps")
   }
 
+  test("pure matching (every node a leaf): peel keeps the smaller endpoint, labels stay per-pair") {
+    import spark.implicits._
+    // the degree-1 pre-contraction's boundary case: EVERY node has
+    // degree 1, so the core is only the smaller endpoints (isolated
+    // after the peel) — each pair must still label to its minimum,
+    // including the (20, 4) row where the min enters reversed
+    val edges = Seq((1L, 2L), (3L, 5L), (20L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = TextDedupQueries.nearDupClusters(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 4L, true),
+      (5L, 3L, false), (6L, 6L, true), (7L, 6L, false), (20L, 4L, false)))
+  }
+
+  test("star graph with the min at a spoke: all spokes peel, component min survives the re-attach") {
+    import spark.implicits._
+    // hub 50 with spokes {10, 60, 70, 80}: every spoke is a leaf and
+    // peels; the core is the isolated hub (label 50) — the re-attach
+    // regroup must still find 10 (a PEELED node) as the component min
+    val edges = Seq((50L, 10L), (50L, 60L), (50L, 70L), (50L, 80L)).toDF("doc_a", "doc_b")
+    val got = TextDedupQueries.nearDupClusters(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (10L, 10L, true), (50L, 10L, false), (60L, 10L, false),
+      (70L, 10L, false), (80L, 10L, false)))
+  }
+
   test("adversarial diameter: a 60-node chain exceeds the label-prop round bound and falls back") {
     import spark.implicits._
     // chain 60-59-…-1 with the min at the far end: label prop needs 59
