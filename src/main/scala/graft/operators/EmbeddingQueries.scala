@@ -525,6 +525,94 @@ object EmbeddingQueries {
       .orderBy("vid_a", "vid_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup via clustering: k-means cells (the SAME KMeansLite coarse
+    * quantizer as the IVF family — replayable by spec), then cosine
+    * similarity is computed only WITHIN each cell, and a vector is a
+    * semantic duplicate iff some LOWER-vec_id cell-mate is within
+    * `tau` — "keep the earliest-ingested member of every
+    * high-similarity group", the deterministic form of the paper's
+    * keep-one rule. Emits every vector with its cell, its max
+    * similarity to a prior cell-mate, and the drop verdict — the
+    * audit-friendly shape (the kept set is `WHERE NOT is_dup`).
+    *
+    * Scale: this is the paper's own trick — clustering bounds the
+    * pair space. With cells ~√n (ivfCellsFor), per-cell membership is
+    * ~√n, so the pair join is ~n^1.5 total (vs n² all-pairs), and it
+    * shuffles by cell with map-side-combined max aggregation. The
+    * quantizer fit stays a bounded driver micro-task (≤8192-row
+    * sample), centers enter the plan as a literal — same discipline
+    * as annIvfCandidates.
+    */
+  def semDedup(s: SparkSession, e: DataFrame,
+               cells: Int = IvfCells,
+               iters: Int = IvfIters,
+               sampleN: Int = IvfSampleN,
+               tau: Double = SemDedupTau): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
+      .as[Array[Float]].collect()
+    val centers = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
+    val cLit = typedlit(centers.map(_.toSeq).toSeq)
+    val assigned = withNorm(e.select(col("vec_id"), col("embedding"),
+      element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
+        .cast("long").as("cell")))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    // per-cell pairs, oriented (lower id → candidate): the b side is
+    // the one on trial, its max over prior mates decides the drop
+    val agg = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select(col("b_id").as("vec_id"),
+        round(dotOverNorms(s, col("a_emb"), col("b_emb"),
+          col("a_nrm"), col("b_nrm")), 6).as("sim"))
+      .groupBy("vec_id").agg(max(col("sim")).as("max_sim_prior"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_sim_prior"),
+        coalesce(col("max_sim_prior") >= tau, lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** Threshold chosen against the driver corpus statistics: random
+    * 64-dim vectors pair at p99 ≈ 0.29 cosine, so 0.3 marks the
+    * genuinely-close tail while leaving both verdicts populated at
+    * oracle scale (a threshold past the corpus max ≈ 0.51 would make
+    * `is_dup` vacuously false and verify nothing).
+    */
+  private val SemDedupTau = 0.3
+
+  /** Full DuckDB replay of [[semDedup]]: the Lloyd fit via
+    * [[fitCteBlock]], assignment, within-cell oriented pairs, the
+    * prior-mate max, and the verdict — CTE for CTE.
+    */
+  private def semDedupOracleSql(k: Int, iters: Int, sampleN: Int, tau: Double): String = {
+    def dist(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    s"""WITH samp AS (
+         SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+       ${fitCteBlock("", 0, 64, k, iters)},
+       n AS (
+         SELECT vec_id, cell, embedding,
+                sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         FROM (
+           SELECT e.vec_id, f.cell, e.embedding,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn = 1),
+       agg AS (
+         SELECT b.vec_id,
+                max(round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)) AS max_sim_prior
+         FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         GROUP BY b.vec_id)
+       SELECT n.vec_id, n.cell, agg.max_sim_prior,
+              COALESCE(agg.max_sim_prior >= $tau, FALSE) AS is_dup
+       FROM n LEFT JOIN agg ON n.vec_id = agg.vec_id
+       ORDER BY n.vec_id"""
+  }
+
   /** Deterministic pseudo-random hyperplane matrix (splitmix64 →
     * uniform [-1, 1] floats): any fixed plane family works — recall is
     * tuned by bands × bits and candidates are re-verified exactly.
@@ -888,7 +976,31 @@ object EmbeddingQueries {
           rerank = pqRerankFor(n, cells, nProbes))
       },
       Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
-        IvfSampleN, PqRerank)))
+        IvfSampleN, PqRerank))),
+
+    // ----------------------------------------------------------------
+    // SemDeDup (cluster-then-dedup semantic near-dup removal — see
+    // [[semDedup]]): the embedding-space analogue of
+    // doc_neardup_clusters' "turn pairs into a dedup decision", with
+    // the pair space bounded by k-means cells instead of LSH bands.
+    Q("emb_semdedup",
+      (s, d) => semDedup(s, Tables.embeddings(s, d)),
+      Some(semDedupOracleSql(IvfCells, IvfIters, IvfSampleN, SemDedupTau))),
+
+    // Corpus-sized twin: cells ~√n via the shared ivfCellsFor (per-cell
+    // membership ~√n keeps the within-cell pair join at n^1.5), sample
+    // sized to the cells. Like emb_ann_ivf_auto, ivfCellsFor is off
+    // its floor at the oracle scale, so the oracle replays at the
+    // formulas' sf0.01 values (AnnAutoSizeSpec pins the constants).
+    Q("emb_semdedup_auto",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        semDedup(s, e, cells = cells, sampleN = ivfSampleFor(cells))
+      },
+      Some(semDedupOracleSql(ivfCellsFor(OracleScaleN), IvfIters,
+        ivfSampleFor(ivfCellsFor(OracleScaleN)), SemDedupTau)))
   )
 
   /** The emb_ann_lsh pipeline body, parameterized (the registry entry
