@@ -28,6 +28,11 @@ object CorpusQueries {
 
   private val ChunkLen = 20
   private val ChunkStride = 15
+  // DSIR constants — must precede `val all` (the oracle-SQL string
+  // interpolates them at object init; a later declaration reads as
+  // 0/null there, which is exactly the bug this comment prevents)
+  private val DsirBuckets = 4096
+  private val DsirTargetLang = "en"
 
   /** Sliding-window word chunking: fixed window of 20 words, stride 15
     * (25% overlap), final partial window kept. The shape every
@@ -339,6 +344,99 @@ object CorpusQueries {
                          FROM g LEFT JOIN shared s USING (g) GROUP BY doc_id)
              SELECT doc_id, n_grams, n_shared,
                     round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS share_ratio
-             FROM per_doc ORDER BY doc_id"""))
+             FROM per_doc ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    // Data Selection via Importance Resampling): score every raw
+    // document by the log importance ratio log p_target(x)/p_raw(x)
+    // under two hashed-n-gram unigram models — the weights a pipeline
+    // feeds to Gumbel-top-k resampling to tilt a web crawl toward a
+    // target domain. Here: features = word bigrams hashed into
+    // B=4096 buckets (3 hex digits of md5 — the doc_simhash
+    // discipline: md5 is the one hash both engines compute
+    // identically), target = the `lang = 'en'` slice, raw = the whole
+    // corpus, add-one smoothing on both.
+    //
+    // Determinism across engines: each bucket's log-ratio term is
+    // ln of ONE IEEE division of two exact-integer products
+    // ((ct+1)(R+B) / ((cr+1)(T+B)), all factors < 2^26 here so the
+    // double products are exact), floored to integer micro-nats —
+    // doc_lm_nll's ln-boundary contract. Per-doc sums are exact longs;
+    // avg is one rounded division.
+    //
+    // Scale: the model is B ≤ 4096 rows — broadcast by construction
+    // (vs doc_lm_nll's corpus-dependent vocabulary, which needs the
+    // size-guarded fallback); the bigram stream is probe-side only,
+    // map-side-combined into ≤B-row partials for the stats pass and
+    // one row per doc for the scoring pass. Two narrow shuffles total,
+    // both bounded; never the corpus.
+    Q("doc_dsir_weights",
+      (s, d) => docDsirWeights(Tables.documents(s, d)),
+      Some(dsirOracleSql)),
   )
+
+  private[operators] def docDsirWeights(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      split(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+    val occ = toks.select(col("doc_id"), col("lang"),
+        explode(when(size(col("ws")) >= 2,
+          expr("""transform(sequence(1, size(ws) - 1),
+                   i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        expr("int(conv(substring(md5(g), 1, 3), 16, 10))").as("bucket"))
+    val stats = occ.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("ct"))
+    val totals = stats.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val terms = stats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(((col("ct") + 1).cast("double") * (col("r") + DsirBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("t") + DsirBuckets).cast("double"))) * lit(1e6))
+          .cast("long").as("lw_micro"))
+    occ.join(broadcast(terms), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lw_micro")).as("logw_micro_sum"))
+      // floor-quantized to 1e-6, not round(): the avg landed exactly
+      // on a half-tie at sf0.01 and the engines' round() modes split;
+      // floor of a double is representation-exact on both
+      .withColumn("avg_logw",
+        floor(col("logw_micro_sum").cast("double") / lit(1e6) / col("n_grams") * lit(1e6)) / lit(1e6))
+      .orderBy("doc_id")
+  }
+
+  private def dsirOracleSql: String = {
+    // 3-hex-digit md5 prefix → bucket ∈ [0, 4096): the strpos hex
+    // parse (doc_simhash's oracle idiom)
+    def hexd(i: Int) = s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    s"""WITH w AS (
+         SELECT doc_id, lang,
+                string_split(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+         FROM documents),
+       bix AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM w),
+       occ AS (
+         SELECT doc_id,
+                ${hexd(1)} * 256 + ${hexd(2)} * 16 + ${hexd(3)} AS bucket, lang
+         FROM (SELECT doc_id, lang, md5(ws[i] || ' ' || ws[i + 1]) AS h FROM bix)),
+       stats AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+                CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS ct
+         FROM occ GROUP BY bucket),
+       tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS t FROM stats),
+       terms AS (
+         SELECT bucket,
+                CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(r + $DsirBuckets AS DOUBLE)) /
+                  (CAST(cr + 1 AS DOUBLE) * CAST(t + $DsirBuckets AS DOUBLE))) * 1e6) AS BIGINT) AS lw_micro
+         FROM stats CROSS JOIN tot),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(lw_micro) AS BIGINT) AS logw_micro_sum
+         FROM occ JOIN terms USING (bucket) GROUP BY doc_id)
+       SELECT doc_id, n_grams, logw_micro_sum,
+              floor(CAST(logw_micro_sum AS DOUBLE) / 1e6 / n_grams * 1e6) / 1e6 AS avg_logw
+       FROM agg ORDER BY doc_id"""
+  }
 }
