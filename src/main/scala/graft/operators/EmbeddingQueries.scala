@@ -59,6 +59,28 @@ object EmbeddingQueries {
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
       .transform(graft.Caching.persistOnce(_))
 
+  /** Row ceiling for explicitly broadcasting a corpus-VECTOR side
+    * (~264 B/row → ~264 MB at the cap). The round-8 100× slice
+    * measured why the hint matters: at 200 k vectors the vector table
+    * is 53 MB — past the planner's default autoBroadcast threshold,
+    * so the ANN re-rank joins silently degraded to shuffling the
+    * candidate PAIR stream with a 264 B vector attached to every row
+    * (5.4 GB of exchange, 278 s wall for emb_ann_lsh_auto). With the
+    * corpus side broadcast, the pair stream never re-shuffles: the
+    * per-pair exchange payload drops to the bare (qid, cid) ids.
+    * Past the cap the plan falls back to the shuffle join (AQE picks
+    * the strategy) — and past ~25 M vectors the designed form is
+    * IVF-PQ's CODED inverted file, whose 12 B/row broadcast survives
+    * another 20×.
+    */
+  private val AnnBroadcastCeilingRows = 1000000L
+
+  /** Size-guarded corpus-side broadcast (see AnnBroadcastCeilingRows);
+    * `n` is the corpus row count the caller already holds or counts.
+    */
+  private def maybeBroadcastVectors(df: DataFrame, n: Long): DataFrame =
+    if (n <= AnnBroadcastCeilingRows) broadcast(df) else df
+
   /** DuckDB-side: the same sequential fold (list index is 1-based).
     * NOTE (shared by every oracle below): the bit-identity claims
     * assume DuckDB's list_sum evaluates as a sequential left fold —
@@ -669,7 +691,10 @@ object EmbeddingQueries {
     // side on a real corpus, the vector table is O(corpus)).
     val va = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    candidates.join(va, "vid_a").join(vb, "vid_b")
+    // corpus side broadcast under the size guard (AnnBroadcastCeiling-
+    // Rows): the ea-widened pair stream then never re-shuffles for the
+    // second join — same 100× rationale as annLshTop1
+    candidates.join(va, "vid_a").join(maybeBroadcastVectors(vb, e.count()), "vid_b")
       .withColumn("sim", round(
         dotOverNorms(s, col("ea"), col("eb"), col("na"), col("nb")), 6))
       .filter(col("sim") >= threshold)
@@ -1023,8 +1048,13 @@ object EmbeddingQueries {
     // must carry (qid, cid, sim), never the two vectors — belt and
     // braces against a pruning regression (at corpus scale the wide
     // form shuffles ~0.5 kB × candidate pairs); top1BySim then
-    // reduces map-side, so the exchange is ~one row per (query, task)
-    top1BySim(candidates.join(va, "qid").join(vb, "cid")
+    // reduces map-side, so the exchange is ~one row per (query, task).
+    // Join order is load-bearing: va first (pairs shuffle NARROW, 16 B,
+    // qe attaches once per pair but in-place), then the corpus side
+    // broadcast under the size guard — so the qe-widened pair stream
+    // never hits an exchange (the 100× lesson, AnnBroadcastCeilingRows)
+    top1BySim(candidates.join(va, "qid")
+      .join(maybeBroadcastVectors(vb, e.count()), "cid") // count warms the persisted e
       .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
       .select(col("qid"), col("cid"), col("sim")))
   }
@@ -1089,7 +1119,14 @@ object EmbeddingQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
           .as("cell"))
-    probes.join(assigned, Seq("cell")).filter(col("qid") =!= col("cid"))
+    // size-guarded broadcast of the inverted file: below the ceiling
+    // the cell join is map-side — the probe stream (nProbes vector
+    // copies per query) and the corpus side BOTH skip their by-cell
+    // exchanges, and the pair matrix materializes in place (the same
+    // broadcast IVF-PQ's coded file gets unconditionally; raw vectors
+    // need the row guard)
+    probes.join(maybeBroadcastVectors(assigned, e.count()), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
   }
 
   /** IVF-PQ top-1 (see the registry entry for the scale rationale).
