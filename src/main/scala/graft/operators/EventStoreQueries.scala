@@ -746,6 +746,48 @@ object EventStoreQueries {
       Some(s"""SELECT user_id, s
              FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
                   UNNEST(generate_series(1, user_id % 5 + 1)) AS t(s)
-             ORDER BY user_id, s"""))
+             ORDER BY user_id, s""")),
+
+    // ----------------------------------------------------------------
+    // SCD2 (slowly-changing-dimension type-2) interval builder: turn
+    // the per-user event stream into a validity-interval dimension —
+    // the standard event-log → warehouse-dimension op. Consecutive
+    // events with the SAME state (event_type here) compact into one
+    // interval (classic SCD2 change capture): keep only change rows
+    // (state ≠ previous state), then valid_to = next change's
+    // valid_from; the open interval (valid_to IS NULL) is current.
+    // Scale: both windows share ONE partitioning (user_id) — a single
+    // shuffle, no self-join, each user's history sorted independently;
+    // at 100 TB this is a hash-partition by entity plus a per-entity
+    // sort, the same shape any CDC compaction job runs.
+    Q("es_scd2_intervals",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts"), col("event_id"))
+          .withColumn("prev_state", lag(col("state"), 1).over(wOrd))
+          .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+          .withColumn("valid_to_raw", lead(col("ts"), 1).over(wOrd))
+          .select(col("user_id"), col("state"),
+            col("ts").cast("timestamp_ntz").as("valid_from"),
+            col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
+            col("valid_to_raw").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "state")
+      },
+      Some(s"""WITH e AS (
+               SELECT user_id, event_type AS state, $TsSql AS ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_state
+               FROM events),
+             chg AS (
+               SELECT user_id, state, ts, event_id FROM e
+               WHERE prev_state IS NULL OR state <> prev_state)
+             SELECT user_id, state, ts AS valid_from,
+                    lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to,
+                    (lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL) AS is_current
+             FROM chg ORDER BY user_id, valid_from, state"""))
   )
 }

@@ -475,6 +475,31 @@ object TextDedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared WITH-chain of the bigram-LM DuckDB oracle, ending at
+    * `agg(doc_id, n_bigrams, nll_micro_sum)` — reused verbatim by
+    * doc_lm_nll and the CCNet bucket op so the two stay pinned to ONE
+    * model definition (the uncapped model; the Spark-side top-V cap is
+    * non-binding at oracle scale, LmNllVocabCapSpec).
+    */
+  private val lmNllOracleCtes: String =
+    """WITH w AS (
+               SELECT doc_id,
+                      string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+               FROM documents),
+             tok AS (SELECT unnest(ws) AS w1 FROM w),
+             uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w1),
+             v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+             bix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+             bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bix),
+             bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+             agg AS (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(CAST(floor(ln(CAST(c1 + v.v AS DOUBLE) /
+                        CAST(cb + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS nll_micro_sum
+               FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+               GROUP BY doc_id)"""
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -525,26 +550,50 @@ object TextDedupQueries {
     // stays valid verbatim.
     Q("doc_lm_nll",
       (s, d) => docLmNll(Tables.documents(s, d)),
-      Some("""WITH w AS (
-               SELECT doc_id,
-                      string_split(trim(regexp_replace(regexp_replace(lower(text),
-                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
-               FROM documents),
-             tok AS (SELECT unnest(ws) AS w1 FROM w),
-             uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w1),
-             v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-             bix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
-             bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bix),
-             bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
-             agg AS (
-               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                      CAST(sum(CAST(floor(ln(CAST(c1 + v.v AS DOUBLE) /
-                        CAST(cb + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS nll_micro_sum
-               FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-               GROUP BY doc_id)
+      Some(s"""$lmNllOracleCtes
              SELECT doc_id, n_bigrams, nll_micro_sum,
                     round(CAST(nll_micro_sum AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_nll
              FROM agg ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // CCNet-style quality buckets: per-LANGUAGE perplexity tertiles
+    // (head = lowest avg NLL = most fluent; tail = the gibberish the
+    // filter drops). Reuses the doc_lm_nll scoring pipeline, joins the
+    // language column back, and assigns NTILE(3) per language ordered
+    // by (avg_nll, doc_id) — the doc_id tiebreak makes the split
+    // deterministic across engines. avg_nll is one IEEE division of
+    // exact integers, so the ordering is engine-independent.
+    // Scale note: ntile-per-language hashes each language to ONE
+    // window partition — at 100 TB the production form replaces the
+    // full per-lang sort with tertile CUTOFFS fit on a bounded
+    // per-lang sample (the actual CCNet method) and a broadcast
+    // cutoff join; the bucket semantics pinned here are identical.
+    Q("doc_ccnet_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val wb = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+        docLmNll(docs)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("tertile", ntile(3).over(wb))
+          .select(col("doc_id"), col("lang"), col("avg_nll"), col("tertile"),
+            when(col("tertile") === 1, "head")
+              .when(col("tertile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$lmNllOracleCtes,
+             scored AS (
+               SELECT a.doc_id, d.lang,
+                      round(CAST(a.nll_micro_sum AS DOUBLE) / 1e6 / a.n_bigrams, 6) AS avg_nll
+               FROM agg a JOIN documents d ON a.doc_id = d.doc_id)
+             SELECT doc_id, lang, avg_nll,
+                    CAST(ntile(3) OVER (PARTITION BY lang
+                      ORDER BY avg_nll, doc_id) AS INT) AS tertile,
+                    CASE ntile(3) OVER (PARTITION BY lang
+                      ORDER BY avg_nll, doc_id)
+                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                    END AS bucket
+             FROM scored ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
     // Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
@@ -985,6 +1034,78 @@ object TextDedupQueries {
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
              FROM corpus WHERE g IN (SELECT g FROM bench)
              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Bloom-filter decontamination — the SCALE path for the op above.
+    // The exact form joins the corpus gram stream against the benchmark
+    // gram SET; at 100 TB the right plan replaces that set with a
+    // Bloom filter a few MB wide that every executor holds. This
+    // implementation builds the bloom AS RELATIONAL DATA so the whole
+    // construction replays in the oracle: k=4 positions per gram, each
+    // the first-6-hex-digit value of md5(gram || '#' || salt) (m =
+    // 16^6 ≈ 16.8M addressable bits ≈ 2 MB as a real bitset); the
+    // filter is the distinct position set of the benchmark grams, and
+    // a corpus gram "hits" iff ALL 4 of its positions are present —
+    // Bloom semantics exactly: zero false negatives (always ⊇ the
+    // exact doc_decontaminate hits), false positives only from 4-way
+    // position collisions (≈(fill)^4 ≈ 1e-5 here). Plan shape: the
+    // position table is benchmark-bounded → broadcast-hash-join; the
+    // ×4-salted corpus gram stream stays in one codegen span through
+    // the probe and only SURVIVING rows shuffle (keyed (doc_id, g),
+    // then doc_id — both map-side combined). Deterministic: md5 on
+    // both engines, no engine-private bloom internals.
+    Q("doc_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .withColumn("g8", when(size(col("ws")) >= 8,
+            expr("""array_distinct(transform(sequence(0, size(ws) - 8),
+                     i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          .select(col("doc_id"), col("g8"))
+          .transform(graft.Caching.persistOnce(_))
+        def withPos(df: DataFrame): DataFrame = df
+          .withColumn("salt", explode(sequence(lit(0), lit(3))))
+          .withColumn("pos",
+            expr("CAST(conv(substring(md5(concat(g, '#', CAST(salt AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        val benchPos = withPos(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(explode(col("g8")).as("g")).distinct())
+          .select("pos").distinct()
+        val corpus = withPos(
+          docs.filter(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), explode(col("g8")).as("g")))
+        corpus.join(benchPos, "pos")
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("k_hit"))
+          .filter(col("k_hit") === 4)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hexVal = (1 to 6).map(i =>
+          s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+          .mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                         FROM documents),
+             sh AS (SELECT doc_id,
+                           CASE WHEN len(ws) >= 8
+                                THEN list_distinct([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                                                    FOR i IN range(1, len(ws) - 6)])
+                                ELSE [] END AS s
+                    FROM w),
+             salts AS (SELECT unnest([0, 1, 2, 3]) AS j),
+             bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+             bh AS (SELECT md5(g || '#' || CAST(j AS VARCHAR)) AS h FROM bg, salts),
+             bp AS (SELECT DISTINCT CAST($hexVal AS BIGINT) AS pos FROM bh),
+             cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 7 <> 0),
+             ch AS (SELECT doc_id, g, md5(g || '#' || CAST(j AS VARCHAR)) AS h
+                    FROM cg, salts),
+             cp AS (SELECT doc_id, g, CAST($hexVal AS BIGINT) AS pos FROM ch),
+             hit AS (SELECT doc_id, g FROM cp JOIN bp USING (pos)
+                     GROUP BY doc_id, g HAVING count(*) = 4)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+             FROM hit GROUP BY doc_id ORDER BY doc_id"""
+      }),
 
     // ----------------------------------------------------------------
     // Cross-document long-substring dedup (the Lee et al.
