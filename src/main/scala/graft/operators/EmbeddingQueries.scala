@@ -751,6 +751,22 @@ object EmbeddingQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** JL projection output width (emb_rand_proj). Declared before
+    * `all` — the oracle SQL embeds it eagerly at object init.
+    */
+  private val JlOutDims = 16
+
+  /** Deterministic ±1 sign matrix for emb_rand_proj: one LCG stream
+    * (Numerical Recipes constants), bit 16 as the sign — seeded by a
+    * fixed constant so the matrix is part of the operator definition,
+    * identical in the Spark plan and the DuckDB oracle.
+    */
+  private def jlSigns(j: Int): IndexedSeq[Int] =
+    (0 until 64).map { dim =>
+      val x = (j * 64 + dim + 12345) * 1664525L + 1013904223L
+      if (((x >>> 16) & 1L) == 1L) 1 else -1
+    }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -1025,7 +1041,51 @@ object EmbeddingQueries {
         semDedup(s, e, cells = cells, sampleN = ivfSampleFor(cells))
       },
       Some(semDedupOracleSql(ivfCellsFor(OracleScaleN), IvfIters,
-        ivfSampleFor(ivfCellsFor(OracleScaleN)), SemDedupTau)))
+        ivfSampleFor(ivfCellsFor(OracleScaleN)), SemDedupTau))),
+
+    // ----------------------------------------------------------------
+    // Johnson-Lindenstrauss random projection 64 → 16 dims (the
+    // embedding-compression step before sketching/ANN at 100 TB: a
+    // sign-matrix projection preserves pairwise distances to within
+    // 1/√16 distortion, Achlioptas 2001 — ±1 entries suffice). The
+    // sign matrix is a DETERMINISTIC literal (seeded LCG, generated
+    // once at plan build) embedded in both engines' plans, so the op
+    // replays exactly. Determinism of the sums: each term is
+    // floor(v·1e6)·(±1) — exact integers — so the per-output sum is
+    // order-independent and the single closing division is correctly
+    // rounded. Plan shape: a pure per-row map (16 zip_with/aggregate
+    // folds inside one codegen span) — NO shuffle, no explode, no
+    // join; at 100 TB this is a scan-transform at full parallelism.
+    // The long-form unpivot (stack) stays row-local.
+    Q("emb_rand_proj",
+      (s, d) => {
+        val projCols = (0 until JlOutDims).map { j =>
+          val signs = jlSigns(j).mkString(",")
+          expr(s"""aggregate(zip_with(embedding, array($signs),
+                     (x, sg) -> floor(CAST(x AS DOUBLE) * 1e6) * sg),
+                   0D, (acc, t) -> acc + t) / 1e6""").as(s"p$j")
+        }
+        val stackArgs = (0 until JlOutDims).map(j => s"$j, p$j").mkString(", ")
+        Tables.embeddings(s, d)
+          .select(col("vec_id") +: projCols: _*)
+          .select(col("vec_id"),
+            expr(s"stack($JlOutDims, $stackArgs)").as(Seq("j", "p")))
+          .orderBy("vec_id", "j")
+      },
+      Some {
+        // relational mirror: the same literal matrix as a VALUES table,
+        // exploded components joined on dim — affordable at oracle scale
+        val sgnRows = (for (j <- 0 until JlOutDims; dim <- 0 until 64)
+          yield s"($dim, $j, ${jlSigns(j)(dim)})").mkString(", ")
+        s"""WITH sgn(dim, j, sg) AS (VALUES $sgnRows),
+             comps AS (
+               SELECT vec_id, i - 1 AS dim,
+                      floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS v
+               FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g)
+             SELECT vec_id, CAST(j AS INT) AS j, sum(v * sg) / 1e6 AS p
+             FROM comps JOIN sgn USING (dim)
+             GROUP BY vec_id, j ORDER BY vec_id, j"""
+      })
   )
 
   /** The emb_ann_lsh pipeline body, parameterized (the registry entry

@@ -72,6 +72,30 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_rand_proj: shuffle-free plan and JL norm preservation") {
+    val df = Registry.byName("emb_rand_proj").run(spark, sf)
+    // the projection itself is a pure per-row map — the ONLY exchange
+    // allowed in the plan is the closing presentation orderBy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      "emb_rand_proj should not hash-shuffle — it is a per-row map")
+    val proj = df.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val orig = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(proj.keySet == orig.keySet)
+    assert(proj.values.forall(_.length == 16))
+    // E[||Px||^2] = 16 * ||x||^2 for a ±1 sign matrix; averaged over
+    // the corpus the ratio concentrates — allow a generous band.
+    val ratios = proj.toSeq.map { case (id, p) =>
+      val pn = p.map(x => x * x).sum / 16.0
+      val on = orig(id).map(x => x * x).sum
+      pn / on
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean norm ratio off: $mean")
+  }
+
   test("doc_decontaminate_bloom: zero false negatives vs the exact join (superset)") {
     val exact = Registry.byName("doc_decontaminate").run(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
