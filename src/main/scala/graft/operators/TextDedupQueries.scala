@@ -747,6 +747,71 @@ object TextDedupQueries {
              ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1, the repetition
+    // rules living separately in doc_repetition): five named
+    // quality-gate rules with per-rule booleans plus the combined
+    // keep verdict — the form a corpus pipeline actually materializes,
+    // so drops are ATTRIBUTABLE to a rule rather than a single opaque
+    // score (doc_quality emits the raw ratios; this op emits the
+    // decisions). All signals are integer counts or one IEEE division
+    // of exact integers — engine-identical. Scan-shaped: per-row map +
+    // presentation sort, no shuffle beyond the orderBy.
+    Q("doc_gopher_rules",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
+          .withColumn("n_words", size(col("words")))
+          .withColumn("sum_len", aggregate(col("words"), lit(0),
+            (acc, w) => acc + length(w)))
+          .withColumn("n_alpha", size(expr("filter(words, w -> w rlike '[a-z]')")))
+          .withColumn("n_sym",
+            (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+              (length(col("text")) -
+                length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .withColumn("n_stop_distinct", size(array_intersect(col("words"),
+            array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+              .map(lit): _*))))
+          .select(col("doc_id"), col("n_words"),
+            (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+            (col("sum_len").cast("double") / col("n_words") >= 3.0 &&
+              col("sum_len").cast("double") / col("n_words") <= 10.0).as("r_mean_len"),
+            (col("n_sym").cast("double") / col("n_words") <= 0.1).as("r_symbol"),
+            (col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+            (col("n_stop_distinct") >= 2).as("r_stopwords"))
+          .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
+            col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+               SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[^ ]+') AS words
+               FROM documents),
+             m AS (
+               SELECT doc_id,
+                      len(words) AS n_words,
+                      list_sum(list_transform(words, x -> len(x))) AS sum_len,
+                      len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                      (len(text) - len(replace(text, '#', ''))) +
+                        (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS n_sym,
+                      len(list_intersect(words,
+                        ['the','be','to','of','and','that','have','with'])) AS n_stop_distinct
+               FROM w)
+             SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                    (CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
+                     CAST(sum_len AS DOUBLE) / n_words <= 10.0) AS r_mean_len,
+                    (CAST(n_sym AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+                    (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+                    (n_stop_distinct >= 2) AS r_stopwords,
+                    (n_words >= 50 AND n_words <= 100000 AND
+                     CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
+                     CAST(sum_len AS DOUBLE) / n_words <= 10.0 AND
+                     CAST(n_sym AS DOUBLE) / n_words <= 0.1 AND
+                     CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND
+                     n_stop_distinct >= 2) AS keep
+             FROM m ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Language ID, n-gram/stopword-vote heuristic: score each language
     // family by marker-word hits, argmax with deterministic tie-break.
     // (The heuristic itself is the operator under test — the oracle
