@@ -1302,18 +1302,44 @@ object EmbeddingQueries {
       .select(col("qid"), col("cid"), col("sim")))
   }
 
+  /** Candidate-id headroom of the top-1 encoding below: cid must fit
+    * in [0, 2^43) — ~8.8e12 ids, an order of magnitude past a
+    * 100 TB / 256 B-per-vector corpus — so that sim_micro ∈ [-1e6, 1e6]
+    * times 2^43 plus the id stays inside a signed long (8.80e18 <
+    * Long.Max 9.22e18).
+    */
+  private val Top1CidSpace = 1L << 43
+
   /** Aggregation-shaped exact-top-1: row-for-row equal to
     * `row_number().over(partitionBy(qid).orderBy(sim desc, cid asc))
-    * = 1` (struct max compares sim first, then -cid — highest sim,
-    * ties to the LOWEST cid), but executes as a map-side-combinable
-    * hash aggregate: each task reduces its candidate slice to one row
-    * per query before the exchange, where the window form shuffles
-    * and SORTS the entire candidate matrix. At the 10× slice this is
-    * the difference between exchanging ~50 M rows and ~q·tasks rows.
+    * = 1` — highest sim, ties to the LOWEST cid.
+    *
+    * The (sim, cid) order is packed into ONE long —
+    * `round(sim·1e6)·2^43 + (2^43−1−cid)` — because that is what makes
+    * the aggregate actually hash-based: `max(struct(sim, -cid))`, the
+    * previous form, has an immutable struct buffer, so Spark silently
+    * planned SortAggregateExec and SORTED (and at the 100× slice,
+    * SPILLED) every partition's full candidate slice by qid before
+    * combining — the very cost this helper exists to avoid. A long
+    * max runs as whole-stage-codegen HashAggregate with map-side
+    * partial combine: each task reduces its slice to one row per query
+    * before the exchange. Encoding is exact: sim is already rounded to
+    * 6 decimals, so round(sim·1e6) recovers the integer k exactly, and
+    * k/1e6 at decode is the identical correctly-rounded double;
+    * lexicographic (sim_micro, −cid) order is preserved because the id
+    * term stays in [0, 2^43). Decode uses shiftright (arithmetic =
+    * floor division by 2^43, correct for negative sim).
     */
-  private def top1BySim(cands: DataFrame): DataFrame =
-    cands.groupBy("qid")
-      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("qid"), (-col("m.nc")).as("cid"), col("m.sim").as("sim"))
+  private def top1BySim(cands: DataFrame): DataFrame = {
+    val enc = round(col("sim") * 1e6).cast("long") * Top1CidSpace +
+      (lit(Top1CidSpace - 1) - col("cid"))
+    val sm = shiftright(col("m"), 43)
+    cands
+      .select(col("qid"), enc.as("enc"))
+      .groupBy("qid").agg(max(col("enc")).as("m"))
+      .select(col("qid"),
+        (lit(Top1CidSpace - 1) - (col("m") - sm * Top1CidSpace)).as("cid"),
+        (sm.cast("double") / 1e6).as("sim"))
       .orderBy("qid")
+  }
 }

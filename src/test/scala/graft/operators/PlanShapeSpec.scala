@@ -67,4 +67,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joinSection.contains("embedding"),
       s"emb_ann_lsh shuffles embeddings through the band join:\n$joinSection")
   }
+
+  test("ANN top-1 runs as a hash aggregate, never a sorting aggregate") {
+    // max(struct(...)) has an immutable buffer, which silently planned
+    // SortAggregateExec — at the 100× slice that sorted AND spilled the
+    // full exploded candidate matrix per partition. The packed-long
+    // encoding keeps the reduction hash-based; pin it for all three
+    // ANN families.
+    for (q <- Seq("emb_ann_lsh", "emb_ann_ivf", "emb_ann_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q top-1 fell back to SortAggregate:\n$p")
+    }
+  }
 }
