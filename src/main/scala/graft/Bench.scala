@@ -44,8 +44,19 @@ object Bench {
     // iteration aid); the pseudo-name `store` selects the store/stream
     // slot block. Unset for driver runs.
     val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_BENCH_SKIP=a,b,c excludes named queries (the scale
+    // sweep uses it for the pinned-constant twins that are quadratic
+    // BY DESIGN at 100× — their auto twins are the measured scale
+    // path); pseudo-name `store` excludes the sf-independent store
+    // slots. SPARK_GRAFT_BENCH_TIMEOUT_SEC caps a single query's wall
+    // (job-group cancel, recorded as an error) so one surprise
+    // super-linear plan cannot eat the whole sweep budget.
+    val skipFilter = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT_SEC").map(_.toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => onlyFilter.forall(_.contains(n)))
+      .filterNot(skipFilter.contains)
     var errors = List.empty[(String, String)]
 
     // Total shuffle bytes written by a completed query, summed over
@@ -78,11 +89,36 @@ object Bench {
             // no-driver-funnel semantics as the noop sink, which runs
             // a SEPARATE write QueryExecution whose metrics we could
             // not read back)
-            val df = fn(spark, sfDir)
-            df.queryExecution.toRdd.foreach(_ => ())
-            if (rep == 0)
-              shuffleMb ::= (name ->
-                shuffleBytes(df.queryExecution.executedPlan) / 1e6)
+            def materialize(): Unit = {
+              val df = fn(spark, sfDir)
+              df.queryExecution.toRdd.foreach(_ => ())
+              if (rep == 0)
+                shuffleMb ::= (name ->
+                  shuffleBytes(df.queryExecution.executedPlan) / 1e6)
+            }
+            timeoutSec match {
+              case None => materialize()
+              case Some(cap) =>
+                // job group is thread-local → set it on the thread
+                // that actually submits the jobs, cancel from here
+                @volatile var failure: Option[Throwable] = None
+                val th = new Thread(() => {
+                  spark.sparkContext.setJobGroup(s"bench-$name", name,
+                    interruptOnCancel = true)
+                  try materialize()
+                  catch { case e: Throwable => failure = Some(e) }
+                  finally spark.sparkContext.clearJobGroup()
+                }, s"bench-$name")
+                th.setDaemon(true)
+                th.start()
+                th.join(cap * 1000L)
+                if (th.isAlive) {
+                  spark.sparkContext.cancelJobGroup(s"bench-$name")
+                  th.join(30000L)
+                  throw new RuntimeException(s"timeout after ${cap}s (job group cancelled)")
+                }
+                failure.foreach(throw _)
+            }
             true
           }
           catch { case e: Throwable =>
@@ -237,7 +273,7 @@ object Bench {
       }
     }
     val storeResults: Seq[(String, Double)] =
-      if (onlyFilter.exists(!_.contains("store"))) Nil
+      if (onlyFilter.exists(!_.contains("store")) || skipFilter.contains("store")) Nil
       else (0 until reps).map(_ => runStoreBench()).reduce { (a, b) =>
         if (a.size != b.size) Seq(a, b).maxBy(_.size) // a rep failed → keep the complete one
         else a.zip(b).map { case ((k, x), (_, y)) => k -> math.min(x, y) }
@@ -269,7 +305,7 @@ object Bench {
     // Only an UNFILTERED run may become the committed LATEST artifact —
     // a SPARK_GRAFT_BENCH_ONLY subset run (local iteration) must not
     // clobber the full-inventory numbers downstream comparisons read.
-    if (onlyFilter.isEmpty)
+    if (onlyFilter.isEmpty && skipFilter.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench

@@ -369,6 +369,41 @@ object EmbeddingQueries {
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCells, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** SemDeDup's per-cell membership target for [[semDedupSubBitsFor]].
+    * IVF's cells ~√n formula is the wrong knob for SemDeDup past the
+    * 4096-cell clamp: IVF's clamp is correct because assignment cost
+    * n·cells counterweights the re-rank, but SemDeDup's only
+    * per-cell cost is the WITHIN-CELL PAIR JOIN — past n = 4096²
+    * ≈ 16.8 M vectors, membership grows as n/4096 and the pair join
+    * as n²/4096 (at 1 B vectors, ~10^14 pairs). */
+  private[operators] val SemDedupTargetMembership = 128
+
+  /** Extra sign-bit hash width that re-bounds SemDeDup's per-cell
+    * membership once the coarse quantizer saturates: each coarse cell
+    * is subdivided by `b` deterministic hyperplane sign bits (the
+    * shared [[planes]] family — hyperplanes through the origin, so
+    * same-direction near-duplicates almost always land on the same
+    * side of each plane), giving cells·2^b total buckets and expected
+    * membership n/(cells·2^b) ≤ [[SemDedupTargetMembership]]. The
+    * pair join is then ~n·membership ≈ LINEAR in n at any scale,
+    * instead of n²/4096 past 17 M vectors. A fixed-m subdivision is
+    * exactly the paper's own operating point (Abbas et al. 2023 run
+    * k = 50 000 on 1.3 B embeddings — membership ~26 000 there only
+    * because their GPU pairwise kernel absorbs it; a shuffle-bounded
+    * engine wants m ~ 10²). Floored at 0 — at the oracle (500) and
+    * bench (2 000) scales membership is already under target, so the
+    * sub-split is a no-op and the pinned DuckDB replay verifies the
+    * auto path verbatim (AnnAutoSizeSpec pins this coincidence).
+    * Capped at 20 bits (10⁶ subcells/cell — membership stays ≤ 4·m
+    * out to 10¹² vectors).
+    */
+  def semDedupSubBitsFor(n: Long, cells: Int): Int = {
+    val membership = n.toDouble / math.max(1, cells)
+    if (membership <= SemDedupTargetMembership) 0
+    else math.min(20, math.ceil(
+      math.log(membership / SemDedupTargetMembership) / math.log(2.0)).toInt)
+  }
+
   /** The auto twins' RECALL budget, not just their hash width (the
     * round-8 lesson, BASELINE.md sf-scaling rows: auto bits alone kept
     * the wall sub-quadratic but recall@1 eroded 0.656 → 0.271 at 10×
@@ -570,16 +605,29 @@ object EmbeddingQueries {
                cells: Int = IvfCells,
                iters: Int = IvfIters,
                sampleN: Int = IvfSampleN,
-               tau: Double = SemDedupTau): DataFrame = {
+               tau: Double = SemDedupTau,
+               subBits: Int = 0): DataFrame = {
     graft.GraftExtensions.register(s)
     import s.implicits._
     val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
       .as[Array[Float]].collect()
     val centers = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
     val cLit = typedlit(centers.map(_.toSeq).toSeq)
+    val coarse = element_at(
+      call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1).cast("long")
+    // Two-level cell key past the coarse quantizer's clamp (see
+    // [[semDedupSubBitsFor]]): coarse·2^b | b sign bits of the shared
+    // plane family — one fused band_sigs codegen call, no extra fit,
+    // membership re-bounded at any n. subBits = 0 (oracle/bench
+    // scale) leaves the key — and the replay SQL — bit-identical to
+    // the single-level form.
+    val cellKey =
+      if (subBits == 0) coarse
+      else coarse * lit(1L << subBits) +
+        element_at(call_function("band_sigs", col("embedding"),
+          typedlit(planes(subBits)), lit(subBits)), 1)
     val assigned = withNorm(e.select(col("vec_id"), col("embedding"),
-      element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
-        .cast("long").as("cell")))
+      cellKey.as("cell")))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -610,20 +658,46 @@ object EmbeddingQueries {
     * [[fitCteBlock]], assignment, within-cell oriented pairs, the
     * prior-mate max, and the verdict — CTE for CTE.
     */
-  private def semDedupOracleSql(k: Int, iters: Int, sampleN: Int, tau: Double): String = {
+  private[operators] def semDedupOracleSql(k: Int, iters: Int, sampleN: Int, tau: Double,
+                                subBits: Int = 0): String = {
     def dist(emb: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    // Two-level replay (subBits > 0): the sign-bit sub-split uses the
+    // same string→FLOAT plane literals + ascending-index double fold
+    // as annLshOracleSql, so the composite cell key matches band_sigs
+    // bit-for-bit. At subBits = 0 (every current oracle scale) the
+    // emitted SQL is the unchanged single-level form.
+    val subCtes =
+      if (subBits == 0) ""
+      else {
+        val planeRows = planes(subBits).zipWithIndex.map { case (row, p) =>
+          s"($p, [${row.map(f => s"CAST('$f' AS FLOAT)").mkString(",")}])"
+        }.mkString(",")
+        s"""pl(p, plane) AS (VALUES $planeRows),
+       sb AS (
+         SELECT e.vec_id,
+                CAST(sum((CASE WHEN ${dotSql("e.embedding", "pl.plane")} >= 0 THEN 1 ELSE 0 END) * (1 << pl.p)) AS BIGINT) AS sub
+         FROM embeddings e, pl GROUP BY e.vec_id),
+       """
+      }
+    val cellExpr =
+      if (subBits == 0) "asg.cell"
+      else s"asg.cell * ${1L << subBits} + sb.sub"
+    val subJoin = if (subBits == 0) "" else " JOIN sb ON asg.vec_id = sb.vec_id"
     s"""WITH samp AS (
          SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),
        ${fitCteBlock("", 0, 64, k, iters)},
-       n AS (
-         SELECT vec_id, cell, embedding,
-                sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         FROM (
+       $subCtes
+       asg AS (
+         SELECT vec_id, cell, embedding FROM (
            SELECT e.vec_id, f.cell, e.embedding,
                   row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY ${dist("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
            FROM embeddings e, cf f) WHERE rn = 1),
+       n AS (
+         SELECT asg.vec_id, $cellExpr AS cell, asg.embedding,
+                sqrt(${dotSql("asg.embedding", "asg.embedding")}) AS nrm
+         FROM asg$subJoin),
        agg AS (
          SELECT b.vec_id,
                 max(round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)) AS max_sim_prior
@@ -1038,10 +1112,12 @@ object EmbeddingQueries {
         val e = Tables.embeddings(s, d)
         val n = e.count()
         val cells = ivfCellsFor(n)
-        semDedup(s, e, cells = cells, sampleN = ivfSampleFor(cells))
+        semDedup(s, e, cells = cells, sampleN = ivfSampleFor(cells),
+          subBits = semDedupSubBitsFor(n, cells))
       },
       Some(semDedupOracleSql(ivfCellsFor(OracleScaleN), IvfIters,
-        ivfSampleFor(ivfCellsFor(OracleScaleN)), SemDedupTau))),
+        ivfSampleFor(ivfCellsFor(OracleScaleN)), SemDedupTau,
+        semDedupSubBitsFor(OracleScaleN, ivfCellsFor(OracleScaleN))))),
 
     // ----------------------------------------------------------------
     // Johnson-Lindenstrauss random projection 64 → 16 dims (the
@@ -1331,10 +1407,21 @@ object EmbeddingQueries {
     * floor division by 2^43, correct for negative sim).
     */
   private def top1BySim(cands: DataFrame): DataFrame = {
+    // The encode re-rounds sim to micros itself (idempotent when the
+    // caller already rounded to 6 decimals, as every current caller
+    // does), so an unrounded sim cannot corrupt the packed order — it
+    // is simply snapped to the micro grid the decode emits. The cid
+    // range invariant CAN'T be absorbed that way, so it fails loudly:
+    // assert_true is codegen'd, returns NULL on pass (filter keeps the
+    // row), and raises on the first violating row instead of silently
+    // wrapping into a wrong winner.
+    val guard = assert_true(col("cid") >= 0 && col("cid") < Top1CidSpace,
+      lit(s"top1BySim: cid outside [0, $Top1CidSpace)"))
     val enc = round(col("sim") * 1e6).cast("long") * Top1CidSpace +
       (lit(Top1CidSpace - 1) - col("cid"))
     val sm = shiftright(col("m"), 43)
     cands
+      .filter(guard.isNull)
       .select(col("qid"), enc.as("enc"))
       .groupBy("qid").agg(max(col("enc")).as("m"))
       .select(col("qid"),

@@ -773,7 +773,14 @@ object EventStoreQueries {
             col("ts").cast("timestamp_ntz").as("valid_from"),
             col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
             col("valid_to_raw").isNull.as("is_current"))
-          .orderBy("user_id", "valid_from", "state")
+          // valid_to as the final sort key makes the presentation order
+          // a total one even when (user_id, ts) duplicates put two
+          // change rows at the same (valid_from, state) — without it
+          // the engines could legally emit those rows swapped
+          // (order-sensitive oracle compare). NULLS LAST to match
+          // DuckDB's default ascending placement.
+          .orderBy(col("user_id"), col("valid_from"), col("state"),
+            col("valid_to").asc_nulls_last)
       },
       Some(s"""WITH e AS (
                SELECT user_id, event_type AS state, $TsSql AS ts, event_id,
@@ -788,6 +795,6 @@ object EventStoreQueries {
                       ORDER BY ts, event_id) AS valid_to,
                     (lead(ts) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id) IS NULL) AS is_current
-             FROM chg ORDER BY user_id, valid_from, state"""))
+             FROM chg ORDER BY user_id, valid_from, state, valid_to"""))
   )
 }

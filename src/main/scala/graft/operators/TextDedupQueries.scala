@@ -771,12 +771,21 @@ object TextDedupQueries {
           .withColumn("n_stop_distinct", size(array_intersect(col("words"),
             array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
               .map(lit): _*))))
+          // Ratio rules are guarded on n_words > 0 in BOTH engines:
+          // unguarded, a zero-word doc (empty/whitespace-only text)
+          // diverges — Spark's non-ANSI Divide yields NULL booleans
+          // while DuckDB's IEEE x/0 yields inf → false. The guard pins
+          // one semantics (all ratio rules false on empty docs) and
+          // short-circuits before the division in each engine.
           .select(col("doc_id"), col("n_words"),
             (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
-            (col("sum_len").cast("double") / col("n_words") >= 3.0 &&
+            (col("n_words") > 0 &&
+              col("sum_len").cast("double") / col("n_words") >= 3.0 &&
               col("sum_len").cast("double") / col("n_words") <= 10.0).as("r_mean_len"),
-            (col("n_sym").cast("double") / col("n_words") <= 0.1).as("r_symbol"),
-            (col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+            (col("n_words") > 0 &&
+              col("n_sym").cast("double") / col("n_words") <= 0.1).as("r_symbol"),
+            (col("n_words") > 0 &&
+              col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
             (col("n_stop_distinct") >= 2).as("r_stopwords"))
           .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
             col("r_symbol") && col("r_alpha") && col("r_stopwords"))
@@ -798,10 +807,13 @@ object TextDedupQueries {
                FROM w)
              SELECT doc_id, CAST(n_words AS INT) AS n_words,
                     (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-                    (CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
+                    (n_words > 0 AND
+                     CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND
                      CAST(sum_len AS DOUBLE) / n_words <= 10.0) AS r_mean_len,
-                    (CAST(n_sym AS DOUBLE) / n_words <= 0.1) AS r_symbol,
-                    (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+                    (n_words > 0 AND
+                     CAST(n_sym AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+                    (n_words > 0 AND
+                     CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha,
                     (n_stop_distinct >= 2) AS r_stopwords,
                     (n_words >= 50 AND n_words <= 100000 AND
                      CAST(sum_len AS DOUBLE) / n_words >= 3.0 AND

@@ -27,6 +27,33 @@ class AnnAutoSizeSpec extends SparkSpec {
     assert(EmbeddingQueries.ivfCellsFor(100000000L) === 4096) // cap
   }
 
+  test("SemDeDup sub-split: no-op at oracle/bench scale, membership bounded past the cell clamp") {
+    import EmbeddingQueries.{ivfCellsFor, semDedupSubBitsFor}
+    // oracle (500) and bench (2 000) scales sit under the membership
+    // target → sub-split is a no-op and the pinned single-level
+    // DuckDB replay verifies the auto path verbatim
+    for (n <- Seq(500L, 2000L, 10000L))
+      assert(semDedupSubBitsFor(n, ivfCellsFor(n)) === 0, s"n=$n")
+    // membership ~√n crosses the 128 target at n ≈ 16 k — from there
+    // the sub-split keeps the pair join LINEAR (n·m) instead of the
+    // n^1.5 cells-only shape (10×/100× slices: b = 1 and 2)
+    assert(semDedupSubBitsFor(20000L, ivfCellsFor(20000L)) === 1)
+    assert(semDedupSubBitsFor(200000L, ivfCellsFor(200000L)) === 2)
+    // past the 4096-cell clamp the pair join would grow n²/4096
+    // without the sub-split; with it, expected per-bucket membership
+    // n/(cells·2^b) stays within 2× of the 128 target at every scale
+    // the 20-bit cap does not bind (up to ~10^12 vectors it doesn't)
+    for (n <- Seq(17000000L, 100000000L, 1000000000L, 100000000000L)) {
+      val cells = ivfCellsFor(n)
+      val b = semDedupSubBitsFor(n, cells)
+      assert(b > 0, s"n=$n")
+      val membership = n.toDouble / (cells.toDouble * (1L << b))
+      assert(membership <= 256.0, s"n=$n membership=$membership")
+    }
+    // at 1 B vectors: 4096 cells × 2^11 subcells → membership ~119
+    assert(semDedupSubBitsFor(1000000000L, 4096) === 11)
+  }
+
   test("recall-budget formulas: pinned at the oracle point, bands×2/decade, probes to the kernel ceiling") {
     // floors cover both oracle (500) and bench (2 000) scales
     assert(EmbeddingQueries.annLshBandsFor(500) === 16)

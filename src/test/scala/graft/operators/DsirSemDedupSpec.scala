@@ -58,4 +58,37 @@ class DsirSemDedupSpec extends SparkSpec {
     // every vector appears exactly once in the audit output
     assert(out.size == rows.size)
   }
+
+  test("SemDeDup two-level sub-split: planted copies still drop, pair space only shrinks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+    val base = (0 until 60).map(_ => vec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((100L, jitter(base(0))), (101L, jitter(base(0))),
+        (200L, jitter(base(1))))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(b: Int) = EmbeddingQueries.semDedup(spark, emb, cells = 4,
+      iters = 3, sampleN = 4096, tau = 0.95, subBits = b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val flat = run(0)
+    val two = run(3)
+    // near-identical vectors agree on every origin-hyperplane sign bit
+    // (their dot products differ by ~1e-4·|plane|), so the sub-split
+    // keeps each planted group in one composite bucket → same drops
+    for (id <- Seq(100L, 101L, 200L))
+      assert(two.find(_._1 == id).exists(_._3), s"copy $id must stay flagged")
+    assert(two.count(_._1 == 0L) == 1 && !two.find(_._1 == 0L).get._3)
+    // sub-splitting can only REMOVE pairs: every two-level dup is a
+    // flat-level dup (the membership bound must not invent duplicates)
+    val flatDups = flat.filter(_._3).map(_._1).toSet
+    assert(two.filter(_._3).map(_._1).toSet.subsetOf(flatDups))
+    // composite keys actually subdivide: more distinct cells than the
+    // 4 coarse ones, and each key decodes to a coarse cell in [0, 4)
+    val cells2 = two.map(_._2).toSet
+    assert(cells2.size > 4, s"expected subdivision, got ${cells2.size} cells")
+    assert(cells2.forall(c => c >= 0 && (c >> 3) < 4))
+  }
 }
