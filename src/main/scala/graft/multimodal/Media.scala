@@ -219,6 +219,35 @@ object Media {
       }
     }
 
+    /** 64-bit difference hash (dHash) of a decoded frame: grayscale
+      * the packed-RGB raster, nearest-resize to a 9×8 grid (via
+      * [[resize]]), then bit (r·8+c) = gray(r,c) > gray(r,c+1) — the
+      * standard perceptual near-dup sketch (gradient signs survive
+      * recompression, brightness shifts, and small noise; the hash of
+      * a re-encoded copy differs in only a few bits). Returns 0 for
+      * non-raster input (synthetic frames have no pixel geometry).
+      */
+    def dHash(frame: Array[Byte], srcW: Int, srcH: Int): Long = {
+      if (frame.length.toLong != srcW.toLong * srcH * 3) return 0L
+      val small = resize(frame, srcW, srcH, 9, 8)
+      if (small.length < 9 * 8 * 3) return 0L
+      def gray(r: Int, c: Int): Int = {
+        val i = (r * 9 + c) * 3
+        ((small(i) & 0xff) + (small(i + 1) & 0xff) + (small(i + 2) & 0xff)) / 3
+      }
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (gray(r, c) > gray(r, c + 1)) bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
     /** REAL PCM resample (nearest-sample, per-channel): output sample
       * i ← input sample i·srcRate/dstRate. 16-bit little-endian
       * interleaved PCM, the format `decodeWav` yields for standard
@@ -309,6 +338,58 @@ object Media {
         }
       }
     }
+  }
+
+  final case class PHashRow(
+      media_id: Long,
+      c0: Int, c1: Int, c2: Int, c3: Int) // 4 × 16-bit dHash chunks
+
+  /** Perceptual-hash image near-dup over decoded blobs: per-partition
+    * decode → [[MediaCodec.dHash]] (the imperative codec seam, same
+    * lifecycle as [[extractFeatures]]), then a fully RELATIONAL
+    * chunk-bucketed Hamming join — the doc_simhash machinery applied
+    * to image sketches. Two images pair iff they share one 16-bit
+    * chunk (pigeonhole: complete for distance ≤ 3 over 4 chunks,
+    * deterministic-partial for ≤ `maxHamming` — the same documented
+    * production trade as doc_simhash) and their full 64-bit Hamming
+    * distance is ≤ `maxHamming`.
+    *
+    * Scale: blobs never leave the partition — only the 4-int sketch
+    * is shuffled; the bucket join is hash-partitioned on (chunk pos,
+    * chunk value) with candidate volume ∝ bucket occupancy, never
+    * all-pairs. The registry twin mm_phash_dedup replays the
+    * chunk/bucket/Hamming machinery relationally in DuckDB on a
+    * deterministic synthetic raster (no binary media in the driver
+    * testdata); the real-codec path is pinned by MediaSpec's
+    * planted-duplicate test.
+    */
+  def phashDedup(media: Dataset[MediaRow], maxHamming: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val d = MediaCodec.decode(m.kind, m.content, 1)
+        d.frames.headOption.collect {
+          case f if f.length.toLong == d.width.toLong * d.height * 3 =>
+            val h = MediaCodec.dHash(f, d.width, d.height)
+            PHashRow(m.media_id,
+              (h & 0xffff).toInt, ((h >>> 16) & 0xffff).toInt,
+              ((h >>> 32) & 0xffff).toInt, ((h >>> 48) & 0xffff).toInt)
+        }
+      }
+    }.toDF()
+    val ex = hashes.select(col("media_id"), col("c0"), col("c1"), col("c2"),
+      col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("c", "chunk")))
+    val hamming = (0 until 4).map(i =>
+      bit_count(expr(s"x.c$i ^ y.c$i"))).reduce(_ + _).cast("int")
+    ex.as("x").join(ex.as("y"), Seq("c", "chunk"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
   }
 
   /** Metadata-only projection — must not read the blob column (column

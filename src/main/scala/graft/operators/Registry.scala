@@ -11,6 +11,7 @@ object Registry {
       EventStoreQueries.all ++
       TextDedupQueries.all ++
       CorpusQueries.all ++
+      IncrementalDedup.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 

@@ -38,14 +38,14 @@ object TextDedupQueries {
     * re-evaluate it per element (no CSE across lambda bounds), which
     * dominated the whole near-dup pipeline before this hoist.
     */
-  private def shingles(df: DataFrame): DataFrame =
+  private[operators] def shingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .select(col("doc_id"),
         expr("""array_distinct(transform(sequence(0, size(ws) - 3),
                  i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
 
-  private val shingleSqlCte =
+  private[operators] val shingleSqlCte =
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
        sh AS (SELECT doc_id,
                      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

@@ -194,6 +194,49 @@ class MediaSpec extends SparkSpec {
     assert(resized.length === 3 && resized.forall(_.n_bytes === 8 * 6 * 3))
   }
 
+  test("pHash dedup: planted near-identical images pair, distinct images don't") {
+    import spark.implicits._
+    def pngOf(paint: (Int, Int) => Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      buf.toByteArray
+    }
+    // a monotone gradient scene (dHash bits ~all one direction), its
+    // lightly-noised copy (the re-encode/recompress analogue: ±3
+    // brightness jitter preserves nearly every 9×8 gradient sign), the
+    // REVERSED gradient (every gradient sign flips → distance ~64),
+    // and a fine checker (mixed signs → far from both)
+    def gr(v: Int): Int = { val g = math.max(0, math.min(255, v)); (g << 16) | (g << 8) | g }
+    def scene(x: Int, y: Int): Int = gr(x * 4)
+    val rnd = new scala.util.Random(5)
+    def noisy(x: Int, y: Int): Int = gr(x * 4 + rnd.nextInt(7) - 3)
+    def reversed(x: Int, y: Int): Int = gr(255 - x * 4)
+    def checker(x: Int, y: Int): Int = if (((x / 4) + (y / 4)) % 2 == 0) 0xffffff else 0
+    val media = Seq(
+      Media.MediaRow(1L, "image", pngOf(scene), 64, 48, 0L),
+      Media.MediaRow(2L, "image", pngOf(noisy), 64, 48, 0L),
+      Media.MediaRow(3L, "image", pngOf(reversed), 64, 48, 0L),
+      Media.MediaRow(4L, "image", pngOf(checker), 64, 48, 0L)).toDS()
+    val pairs = Media.phashDedup(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the planted near-identical pair is found, with a small distance
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L },
+      s"planted near-dup not paired: ${pairs.mkString(",")}")
+    // distinct scenes never pair with each other or with the gradient
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L || b == 4L || a == 4L },
+      s"distinct images paired: ${pairs.mkString(",")}")
+    // dHash itself: identical rasters → distance 0; the noised copy → ≤ 6
+    val d1 = Media.MediaCodec.decode("image", pngOf(scene), 1)
+    val d2 = Media.MediaCodec.decode("image", pngOf(noisy), 1)
+    val h1 = Media.MediaCodec.dHash(d1.frames.head, d1.width, d1.height)
+    val h2 = Media.MediaCodec.dHash(d2.frames.head, d2.width, d2.height)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 6)
+    assert(Media.MediaCodec.dHash(d1.frames.head, d1.width, d1.height) === h1) // deterministic
+  }
+
   test("metadata-only aggregation prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     Media.synthesize(docs).write.mode("overwrite").parquet(dir)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** The bucketed layout must make the fact-fact join shuffle-free and
   * keep results identical to the plain join.
   */
-class BucketedTablesSpec extends SparkSpec {
+class BucketedTablesSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val sf = "/root/testdata/sf0.001"
 

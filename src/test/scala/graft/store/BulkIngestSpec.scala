@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Bulk-ingest suite: distributed validation gates, GlobalIndex offset
   * assignment, lock fanout on import, and the post-hoc chain audit.
   */
-class BulkIngestSpec extends SparkSpec {
+class BulkIngestSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
 

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
   * new data (append, not rewrite), compaction must collapse each
   * bucket to one sorted file, and neither may lose or reorder events.
   */
-class CompactionSpec extends SparkSpec {
+class CompactionSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private def parquetFiles(root: JPath): Seq[JPath] =
     Files.walk(root).iterator().asScala

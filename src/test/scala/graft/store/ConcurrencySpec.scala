@@ -19,7 +19,7 @@ import graft.SparkSpec
   *    commitLock: the loser validates after the winner's commit and
   *    sees DuplicatePreviousId.
   */
-class ConcurrencySpec extends SparkSpec {
+class ConcurrencySpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
   private def ts(ms: Long) = new Timestamp(T0 + ms)

@@ -16,7 +16,7 @@ import graft.SparkSpec
   * the first's lease is live, takes over after expiry, and the union
   * of deliveries across both instances covers each offset exactly once.
   */
-class ControlJournalSpec extends SparkSpec {
+class ControlJournalSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
   private def ts(ms: Long) = new Timestamp(T0 + ms)

@@ -9,7 +9,7 @@ import graft.SparkSpec
   * intra-batch trigger visibility (SURVEY §7.4 item 2), scan paths,
   * and immutability no-ops.
   */
-class EventStoreSpec extends SparkSpec {
+class EventStoreSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private def freshStore(): EventStore = {
     val s = new EventStore(spark)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 /** GlobalIndex must agree with the single-partition window row_number
   * on a real table while never holding the dataset in one partition.
   */
-class GlobalIndexSpec extends SparkSpec {
+class GlobalIndexSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   test("ordered index equals window row_number over a total order") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -14,7 +14,7 @@ import graft.SparkSpec
   * points; the frozen clock makes row timestamps comparable field for
   * field.
   */
-class JournalCrashPropertySpec extends SparkSpec {
+class JournalCrashPropertySpec extends SparkSpec with graft.testkit.TestKitReported {
 
   test("property: crash at any random point loses nothing the journal recorded") {
     for (seed <- Seq(13, 59, 307)) {

@@ -14,7 +14,7 @@ import graft.SparkSpec
   * a takeover rolls the ground truth back to the last flushed state,
   * exactly what a crash loses.
   */
-class LogLifecyclePropertySpec extends SparkSpec {
+class LogLifecyclePropertySpec extends SparkSpec with graft.testkit.TestKitReported {
 
   test("property: random flush/compact/takeover schedules never corrupt the published log") {
     for (seed <- Seq(5, 71)) {

@@ -14,7 +14,7 @@ import graft.SparkSpec
   * joined to one SharedJournal directory; contrast ControlJournalSpec,
   * where the single-writer journal REJECTS the second live process.
   */
-class SharedDeliverySpec extends SparkSpec {
+class SharedDeliverySpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
   private def ts(ms: Long) = new Timestamp(T0 + ms)

@@ -15,7 +15,7 @@ import java.sql.Timestamp
   * through the filesystem, nothing through shared JVM memory except
   * the SparkContext Spark itself shares).
   */
-class SharedProducersSpec extends SparkSpec {
+class SharedProducersSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private def in(id: String, prev: Option[String], part: String = "p1") =
     EventInput("E", id, "C", part, s"""{"id":"$id"}""", previous_id = prev)

@@ -14,7 +14,7 @@ import scala.util.Random
   *  - at-least-once delivery: under ANY ack/nack/expire schedule,
   *    every event is delivered ≥ once and every partition drains.
   */
-class StorePropertiesSpec extends SparkSpec {
+class StorePropertiesSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
 

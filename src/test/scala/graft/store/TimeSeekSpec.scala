@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * directories — asserted on the scan's numFiles metric, not just the
   * plan text.
   */
-class TimeSeekSpec extends SparkSpec {
+class TimeSeekSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private def filesRead(plan: SparkPlan): Long = {
     val own = plan match {

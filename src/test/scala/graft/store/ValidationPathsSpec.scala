@@ -11,7 +11,7 @@ import graft.SparkSpec
   * dup ids, dangling prevs, unregistered types, finals, and
   * cross-stream interleavings.
   */
-class ValidationPathsSpec extends SparkSpec {
+class ValidationPathsSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private def freshStore(): EventStore = {
     val s = new EventStore(spark)

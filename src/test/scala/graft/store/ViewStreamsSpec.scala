@@ -10,7 +10,7 @@ import graft.SparkSpec
   * off-by-one), the 4-stage delivery pipeline, lease exclusivity and
   * expiry, ACK/NACK/scheduled-NACK, and finality propagation.
   */
-class ViewStreamsSpec extends SparkSpec {
+class ViewStreamsSpec extends SparkSpec with graft.testkit.TestKitReported {
 
   private val T0 = 1700000000000L
   private def ts(millisAfterT0: Long) = new Timestamp(T0 + millisAfterT0)
