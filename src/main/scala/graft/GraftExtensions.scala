@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, MinHashBandSigs, NearestCells}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -43,7 +43,10 @@ object GraftExtensions {
           NearestCells(children.head, children(1), children(2))),
       (FunctionIdentifier("adc_sum"),
         new ExpressionInfo(classOf[AdcSum].getName, "adc_sum"),
-        (children: Seq[Expression]) => AdcSum(children.head, children(1))))
+        (children: Seq[Expression]) => AdcSum(children.head, children(1))),
+      (FunctionIdentifier("jl_project"),
+        new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
+        (children: Seq[Expression]) => JlProject(children.head, children(1))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1135,17 +1135,19 @@ object EmbeddingQueries {
     // The long-form unpivot (stack) stays row-local.
     Q("emb_rand_proj",
       (s, d) => {
-        val projCols = (0 until JlOutDims).map { j =>
-          val signs = jlSigns(j).mkString(",")
-          expr(s"""aggregate(zip_with(embedding, array($signs),
-                     (x, sg) -> floor(CAST(x AS DOUBLE) * 1e6) * sg),
-                   0D, (acc, t) -> acc + t) / 1e6""").as(s"p$j")
-        }
-        val stackArgs = (0 until JlOutDims).map(j => s"$j, p$j").mkString(", ")
+        // all 16 outputs in ONE fused codegen kernel (jl_project) —
+        // the earlier 16-column aggregate(zip_with(...)) form ran the
+        // folds INTERPRETED (higher-order functions don't codegen):
+        // 2·10⁸ boxed lambda calls = 84 s at the 100× slice for an
+        // arithmetic ~10⁸-flop map. Same fixed-point semantics
+        // (floor(v·1e6)·±1 exact-integer terms), same oracle.
+        graft.GraftExtensions.register(s)
+        val signsLit = typedlit((0 until JlOutDims).map(j => jlSigns(j)))
         Tables.embeddings(s, d)
-          .select(col("vec_id") +: projCols: _*)
           .select(col("vec_id"),
-            expr(s"stack($JlOutDims, $stackArgs)").as(Seq("j", "p")))
+            posexplode(call_function("jl_project", col("embedding"), signsLit))
+              .as(Seq("j", "p")))
+          .select(col("vec_id"), col("j").cast("int").as("j"), col("p"))
           .orderBy("vec_id", "j")
       },
       Some {

@@ -113,6 +113,96 @@ object TextDedupQueries {
                    len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold
        ORDER BY doc_a, doc_b"""
 
+  /** Per-doc Gopher rule columns (Rae et al. 2021 §A1.1) appended to
+    * `docs` — ONE definition shared by the batch registry entry
+    * (oracle-verified) and the streaming quality gate
+    * (graft.streaming.CorpusIngest.gopherGate): every signal is a
+    * per-row map (integer counts + one IEEE division of exact
+    * integers), no aggregation — streaming-legal verbatim in append
+    * mode. Appends n_words, the five rule booleans, and `keep`; input
+    * columns pass through; intermediates are dropped.
+    *
+    * Ratio rules are guarded on n_words > 0 in BOTH engines:
+    * unguarded, a zero-word doc (empty/whitespace-only text) diverges
+    * — Spark's non-ANSI Divide yields NULL booleans while DuckDB's
+    * IEEE x/0 yields inf → false. The guard pins one semantics (all
+    * ratio rules false on empty docs) and short-circuits before the
+    * division in each engine.
+    */
+  private[graft] def gopherRuleCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("sum_len", aggregate(col("words"), lit(0),
+        (acc, w) => acc + length(w)))
+      .withColumn("n_alpha", size(expr("filter(words, w -> w rlike '[a-z]')")))
+      .withColumn("n_sym",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+      .withColumn("n_stop_distinct", size(array_intersect(col("words"),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*))))
+      // The zero-word guard must live INSIDE a CaseWhen, not as an
+      // `&&` conjunct ahead of the division: ANSI mode (Spark 4
+      // default) turns 0/0 into a runtime error, and common-
+      // subexpression elimination evaluates the shared division
+      // EAGERLY even when the left conjunct would short-circuit it —
+      // an empty doc then kills the whole job. `when` branches stay
+      // lazy; coalesce pins the rule to false for zero-word docs
+      // (the same verdict the oracle's n_words > 0 guard produces).
+      .withColumn("mean_wlen",
+        when(col("n_words") > 0, col("sum_len").cast("double") / col("n_words")))
+      .withColumn("sym_ratio",
+        when(col("n_words") > 0, col("n_sym").cast("double") / col("n_words")))
+      .withColumn("alpha_ratio",
+        when(col("n_words") > 0, col("n_alpha").cast("double") / col("n_words")))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len",
+        coalesce(col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0, lit(false)))
+      .withColumn("r_symbol", coalesce(col("sym_ratio") <= 0.1, lit(false)))
+      .withColumn("r_alpha", coalesce(col("alpha_ratio") >= 0.8, lit(false)))
+      .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
+        col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+      .drop("words", "sum_len", "n_alpha", "n_sym", "n_stop_distinct",
+        "mean_wlen", "sym_ratio", "alpha_ratio")
+
+  /** (input minus text, plus g8) — each doc's DISTINCT 8-word-gram
+    * array, the decontamination unit. Shared by the batch bloom/exact
+    * registry entries and the streaming watermarked-bloom gate (the
+    * gram build is a per-row map — streaming-legal).
+    */
+  private[graft] def grams8(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("g8", when(size(col("ws")) >= 8,
+        expr("""array_distinct(transform(sequence(0, size(ws) - 8),
+                 i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .drop("ws", "text")
+
+  /** Bloom position of gram `g` under `salt` — the first-6-hex-digit
+    * value of md5(g || '#' || salt): k=4 salts × m=16^6 addressable
+    * bits (≈2 MB as a real bitset). Deterministic on both engines
+    * (md5), which is what lets the filter live as RELATIONAL data.
+    */
+  private[graft] def bloomPos(g: Column, salt: Int): Column =
+    conv(substring(md5(concat(g, lit("#"), lit(salt.toString))), 1, 6),
+      16, 10).cast("long")
+
+  /** The benchmark-side Bloom filter as a relation: the distinct
+    * position set of `grams` (column `g`) across the 4 salts. Bounded
+    * by the benchmark size → broadcast-joinable on the probe side.
+    */
+  private[graft] def bloomPositions(grams: DataFrame): DataFrame =
+    grams
+      .withColumn("salt", explode(sequence(lit(0), lit(3))))
+      .withColumn("pos", expr(
+        "CAST(conv(substring(md5(concat(g, '#', CAST(salt AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .select("pos").distinct()
+
   /** DuckDB twin of the doc_simhash pipeline: identical md5-digit bit
     * votes, 16-bit chunk assembly, chunk-bucketed pairing, and hamming
     * filter. The hex digit → int step uses strpos over the hex
@@ -758,37 +848,9 @@ object TextDedupQueries {
     // presentation sort, no shuffle beyond the orderBy.
     Q("doc_gopher_rules",
       (s, d) => {
-        Tables.documents(s, d)
-          .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
-          .withColumn("n_words", size(col("words")))
-          .withColumn("sum_len", aggregate(col("words"), lit(0),
-            (acc, w) => acc + length(w)))
-          .withColumn("n_alpha", size(expr("filter(words, w -> w rlike '[a-z]')")))
-          .withColumn("n_sym",
-            (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
-              (length(col("text")) -
-                length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
-          .withColumn("n_stop_distinct", size(array_intersect(col("words"),
-            array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
-              .map(lit): _*))))
-          // Ratio rules are guarded on n_words > 0 in BOTH engines:
-          // unguarded, a zero-word doc (empty/whitespace-only text)
-          // diverges — Spark's non-ANSI Divide yields NULL booleans
-          // while DuckDB's IEEE x/0 yields inf → false. The guard pins
-          // one semantics (all ratio rules false on empty docs) and
-          // short-circuits before the division in each engine.
-          .select(col("doc_id"), col("n_words"),
-            (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
-            (col("n_words") > 0 &&
-              col("sum_len").cast("double") / col("n_words") >= 3.0 &&
-              col("sum_len").cast("double") / col("n_words") <= 10.0).as("r_mean_len"),
-            (col("n_words") > 0 &&
-              col("n_sym").cast("double") / col("n_words") <= 0.1).as("r_symbol"),
-            (col("n_words") > 0 &&
-              col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
-            (col("n_stop_distinct") >= 2).as("r_stopwords"))
-          .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
-            col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+        gopherRuleCols(Tables.documents(s, d))
+          .select("doc_id", "n_words", "r_word_count", "r_mean_len",
+            "r_symbol", "r_alpha", "r_stopwords", "keep")
           .orderBy("doc_id")
       },
       Some("""WITH w AS (
@@ -1133,25 +1195,19 @@ object TextDedupQueries {
     // both engines, no engine-private bloom internals.
     Q("doc_decontaminate_bloom",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .withColumn("g8", when(size(col("ws")) >= 8,
-            expr("""array_distinct(transform(sequence(0, size(ws) - 8),
-                     i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-          .select(col("doc_id"), col("g8"))
+        // gram build + position hashing shared with the streaming gate
+        // (grams8 / bloomPositions / bloomPos — one definition, two
+        // execution modes; CorpusIngestSpec pins batch/stream parity)
+        val docs = grams8(Tables.documents(s, d).select("doc_id", "text"))
           .transform(graft.Caching.persistOnce(_))
-        def withPos(df: DataFrame): DataFrame = df
+        val benchPos = bloomPositions(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(explode(col("g8")).as("g")).distinct())
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), explode(col("g8")).as("g"))
           .withColumn("salt", explode(sequence(lit(0), lit(3))))
           .withColumn("pos",
             expr("CAST(conv(substring(md5(concat(g, '#', CAST(salt AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
-        val benchPos = withPos(
-          docs.filter(col("doc_id") % 7 === 0)
-            .select(explode(col("g8")).as("g")).distinct())
-          .select("pos").distinct()
-        val corpus = withPos(
-          docs.filter(col("doc_id") % 7 =!= 0)
-            .select(col("doc_id"), explode(col("g8")).as("g")))
         corpus.join(benchPos, "pos")
           .groupBy("doc_id", "g").agg(count(lit(1)).as("k_hit"))
           .filter(col("k_hit") === 4)
