@@ -17,6 +17,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-parquet split planning: the default 4 MB open-cost floor
+      // models cloud-storage open latency and caps a mid-sized single
+      // file's scan parallelism at size/4MB tasks — at the 100× slice
+      // that ran every documents-table scan on ≤5 of 32 cores and
+      // dominated the round-11 sweep's scan-shaped rows (a real 100 TB
+      // deployment reads thousands of files and never sees this).
+      // 256 KB keeps the floor meaningful locally while letting
+      // bytes-per-core drive the split size.
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -47,7 +47,7 @@ COPY (
   SELECT event_id + r.i * 1000000000 AS event_id, epoch_ns(ts) AS ts,
          user_id + r.i * 10000000 AS user_id, event_type, value, props
   FROM read_parquet('{src}/events.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
-) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)""")
 
 alphabet = "abcdefghijklmnopqrstuvwxyz"
 import random as _rnd
@@ -68,7 +68,7 @@ COPY (
          CASE {cases} END AS text,
          lang, source, n_chars
   FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
-) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
 
 # embeddings x10: replica i applies the orthogonal map
 #   y[j] = sign(i, j) * x[(j + 7*i) mod 64]
@@ -91,7 +91,7 @@ COPY (
          CASE {emb_cases} END AS embedding,
          label
   FROM read_parquet('{src}/embeddings.parquet'), (SELECT unnest(range(0,{REPS})) AS i) r
-) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
 
 # TPC-H x10 under disjoint key offsets; FKs rewritten consistently.
 C_OFF, S_OFF, P_OFF, O_OFF = 10_000_000, 1_000_000, 10_000_000, 100_000_000
@@ -118,7 +118,7 @@ scaled = {
                 f"FROM read_parquet('{src}/lineitem.parquet'), {rep}",
 }
 for t, q in scaled.items():
-    con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)")
 
 for t in ["region", "nation"]:
     shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
