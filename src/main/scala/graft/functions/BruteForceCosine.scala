@@ -158,6 +158,7 @@ object BruteForceCosine {
   def topKBlocked(s: SparkSession, emb: DataFrame, k: Int, nBlocks: Int,
                   maxCandidates: Int = 4 << 20): DataFrame = {
     import org.apache.spark.sql.functions._
+    TopKByScore.tuneForManyGroups(s)
     val cand = emb.select(col("vec_id"), col("embedding"))
     val partials = (0 until nBlocks).map { b =>
       val block = cand.filter(pmod(col("vec_id"), lit(nBlocks)) === b)

@@ -374,7 +374,69 @@ object CorpusQueries {
     Q("doc_dsir_weights",
       (s, d) => docDsirWeights(Tables.documents(s, d)),
       Some(dsirOracleSql)),
+
+    // ----------------------------------------------------------------
+    // Character-distribution entropy + top-character fraction — the
+    // compressibility gate (C4/RefinedWeb-style "low-entropy garbage"
+    // filter: keyboard mash, base64 blobs, and single-char padding all
+    // score far from natural text). The distribution is a fixed
+    // 28-symbol partition (a–z, space, other): each count is
+    // length(text) − length(replace(text, ch, '')) — 27 codegen'd
+    // replace passes per row, NO tokenization, NO explode, zero
+    // shuffle; at 100 TB this is a pure scan at whatever partitioning
+    // the corpus already has.
+    //
+    // Determinism across engines: each Shannon term is floored to
+    // integer micro-nats from ONE chain of IEEE ops on exact integers
+    // (k·ln(n/k)/n·1e6 — doc_lm_nll's ln-boundary contract), and BOTH
+    // engines evaluate SQL generated from the SAME Scala fragments, so
+    // association order is identical by construction; the per-doc sum
+    // is exact long addition.
+    Q("doc_char_entropy",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .selectExpr("doc_id" +: "length(text) AS n" +: entropyCountSqls: _*)
+          .withColumn("k27", expr(s"n - (${(0 until 27).map(i => s"k$i").mkString(" + ")})"))
+        base
+          .select(col("doc_id"), col("n").as("n_chars"),
+            expr(entropyMicroSql).as("entropy_micro"),
+            round(expr(entropyMicroSql).cast("double") / lit(1e6), 6).as("entropy"),
+            round(expr(s"CAST($entropyKmaxSql AS DOUBLE)") / col("n"), 6)
+              .as("top_char_fraction"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+             SELECT doc_id, length(text) AS n, ${entropyCountSqls.mkString(", ")}
+             FROM documents WHERE length(text) > 0),
+           wo AS (
+             SELECT *, n - (${(0 until 27).map(i => s"k$i").mkString(" + ")}) AS k27
+             FROM base)
+           SELECT doc_id, n AS n_chars, $entropyMicroSql AS entropy_micro,
+                  round(CAST($entropyMicroSql AS DOUBLE) / 1e6, 6) AS entropy,
+                  round(CAST($entropyKmaxSql AS DOUBLE) / n, 6) AS top_char_fraction
+           FROM wo ORDER BY doc_id""")),
   )
+
+  // 28-symbol alphabet for doc_char_entropy: a–z, space, + an implicit
+  // "other" bucket (k27 = n − Σk_i). SQL fragments are shared verbatim
+  // between the Spark expr() side and the DuckDB oracle so the IEEE
+  // evaluation order cannot drift apart. All defs (not vals): `all`
+  // interpolates them at object init — the DSIR comment's init-order
+  // trap.
+  private def entropyCountSqls: Seq[String] =
+    (('a' to 'z') :+ ' ').zipWithIndex.map { case (ch, i) =>
+      s"(length(text) - length(replace(text, '$ch', ''))) AS k$i"
+    }
+
+  private def entropyTermSql(i: Int): String =
+    s"CASE WHEN k$i > 0 THEN CAST(floor(CAST(k$i AS DOUBLE) * ln(CAST(n AS DOUBLE) / k$i) / n * 1e6) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+  private def entropyMicroSql: String =
+    (0 to 27).map(entropyTermSql).mkString("(", " + ", ")")
+
+  private def entropyKmaxSql: String =
+    s"greatest(${(0 to 27).map(i => s"k$i").mkString(", ")})"
 
   private[operators] def docDsirWeights(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),

@@ -318,11 +318,23 @@ object EmbeddingQueries {
                                           nBands: Int = AnnLshBands,
                                           bits: Int = AnnLshBits,
                                           nProbes: Int = AnnLshProbes,
-                                          queries: Option[DataFrame] = None): DataFrame = {
+                                          queries: Option[DataFrame] = None,
+                                          dedup: Boolean = true,
+                                          corpusN: Long = -1L): DataFrame = {
     graft.GraftExtensions.register(s)
-    val signed = e.select(col("vec_id").as("cid"),
+    // Size-guarded broadcast of the SIGNATURE relation (n·bands rows of
+    // (band, sig, cid) — ~30 B/row, no vectors): under the guard the
+    // band join is map-side, so the probe stream (bands·probes rows per
+    // query — 1024 at the 100× operating point, the 4.1 GB exchange of
+    // the round-11 sweep) never shuffles AT ALL. Past the guard both
+    // sides exchange by (band, sig) — the plan a 1000-executor corpus
+    // wants anyway.
+    val signed0 = e.select(col("vec_id").as("cid"),
       posexplode(call_function("band_sigs", col("embedding"),
         typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
+    val signed =
+      if (corpusN >= 0 && corpusN * nBands <= AnnBroadcastCeilingRows * 16) broadcast(signed0)
+      else signed0
     // The query side defaults to the corpus itself (the registry's
     // self-join ANN); a separate query table is the search-API shape —
     // and because every qid's candidates depend only on ITS probes,
@@ -334,11 +346,19 @@ object EmbeddingQueries {
           .as(Seq("idx", "sig")))
       .select((col("idx") / lit(nProbes)).cast("int").as("band"),
         col("sig"), col("qid"))
-    probes
+    val pairs = probes
       .join(signed, Seq("band", "sig"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
-      .distinct() // candidate union across bands and probes
+    // Candidate union across bands and probes. Consumers that only
+    // MAX over the candidates (annLshTop1) pass dedup = false: a
+    // duplicate (qid, cid) pair cannot change a top-1, and the
+    // distinct was the single largest exchange of the round-11 100×
+    // sweep (~6.4 GB of the 12.9 GB total) — re-scoring a duplicate
+    // costs one codegen'd dot product, deduplicating it costs a
+    // full-width shuffle row. Pair-set consumers (near-dup twins,
+    // AnnRecallSpec's candidate-fraction pin) keep the distinct.
+    if (dedup) pairs.distinct() else pairs
   }
 
   // ------------------------------------------------------------------
@@ -811,6 +831,7 @@ object EmbeddingQueries {
     * matrix reduces to ≤ k pairs per query BEFORE the shuffle.
     */
   def cosineTopKPlan(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKByScore.tuneForManyGroups(s)
     val e = withNorm(emb)
     val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val b = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
@@ -1176,9 +1197,17 @@ object EmbeddingQueries {
                  nProbes: Int = AnnLshProbes,
                  queries: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(emb)
+    val n = e.count() // also warms the persisted e
     // candidate generation (bands, query-aware probes, budget
-    // rationale): see annLshCandidates
-    val candidates = annLshCandidates(s, e, nBands, bits, nProbes, queries)
+    // rationale): see annLshCandidates. dedup = false — top-1 is
+    // duplicate-insensitive, and under the guarded broadcasts below
+    // the whole pipeline (probe gen → band join → both vector joins →
+    // map-side top-1 partials) is then ONE stage with no exchange
+    // before the final ~row-per-query aggregation shuffle: the
+    // round-11 sweep measured the deduping form at 12.9 GB exchange /
+    // 444 s (probes 4.1 GB + pair distinct 6.4 GB + qid join 2.5 GB).
+    val candidates =
+      annLshCandidates(s, e, nBands, bits, nProbes, queries, dedup = false, corpusN = n)
     val va = queries.getOrElse(e)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -1187,12 +1216,12 @@ object EmbeddingQueries {
     // braces against a pruning regression (at corpus scale the wide
     // form shuffles ~0.5 kB × candidate pairs); top1BySim then
     // reduces map-side, so the exchange is ~one row per (query, task).
-    // Join order is load-bearing: va first (pairs shuffle NARROW, 16 B,
-    // qe attaches once per pair but in-place), then the corpus side
-    // broadcast under the size guard — so the qe-widened pair stream
-    // never hits an exchange (the 100× lesson, AnnBroadcastCeilingRows)
-    top1BySim(candidates.join(va, "qid")
-      .join(maybeBroadcastVectors(vb, e.count()), "cid") // count warms the persisted e
+    // Both vector joins are size-guarded broadcasts (the query side is
+    // the corpus itself in the registry's self-join form); past the
+    // guard the pair stream falls back to exchanging by qid/cid — at
+    // that scale the designed operator is IVF-PQ's coded file anyway.
+    top1BySim(candidates.join(maybeBroadcastVectors(va, n), "qid")
+      .join(maybeBroadcastVectors(vb, n), "cid")
       .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
       .select(col("qid"), col("cid"), col("sim")))
   }
@@ -1296,6 +1325,7 @@ object EmbeddingQueries {
                    rerank: Int = PqRerank,
                    queries: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(s)
+    graft.functions.TopKByScore.tuneForManyGroups(s)
     import s.implicits._
     val e = withNorm(e0)
     // optional query restriction (recall measurement): per-query
@@ -1374,7 +1404,16 @@ object EmbeddingQueries {
       col("nrm").as("qn"))
     val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("nrm").as("cn"))
-    top1BySim(shortlist.join(va, "qid").join(vb, "cid")
+    // Size-guarded broadcasts for the exact re-rank: the shortlist is
+    // n·rerank rows (≈ 700 M at the 100× operating point) — without
+    // the hints the planner sort-merge-joins it TWICE, sorting and
+    // spilling the widened pair stream (the round-11 rerun filled
+    // 78 GB of spill before dying). Broadcast keeps the re-rank one
+    // map-side stage into the top-1 partials.
+    val nCorpus = e.count()
+    top1BySim(shortlist
+      .join(maybeBroadcastVectors(va, nCorpus), "qid")
+      .join(maybeBroadcastVectors(vb, nCorpus), "cid")
       .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
         col("qn"), col("cn")), 6))
       .select(col("qid"), col("cid"), col("sim")))

@@ -102,6 +102,101 @@ object MultimodalQueries {
                                AND x.media_id < y.media_id)
            SELECT media_a, media_b, hamming FROM pairs
            WHERE hamming <= 6 ORDER BY media_a, media_b"""
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // Per-clip audio feature extraction — the scalar features a real
+    // audio pipeline computes per clip (duration, RMS energy, peak
+    // amplitude, zero-crossing count). The real-codec path is
+    // Media.extractFeatures (WAV PCM decode, MediaSpec-pinned); here
+    // the PCM signal is DERIVED RELATIONALLY — sample[i] =
+    // ascii(text[i mod len]) − 96, so lowercase text oscillates in
+    // 1..26 and spaces swing to −64, giving sign changes at word
+    // boundaries — and every feature is computed by both engines from
+    // the same integer samples (sums exact; the only doubles are one
+    // final sqrt/divide, rounded to 6dp). Scale: higher-order
+    // functions over a bounded (≤2048-sample) per-row array — a pure
+    // scan, zero shuffle, no explode row-blowup; at 100 TB this is
+    // embarrassingly parallel over whatever partitioning the blobs
+    // already have.
+    Q("mm_audio_features",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id").as("media_id"),
+            least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
+            col("text"))
+          .withColumn("samples", expr(
+            "transform(sequence(0, n_samples - 1), " +
+              "i -> ascii(substring(text, (i % length(text)) + 1, 1)) - 96)"))
+          .select(col("media_id"), col("n_samples"),
+            round(sqrt(expr(
+              "aggregate(samples, 0L, (acc, x) -> acc + CAST(x AS LONG) * x)")
+              .cast("double") / col("n_samples")), 6).as("rms"),
+            expr("array_max(transform(samples, x -> abs(x)))").as("peak"),
+            expr("size(filter(sequence(1, n_samples - 1), " +
+              "i -> element_at(samples, i) * element_at(samples, i + 1) < 0))")
+              .as("zero_crossings"))
+          .orderBy("media_id")
+      },
+      Some("""WITH pcm AS (
+             SELECT doc_id AS media_id,
+                    CAST(least(length(text) * 2, 2048) AS INTEGER) AS n_samples,
+                    list_transform(
+                      range(0, CAST(least(length(text) * 2, 2048) AS INTEGER)),
+                      i -> ascii(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1)) - 96
+                    ) AS samples
+             FROM documents WHERE length(text) > 0)
+           SELECT media_id, n_samples,
+                  round(sqrt(CAST(list_sum(list_transform(samples,
+                    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / n_samples), 6) AS rms,
+                  list_max(list_transform(samples, x -> abs(x))) AS peak,
+                  CAST(length(list_filter(range(1, n_samples),
+                    i -> samples[CAST(i AS INTEGER)] * samples[CAST(i AS INTEGER) + 1] < 0))
+                    AS INTEGER) AS zero_crossings
+           FROM pcm ORDER BY media_id""")),
+
+    // ----------------------------------------------------------------
+    // Uniform-stride video frame sampling — pick k ≤ 4 evenly-spaced
+    // frames per clip and emit each frame's index + content digest,
+    // the shape every video-training pipeline runs before per-frame
+    // featurization (Media.extractFeatures does the same maxFrames
+    // selection over real AVI/synthetic decode; MediaSpec pins it).
+    // Frames are derived relationally: the clip has
+    // n_frames = ⌊len/64⌋ + 1 64-byte frames, frame j's bytes are
+    // text[64j .. 64j+63], and the sampled indices are
+    // ⌊jj·n_frames/k⌋ for jj < k = min(4, n_frames) — strictly
+    // increasing (no duplicate frames) since n_frames ≥ k. Scale: a
+    // generate bounded at 4 rows per clip then a pure projection —
+    // no shuffle, fanout capped by construction, the digest is the
+    // only thing that leaves the scan.
+    Q("mm_frame_sample",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) > 0)
+          .select(col("doc_id").as("media_id"), col("text"),
+            (floor(length(col("text")) / 64) + 1).cast("int").as("n_frames"))
+          .withColumn("k", least(col("n_frames"), lit(4)))
+          .select(col("media_id"), col("text"), col("n_frames"),
+            explode(sequence(lit(0), col("k") - 1)).as("jj"))
+          .select(col("media_id"), col("text"), col("n_frames"),
+            expr("CAST((jj * n_frames) div least(n_frames, 4) AS INT)")
+              .as("frame_idx"))
+          .withColumn("frame_digest", expr(
+            "md5(substring(text, frame_idx * 64 + 1, 64))"))
+          .select("media_id", "n_frames", "frame_idx", "frame_digest")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH clips AS (
+             SELECT doc_id AS media_id, text,
+                    CAST(length(text) // 64 + 1 AS INTEGER) AS n_frames,
+                    CAST(least(length(text) // 64 + 1, 4) AS INTEGER) AS k
+             FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
+           SELECT media_id, n_frames,
+                  CAST(jj * n_frames // k AS INTEGER) AS frame_idx,
+                  md5(substr(text, CAST(jj * n_frames // k AS INTEGER) * 64 + 1, 64))
+                    AS frame_digest
+           FROM clips, LATERAL unnest(range(0, k)) AS t(jj)
+           ORDER BY media_id, frame_idx"""))
   )
 }

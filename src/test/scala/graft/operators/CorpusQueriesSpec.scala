@@ -100,4 +100,31 @@ class CorpusQueriesSpec extends SparkSpec {
       assert(math.abs(ratio - nShared.toDouble / nGrams) < 1e-6)
     }
   }
+
+  test("char entropy equals a plain-Scala recompute of the 28-symbol micro-nat sum") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Registry.byName("doc_char_entropy").run(spark, sf).collect()
+    assert(rows.length == texts.count(_._2.nonEmpty))
+    val maxH = math.log(28.0)
+    for (r <- rows) {
+      val text = texts(r.getLong(0))
+      val n = text.length
+      assert(r.getInt(1) == n)
+      val alpha = ('a' to 'z') :+ ' '
+      val ks = alpha.map(ch => text.count(_ == ch).toLong)
+      val kAll = ks :+ (n - ks.sum)
+      val micro = kAll.map { k =>
+        if (k > 0) math.floor(k.toDouble * math.log(n.toDouble / k) / n * 1e6).toLong
+        else 0L
+      }.sum
+      assert(r.getLong(2) == micro, s"entropy_micro mismatch for doc ${r.getLong(0)}")
+      val h = r.getDouble(3)
+      assert(h >= 0.0 && h <= maxH)
+      val top = r.getDouble(4)
+      assert(top >= 1.0 / 28 - 1e-6 && top <= 1.0)
+      assert(math.abs(top - kAll.max.toDouble / n) < 1e-6)
+    }
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.security.MessageDigest
+
+/** Invariant tests for the relational multimodal feature operators
+  * (mm_audio_features, mm_frame_sample) on the sf0.001 fixture. Exact
+  * cross-engine agreement is the DuckDB oracle's job (Verify); these
+  * recompute the features independently in plain Scala from the same
+  * source text, so a silent drift in the relational derivation (sample
+  * formula, frame stride, digest window) fails here even if both
+  * engines drift together.
+  */
+class MultimodalOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: Map[Long, String] =
+    graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("mm_audio_features: features equal a plain-Scala recompute of the PCM derivation") {
+    val texts = docs
+    val rows = Registry.byName("mm_audio_features").run(spark, sf).collect()
+    assert(rows.length == texts.count(_._2.nonEmpty))
+    for (r <- rows) {
+      val text = texts(r.getLong(0))
+      val n = math.min(text.length * 2, 2048)
+      val samples = Array.tabulate(n)(i => text.charAt(i % text.length).toInt - 96)
+      assert(r.getInt(1) == n)
+      val rms = BigDecimal(math.sqrt(samples.map(x => x.toLong * x).sum.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == rms, s"rms mismatch for doc ${r.getLong(0)}")
+      assert(r.getInt(3) == samples.map(math.abs).max)
+      val zc = (1 until n).count(i => samples(i - 1) * samples(i) < 0)
+      assert(r.getInt(4) == zc, s"zero-crossing mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("mm_frame_sample: stride selection and digests equal a plain-Scala recompute") {
+    val texts = docs
+    val md = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byClip = Registry.byName("mm_frame_sample").run(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val expectedClips = texts.filter { case (id, t) => id % 3 == 2 && t.nonEmpty }
+    assert(byClip.keySet == expectedClips.keySet)
+    for ((id, frames) <- byClip) {
+      val text = texts(id)
+      val nFrames = text.length / 64 + 1
+      val k = math.min(nFrames, 4)
+      val expectedIdx = (0 until k).map(jj => jj * nFrames / k)
+      assert(frames.forall(_.getInt(1) == nFrames))
+      val got = frames.map(_.getInt(2)).toSeq
+      assert(got == expectedIdx, s"frame stride mismatch for clip $id")
+      // strictly increasing — the k <= n_frames guarantee of no dup frames
+      assert(got == got.distinct.sorted)
+      for (f <- frames) {
+        val from = f.getInt(2) * 64
+        val window = text.substring(from, math.min(from + 64, text.length))
+        assert(f.getString(3) == md5hex(window), s"digest mismatch clip $id frame ${f.getInt(2)}")
+      }
+    }
+  }
+}
