@@ -484,14 +484,18 @@ object EmbeddingQueries {
     * 94% of ceiling, the knee). Budget = ¼ of the expected candidate
     * count n·nProbes/cells, floored at the oracle constant (so the
     * formula COINCIDES with PqRerank at oracle scale: 500·3/23 ≈ 65
-    * candidates → floor binds) and capped at 4096 — past the cap the
-    * exact re-rank would dominate the pipeline and plain IVF is the
-    * better operator anyway. On real clustered embeddings the ADC
-    * distortion is far smaller and the floor usually binds; this
-    * formula is sized for the adversarial bound, not the typical case.
+    * candidates → floor binds) and capped at 2048 — the measured knee
+    * of the 100× slice's recall curve (RerankTune at 200 k vectors:
+    * 256 → 0.470, 512 → 0.505, 1024 → 0.553, 2048 → 0.598,
+    * 3572 → 0.613 — the last 75% of budget buys 0.015 recall). Past
+    * the cap the exact re-rank would dominate the pipeline and plain
+    * IVF is the better operator anyway (the documented operating-point
+    * handoff). On real clustered embeddings the ADC distortion is far
+    * smaller and the floor usually binds; this formula is sized for
+    * the adversarial bound, not the typical case.
     */
   def pqRerankFor(n: Long, cells: Int, nProbes: Int): Int =
-    math.min(4096,
+    math.min(2048,
       math.max(PqRerank, math.ceil(0.25 * n.toDouble * nProbes / cells).toInt))
 
   /** The driver's correctness gate runs Verify at sf0.01 — 500
@@ -1323,7 +1327,24 @@ object EmbeddingQueries {
                    nProbes: Int = IvfProbes,
                    sampleN: Int = IvfSampleN,
                    rerank: Int = PqRerank,
-                   queries: Option[DataFrame] = None): DataFrame = {
+                   queries: Option[DataFrame] = None): DataFrame =
+    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank, queries).top1
+
+  /** The IVF-PQ pipeline with its intermediate stages exposed (test
+    * scope uses this to attribute wall time per phase — PqProfile —
+    * and to pin plan shapes); annIvfPqTop1 is stages.top1.
+    */
+  private[operators] final case class IvfPqStages(
+      assigned: DataFrame, probes: DataFrame, pairs: DataFrame,
+      shortlist: DataFrame, top1: DataFrame)
+
+  private[operators] def annIvfPqStages(s: SparkSession, e0: DataFrame,
+                   cells: Int = IvfCells,
+                   iters: Int = IvfIters,
+                   nProbes: Int = IvfProbes,
+                   sampleN: Int = IvfSampleN,
+                   rerank: Int = PqRerank,
+                   queries: Option[DataFrame] = None): IvfPqStages = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
     import s.implicits._
@@ -1365,11 +1386,22 @@ object EmbeddingQueries {
     // all 8×16 partial dots for EVERY candidate pair instead of once
     // per (query, probe) row — the same trap withNorm documents,
     // measured at 2.5× total wall on the 10× slice.
-    val probes = q.select(col("vec_id").as("qid"),
-      explode(call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes)))
-        .as("cell"),
+    //
+    // The barrier sits at QUERY granularity, with the probe explode
+    // AFTER it: the zip_with/aggregate table construction is
+    // interpreted (not codegen), and putting the explode in the same
+    // projection re-evaluated it once per PROBE row — nProbes× the
+    // work and an nProbes×-wider cache. PqProfile measured the
+    // round-11 difference at the 100× slice: 153.5 s → 6.6 s for the
+    // probe materialization, with the cache shrinking 6.4 M rows ×
+    // ~1.3 kB → 200 k rows.
+    val qSide = q.select(col("vec_id").as("qid"),
+      call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes))
+        .as("pcells"),
       adcCol.as("adc"), col("nrm").as("qnrm"))
       .transform(graft.Caching.persistOnce(_))
+    val probes = qSide.select(col("qid"), explode(col("pcells")).as("cell"),
+      col("adc"), col("qnrm"))
     // Per-pair ADC score through the adc_sum codegen kernel (one flat
     // lookup loop — this runs once per candidate pair, the pipeline's
     // hottest expression; the higher-order aggregate(sequence(…))
@@ -1393,8 +1425,9 @@ object EmbeddingQueries {
     // co-partitioning both sides by cell and shipping query VECTORS
     // (ADC tables built post-exchange), which this operator's shape
     // permits without changing semantics.
-    val shortlist = probes.join(broadcast(assigned), Seq("cell"))
+    val pairs = probes.join(broadcast(assigned), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
+    val shortlist = pairs
       .withColumn("adc_sim", adcSim)
       .select(col("qid"), col("cid"), col("adc_sim"))
       .groupBy("qid")
@@ -1411,12 +1444,13 @@ object EmbeddingQueries {
     // 78 GB of spill before dying). Broadcast keeps the re-rank one
     // map-side stage into the top-1 partials.
     val nCorpus = e.count()
-    top1BySim(shortlist
+    val top1 = top1BySim(shortlist
       .join(maybeBroadcastVectors(va, nCorpus), "qid")
       .join(maybeBroadcastVectors(vb, nCorpus), "cid")
       .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
         col("qn"), col("cn")), 6))
       .select(col("qid"), col("cid"), col("sim")))
+    IvfPqStages(assigned, probes, pairs, shortlist, top1)
   }
 
   /** Candidate-id headroom of the top-1 encoding below: cid must fit

@@ -77,8 +77,11 @@ class AnnAutoSizeSpec extends SparkSpec {
     // 10× measured point: 634 → recall 0.572 vs 0.242 at a fixed 32.
     assert(EmbeddingQueries.pqRerankFor(500, 23, 3) === 32)
     assert(EmbeddingQueries.pqRerankFor(20000, 142, 18) === 634)
-    assert(EmbeddingQueries.pqRerankFor(200000, 448, 32) === 3572)
-    assert(EmbeddingQueries.pqRerankFor(1000000000L, 4096, 64) === 4096)
+    // 200k: the ¼-of-candidates formula gives 3572, but the 2048 cap
+    // binds — RerankTune's measured knee (recall 0.598 vs 0.613 for
+    // 75% more exact re-rank work)
+    assert(EmbeddingQueries.pqRerankFor(200000, 448, 32) === 2048)
+    assert(EmbeddingQueries.pqRerankFor(1000000000L, 4096, 64) === 2048)
   }
 
   test("oracle-scale constants: the auto twins' replay SQL is generated at the formulas' sf0.01 values") {

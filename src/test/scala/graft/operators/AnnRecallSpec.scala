@@ -221,12 +221,13 @@ class AnnRecallSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recall = got.count { case (qid, cid) => exact(qid)._1 == cid }.toDouble / exact.size
     info(f"100× IVF-PQ auto (cells=$cells nProbes=$nProbes rerank=$rerank): recall=$recall%.3f over ${exact.size} queries")
-    // pqRerankFor's ¼-of-candidates budget at 200 k: rerank = 3571 —
-    // just under the 4096 cap, i.e. this is the last decade where the
-    // formula still scales; past it the documented operating-point
-    // handoff is plain IVF (see pqRerankFor's scaladoc). The measured
-    // value on the seeded slice is recorded in BASELINE.md's round-11
-    // sweep row; floor sits below it with the usual margin.
+    // pqRerankFor at 200 k: the ¼-of-candidates formula (3572) is cut
+    // by the measured-knee cap at 2048 (RerankTune: recall 0.598 vs
+    // 0.613 — the cap trades 0.015 recall for 43% less exact re-rank);
+    // past this scale the documented operating-point handoff is plain
+    // IVF (see pqRerankFor's scaladoc). The measured value on the
+    // seeded slice is recorded in BASELINE.md's round-11 sweep row;
+    // floor sits below it with the usual margin.
     assert(recall >= 0.40, f"100× IVF-PQ auto recall eroded: $recall%.3f")
   }
 
