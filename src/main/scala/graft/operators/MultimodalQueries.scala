@@ -126,9 +126,16 @@ object MultimodalQueries {
           .select(col("doc_id").as("media_id"),
             least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
             col("text"))
+          // index a pre-split char ARRAY, not substring(text, i, 1):
+          // UTF8String substring seeks code points from the string
+          // start, so per-sample substring is O(i) — O(len²) per doc,
+          // measured at 19.5 s for the sf0.1 bench slot; element_at on
+          // the split array is O(1) (1.0 s). Values are identical
+          // (ASCII corpus; both engines index characters).
+          .withColumn("cs", split(col("text"), ""))
           .withColumn("samples", expr(
             "transform(sequence(0, n_samples - 1), " +
-              "i -> ascii(substring(text, (i % length(text)) + 1, 1)) - 96)"))
+              "i -> ascii(element_at(cs, (i % size(cs)) + 1)) - 96)"))
           .select(col("media_id"), col("n_samples"),
             round(sqrt(expr(
               "aggregate(samples, 0L, (acc, x) -> acc + CAST(x AS LONG) * x)")

@@ -37,14 +37,20 @@ class TopKByScoreSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
-  test("unit: insert keeps (score desc, id asc) order and the k bound") {
+  test("unit: finish yields (score desc, id asc) order and the k bound") {
+    // the buffer is a min-heap (internal order unspecified); the
+    // contract — (score desc, id asc) top-k — holds at finish()
     val agg = new TopKByScore(3)
     val buf = Seq(Scored(5, 1), Scored(3, 2), Scored(3, 9), Scored(3, 4), Scored(9, 7))
       .foldLeft(agg.zero)(agg.reduce)
-    assert(buf === Vector(Scored(9, 7), Scored(5, 1), Scored(3, 2)))
-    // merging two partial buffers in either order agrees
-    val b1 = Seq(Scored(1, 1), Scored(8, 8)).foldLeft(agg.zero)(agg.reduce)
-    val b2 = Seq(Scored(9, 9), Scored(2, 2)).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.merge(b1, b2) === agg.merge(b2, b1))
+    assert(agg.finish(buf) === Seq(Scored(9, 7), Scored(5, 1), Scored(3, 2)))
+    // merging two partial buffers in either order agrees after finish
+    def mk(xs: Seq[Scored]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.finish(agg.merge(mk(Seq(Scored(1, 1), Scored(8, 8))),
+      mk(Seq(Scored(9, 9), Scored(2, 2)))))
+    val m2 = agg.finish(agg.merge(mk(Seq(Scored(9, 9), Scored(2, 2))),
+      mk(Seq(Scored(1, 1), Scored(8, 8)))))
+    assert(m1 === m2)
+    assert(m1 === Seq(Scored(9, 9), Scored(8, 8), Scored(2, 2)))
   }
 }
