@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) EMBEDDING near-dup — the vector-side twin of
+  * [[IncrementalDedup]]: a production pipeline does not re-run
+  * semantic dedup over 100 TB of embeddings per ingest; it keeps a
+  * PERSISTED index and checks each NEW vector shard against it (plus
+  * within itself), at cost proportional to the SHARD.
+  *
+  * Index = per-vector banded hyperplane signatures (the
+  * emb_near_dup_lsh banding — at the 0.95 near-dup threshold a true
+  * pair escapes all 48 bands × 12 bits with probability ≤ 1.4e-7, so
+  * the LSH output equals the exact all-pairs output for oracle
+  * purposes) PLUS the raw vectors + norms, so exact-cosine candidate
+  * verification reads the INDEX, never the corpus table. Because the
+  * hyperplane family is a DETERMINISTIC constant (the shared
+  * [[EmbeddingQueries.planes]] seed), a shard's signatures are
+  * computable without any fitted/stored quantizer — the index never
+  * goes stale the way a learned IVF coarse quantizer can.
+  *
+  * Scale: a shard of s vectors against a corpus of n costs O(s·bands)
+  * signature rows hash-joined against the index's band-partitioned
+  * (band, sig) layout, then exact verification only on colliding
+  * pairs — never O(n·s), never corpus×corpus. Appending the processed
+  * shard is an append-only O(s) write — no index rewrite.
+  */
+object EmbIncrementalDedup {
+
+  /** Default banding for the file-backed API (a persisted index is
+    * necessarily FIXED-banding: every later shard must sign with the
+    * banding the index was built at, so callers choose it from the
+    * anticipated corpus size via
+    * [[EmbeddingQueries.nearDupBandingFor]] and persist the choice
+    * with the index). The defaults are the emb_near_dup_lsh oracle
+    * constants; the registry twin auto-sizes per corpus instead —
+    * with 48×12 fixed, random collisions grow n²/2^12.
+    */
+  val Bands = 48
+  val Bits = 12
+  val Threshold = 0.95
+
+  private def signatures(e: DataFrame, nBands: Int, bits: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(call_function("band_sigs", col("embedding"),
+        typedlit(EmbeddingQueries.planes(nBands * bits)), lit(bits)))
+        .as(Seq("band", "sig")))
+
+  /** Write the full index for `emb` at `dir`: band-partitioned
+    * signatures + the vector table with precomputed norms. One corpus
+    * scan, once — every later shard pays only its own size.
+    */
+  def build(s: SparkSession, emb: DataFrame, dir: String,
+            nBands: Int = Bands, bits: Int = Bits): Unit = {
+    graft.GraftExtensions.register(s)
+    signatures(emb, nBands, bits).write.mode("overwrite")
+      .partitionBy("band").parquet(s"$dir/signatures.parquet")
+    EmbeddingQueries.withNorm(emb)
+      .select("vec_id", "embedding", "nrm")
+      .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Append a processed shard to the index (append-only). */
+  def appendIncrement(s: SparkSession, shard: DataFrame, dir: String,
+                      nBands: Int = Bands, bits: Int = Bits): Unit = {
+    graft.GraftExtensions.register(s)
+    signatures(shard, nBands, bits).write.mode("append")
+      .partitionBy("band").parquet(s"$dir/signatures.parquet")
+    EmbeddingQueries.withNorm(shard)
+      .select("vec_id", "embedding", "nrm")
+      .write.mode("append").parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Dedup `shard` against the PERSISTED index at `dir` — touches the
+    * index parquet and the shard only (EmbIncrementalDedupSpec asserts
+    * the executed plan's input files all live under `dir`). */
+  def dedupIncrement(s: SparkSession, shard: DataFrame, dir: String,
+                     nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    graft.GraftExtensions.register(s)
+    dedupAgainst(s,
+      s.read.parquet(s"$dir/signatures.parquet"),
+      s.read.parquet(s"$dir/vectors.parquet"),
+      shard, nBands, bits)
+  }
+
+  /** The shared core: flag each shard vector whose best exact-verified
+    * match — in the index, or among EARLIER shard vectors (keep-first,
+    * the production ingest rule) — reaches cosine ≥ [[Threshold]].
+    * Emits the per-vector verdict (vec_id, is_dup, match_id, sim);
+    * match = highest-sim partner, ties to the lowest id.
+    */
+  def dedupAgainst(s: SparkSession, indexSigs: DataFrame, indexVecs: DataFrame,
+                   shard: DataFrame,
+                   nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    val shardN = EmbeddingQueries.withNorm(shard)
+      .select("vec_id", "embedding", "nrm")
+      .transform(graft.Caching.persistOnce(_))
+    val shardSigs = signatures(shardN, nBands, bits)
+      .transform(graft.Caching.persistOnce(_))
+    // candidates vs the index: hash join on (band, sig) — the shard
+    // side is small; id spaces are disjoint by construction
+    val candIdx = shardSigs.as("s")
+      .join(indexSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("i.vec_id").as("cand_id"))
+    // candidates within the shard: earlier vector wins (keep-first)
+    val candSelf = shardSigs.as("x").join(shardSigs.as("y"), Seq("band", "sig"))
+      .filter(col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand_id"))
+    val candidates = candIdx.unionByName(candSelf).distinct()
+    // exact-cosine verification reads stored vectors (index side) and
+    // the cached shard — shard side first so the widened pair stream
+    // joins the bigger candidate table once (see annLshTop1's order
+    // note); no broadcast hint — AQE picks the build side
+    val candVecs = indexVecs
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+      .unionByName(shardN.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ec"), col("nrm").as("nc")))
+    val verified = candidates
+      .join(shardN.select(col("vec_id"), col("embedding").as("es"),
+        col("nrm").as("ns")), "vec_id")
+      .join(candVecs, "cand_id")
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("es"), col("ec"), col("ns"), col("nc")), 6))
+      .filter(col("sim") >= Threshold)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val best = verified
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand_id").as("match_id"), col("sim"))
+    shard.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** Registry entry: simulate the production split on the embeddings
+    * table — every 5th vector is the NEW shard, the rest are the
+    * already-indexed corpus. Banding is CORPUS-SIZED
+    * ([[EmbeddingQueries.nearDupBandingFor]] — with fixed 48×12,
+    * random collisions grow n²/2^bits, the emb_near_dup_lsh
+    * fixed-twin lesson), and the oracle replays with exact all-pairs
+    * cosine: banding recall is exhaustive at threshold 0.95 at every
+    * auto operating point, so the entry is hash-verified end to end,
+    * banding-independent.
+    */
+  val all: Seq[Q] = Seq(
+    Q("emb_dedup_incremental",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+        val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val shard = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val (bands, bits) = EmbeddingQueries.nearDupBandingFor(e.count(), Threshold)
+        dedupAgainst(s,
+          signatures(corpus, bands, bits),
+          EmbeddingQueries.withNorm(corpus).select("vec_id", "embedding", "nrm"),
+          shard, bands, bits)
+      },
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding,
+                      sqrt(${EmbeddingQueries.dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+             shard AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+             hits AS (
+               SELECT b.vec_id, a.vec_id AS cand_id,
+                      round(${EmbeddingQueries.dotSql("a.embedding", "b.embedding")} /
+                            (a.nrm * b.nrm), 6) AS sim
+               FROM shard b JOIN n a
+                 ON a.vec_id <> b.vec_id
+                AND (a.vec_id % 5 <> 0 OR a.vec_id < b.vec_id)
+               WHERE round(${EmbeddingQueries.dotSql("a.embedding", "b.embedding")} /
+                           (a.nrm * b.nrm), 6) >= $Threshold),
+             best AS (
+               SELECT vec_id, cand_id AS match_id, sim FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cand_id ASC) AS rn FROM hits)
+               WHERE rn = 1)
+             SELECT s.vec_id, best.match_id IS NOT NULL AS is_dup,
+                    best.match_id, best.sim
+             FROM shard s LEFT JOIN best ON s.vec_id = best.vec_id
+             ORDER BY s.vec_id"""))
+  )
+}

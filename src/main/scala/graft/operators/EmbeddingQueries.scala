@@ -45,7 +45,7 @@ object EmbeddingQueries {
     * the per-pair work of the fused kernel, same formula as the
     * oracle (`dot / (nrm_a * nrm_b)`), so still bit-identical.
     */
-  private def dotOverNorms(s: SparkSession, a: Column, b: Column,
+  private[operators] def dotOverNorms(s: SparkSession, a: Column, b: Column,
                            na: Column, nb: Column): Column = {
     graft.GraftExtensions.register(s)
     call_function("dot_product", a, b) / (na * nb)
@@ -55,7 +55,7 @@ object EmbeddingQueries {
     * inlines the norm fold into the post-join projection and
     * re-evaluates it once per PAIR instead of once per vector.
     */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
       .transform(graft.Caching.persistOnce(_))
 
@@ -90,7 +90,7 @@ object EmbeddingQueries {
     * the replay oracles would fail spuriously. The fix then is
     * list_reduce (explicitly ordered), at some oracle runtime cost.
     */
-  private val dotSql = (a: String, b: String) =>
+  private[operators] val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   // ANN tuning constants — ONE definition shared by each query body
@@ -811,20 +811,27 @@ object EmbeddingQueries {
     * the same DuckDB oracle as the pinned one.
     */
   def nearDupLshAuto(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val n = emb.count()
+    val (bands, bits) = nearDupBandingFor(emb.count(), threshold)
+    nearDupLsh(s, emb, threshold, nBands = bands, bitsPerBand = bits)
+  }
+
+  /** Corpus-sized exhaustive-recall banding, shared by nearDupLshAuto
+    * and the incremental embedding index (EmbIncrementalDedup).
+    * Cap at 4096 bands: for low thresholds p^bits underflows toward 0
+    * and the uncapped ceil (toInt of +Infinity = Int.MaxValue) would
+    * request a plane literal that OOMs the driver. Below the cap the
+    * escape bound (1-p^bits)^bands ≤ 1e-6 no longer holds for small
+    * p — banding recall is exhaustive only for the high thresholds
+    * (≥ ~0.9) near-dup detection actually uses; a sub-0.9 threshold
+    * degrades to best-effort candidates, never to a crash.
+    */
+  private[operators] def nearDupBandingFor(n: Long, threshold: Double): (Int, Int) = {
     val bits = math.max(12,
       math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 1)
     val p = 1.0 - math.acos(threshold) / math.Pi
-    // Cap at 4096 bands: for low thresholds p^bits underflows toward 0
-    // and the uncapped ceil (toInt of +Infinity = Int.MaxValue) would
-    // request a plane literal that OOMs the driver. Below the cap the
-    // escape bound (1-p^bits)^bands ≤ 1e-6 no longer holds for small
-    // p — banding recall is exhaustive only for the high thresholds
-    // (≥ ~0.9) near-dup detection actually uses; a sub-0.9 threshold
-    // degrades to best-effort candidates, never to a crash.
     val bands = math.min(4096,
       math.max(48, math.ceil(math.log(1e6) / math.pow(p, bits)).toInt))
-    nearDupLsh(s, emb, threshold, nBands = bands, bitsPerBand = bits)
+    (bands, bits)
   }
 
   /** The declarative top-k plan — the semantic spec of the kernel

@@ -12,6 +12,7 @@ object Registry {
       TextDedupQueries.all ++
       CorpusQueries.all ++
       IncrementalDedup.all ++
+      EmbIncrementalDedup.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 
