@@ -329,9 +329,17 @@ object EmbeddingQueries {
     // the round-11 sweep) never shuffles AT ALL. Past the guard both
     // sides exchange by (band, sig) — the plan a 1000-executor corpus
     // wants anyway.
+    // (band, sig) packs into ONE long join key — sig < 2^bits, band
+    // < nBands — so the broadcast build is a LongHashedRelation
+    // (open-addressed long keys) instead of a generic row-keyed one:
+    // LshProfile measured the composite-key probe at ~6.7 µs/row over
+    // 205 M probe rows (43 s of the 100× wall), the single dominant
+    // phase after the round-11 exchange fixes.
+    val packKey = expr(s"CAST(band AS BIGINT) * ${1L << bits} + sig").as("bs")
     val signed0 = e.select(col("vec_id").as("cid"),
       posexplode(call_function("band_sigs", col("embedding"),
         typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
+      .select(col("cid"), packKey)
     val signed =
       if (corpusN >= 0 && corpusN * nBands <= AnnBroadcastCeilingRows * 16) broadcast(signed0)
       else signed0
@@ -346,8 +354,9 @@ object EmbeddingQueries {
           .as(Seq("idx", "sig")))
       .select((col("idx") / lit(nProbes)).cast("int").as("band"),
         col("sig"), col("qid"))
+      .select(col("qid"), packKey)
     val pairs = probes
-      .join(signed, Seq("band", "sig"))
+      .join(signed, Seq("bs"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
     // Candidate union across bands and probes. Consumers that only
