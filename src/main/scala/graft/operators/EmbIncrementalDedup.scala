@@ -138,6 +138,73 @@ object EmbIncrementalDedup {
       .orderBy("vec_id")
   }
 
+  /** Streaming form: dedup vectors AS they arrive against the
+    * PERSISTED index — the embedding-side member of the streaming
+    * ingest gate family (CorpusIngest.gopherGate /
+    * bloomContamination). `vecs` must be a STREAMING DataFrame with
+    * (vec_id, embedding, ingest_ts).
+    *
+    * Everything before the final aggregation is stateless and
+    * append-legal: signature explode (a projection), two
+    * STREAM-STATIC joins (candidates against the index signatures,
+    * vectors against the index vector table), the exact-cosine
+    * filter. The ONE stateful operator is the watermarked per-vector
+    * best-match aggregation — max over the [[top1]]-style packed
+    * (sim, cand) long, emitting when the window passes the watermark.
+    *
+    * Emits (vec_id, match_id, sim) for FLAGGED vectors only — the
+    * absence-is-success shape bloomContamination documents (a vector
+    * with no row by watermark close is novel). Within-batch pairs are
+    * deliberately NOT checked here (that would be a stream-stream
+    * self-join): they are caught when the accumulated shard goes
+    * through the batch dedupIncrement + appendIncrement pass — the
+    * standard streaming-skims/batch-sweeps split.
+    */
+  def dedupStream(s: SparkSession, vecs: DataFrame, dir: String,
+                  nBands: Int = Bands, bits: Int = Bits,
+                  watermarkDelay: String = "1 hour",
+                  windowDuration: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
+    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val vn = vecs.withColumn("ns", sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)))
+    val sigs = vn.select(col("vec_id"), col("ingest_ts"), col("embedding"),
+      col("ns"),
+      posexplode(call_function("band_sigs", col("embedding"),
+        typedlit(EmbeddingQueries.planes(nBands * bits)), lit(bits)))
+        .as(Seq("band", "sig")))
+    // no candidate dedup: duplicate (vec_id, cand_id) collisions from
+    // multiple bands cannot change the MAX below, and dropDuplicates
+    // on a stream would hold unbounded state (the annLshTop1
+    // dedup=false lesson, streaming edition) — duplicates only cost a
+    // re-evaluated cosine
+    val cands = sigs.as("s")
+      .join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("s.ingest_ts").as("ingest_ts"),
+        col("s.embedding").as("embedding"), col("s.ns").as("ns"),
+        col("i.vec_id").as("cand_id"))
+    val verified = cands.join(idxVecs, "cand_id")
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("embedding"), col("ec"), col("ns"), col("nc")), 6))
+      .filter(col("sim") >= Threshold)
+    // packed (sim desc, cand_id asc) max — the top1BySim encoding
+    val enc = (round(col("sim") * 1e6).cast("long") * lit(1L << 43) +
+      (lit((1L << 43) - 1) - col("cand_id"))).as("enc")
+    verified.select(col("vec_id"), col("ingest_ts"), enc)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(window(col("ingest_ts"), windowDuration), col("vec_id"))
+      .agg(max(col("enc")).as("m"))
+      .select(col("vec_id"),
+        (lit((1L << 43) - 1) - (col("m") - shiftright(col("m"), 43) * lit(1L << 43)))
+          .as("match_id"),
+        (shiftright(col("m"), 43).cast("double") / 1e6).as("sim"))
+  }
+
   /** Registry entry: simulate the production split on the embeddings
     * table — every 5th vector is the NEW shard, the rest are the
     * already-indexed corpus. Banding is CORPUS-SIZED

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.operators.EmbIncrementalDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding dedup against the persisted index: vectors
+  * arriving as events must flag the same (vector, best-match) verdicts
+  * a plain-Scala exact recompute of shard×corpus cosine produces — the
+  * banding's exhaustive-recall bound makes the exact answer the truth,
+  * not just a floor.
+  */
+class EmbIngestSpec extends SparkSpec {
+
+  test("arriving vectors flag against the index; verdicts equal the exact recompute") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val shard = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-stream-idx").toString
+    EmbIncrementalDedup.build(spark, corpus, dir)
+
+    // exact truth: best corpus match per shard vector at cosine >= 0.95
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val corp = vecs(corpus)
+    def nrm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val corpN = corp.map { case (id, v) => (id, v, nrm(v)) }
+    // the synthetic fixture has no cross-split pairs at 0.95 — plant
+    // two arrivals that must flag (an exact copy and a small jitter of
+    // corpus vectors); the un-planted shard vectors pin the negative
+    // side (none may flag)
+    val jitter = corp(1)._2.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) 0.001f else 0f) }
+    val arrivals = vecs(shard) ++ Seq(
+      (500000L, corp(0)._2), (500001L, jitter))
+    val expected = arrivals.flatMap { case (sid, sv) =>
+      val sn = nrm(sv)
+      val hits = corpN.map { case (cid, cv, cn) =>
+        val dot = sv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (cid, BigDecimal(dot / (sn * cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.filter(_._2 >= EmbIncrementalDedup.Threshold)
+      if (hits.isEmpty) None
+      else Some(sid -> hits.maxBy { case (cid, s) => (s, -cid.toDouble) })
+    }.toMap
+    assert(expected.contains(500000L) && expected.contains(500001L),
+      "planted arrivals must have exact matches")
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[VecArrival]
+    val out = EmbIncrementalDedup.dedupStream(spark, source.toDF()
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("ingest_ts")),
+      dir, watermarkDelay = "1 minute", windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("emb_stream_dedup")
+      .outputMode("append").start()
+    try {
+      val T = 1700000000000L
+      source.addData(arrivals.map { case (id, v) =>
+        VecArrival(id, v.toSeq, new Timestamp(T)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // late flush event (an exact copy of a corpus vector, so it
+      // itself flags — excluded below) advances the watermark past the
+      // shard window so append-mode rows emit
+      source.addData(VecArrival(999999L, corp.head._2.toSeq,
+        new Timestamp(T + 3600L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("emb_stream_dedup").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .filterNot(_._1 == 999999L)
+      assert(streamed === expected,
+        s"stream/exact divergence: only-stream=${(streamed.keySet -- expected.keySet).take(5)}, " +
+          s"only-exact=${(expected.keySet -- streamed.keySet).take(5)}")
+    } finally q.stop()
+  }
+}
+
+case class VecArrival(vec_id: Long, embedding: Seq[Float], ingest_ts: Timestamp)
