@@ -96,6 +96,104 @@ object BruteForceCosine {
     new Block(ids, mat, norms, dim)
   }
 
+  /** Per-cell best-match kernel for the IVF re-rank: the inverted
+    * file (cid, embedding, norm, cell) is collected into per-cell
+    * [[Block]]s and broadcast once; each probe row (qid, qe, qn, cell)
+    * scans ITS cell's block in one tight loop and emits only the
+    * cell-local winner. The declarative join form materializes every
+    * (query, member) pair as a row — at the 100× operating point
+    * ~3 B rows whose join/row machinery costs ~15× the dot-product
+    * arithmetic (the same measurement that justifies [[topK]]); here
+    * the pair space never becomes rows and the downstream top-1 sees
+    * ≤ nProbes rows per query.
+    *
+    * Determinism (oracle-grade): dots are the shared ascending-index
+    * double fold; the winner comparison uses the ROUND-6 sim (
+    * [[roundLikeSpark]]) with ascending-cid scan order and
+    * strictly-greater replacement, so ties go to the lowest cid —
+    * exactly the (sim desc, cid asc) contract of the declarative
+    * top-1. Self-pairs (cid == qid) are skipped in-kernel.
+    *
+    * Scale: bounded by the same corpus ceiling as the vector
+    * broadcasts (the caller guards); past it the declarative
+    * shuffle-join form is the fallback, same as every other
+    * broadcast-kernel in this file.
+    */
+  def ivfBestInCell(s: SparkSession, assigned: DataFrame,
+                    probes: DataFrame, maxCandidates: Int = 4 << 20): DataFrame = {
+    import s.implicits._
+    val rows = assigned.select("cell", "cid", "ce").collect()
+    require(rows.length <= maxCandidates,
+      s"IVF kernel corpus side has ${rows.length} rows > $maxCandidates; " +
+        "fall back to the declarative join form")
+    val byCell: Map[Int, Block] = rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+      .map { case (cell, members) =>
+        val sorted = members.sortBy(_._2)
+        val n = sorted.length
+        val dim = if (n == 0) 0 else sorted(0)._3.length
+        val ids = new Array[Long](n)
+        val mat = new Array[Float](n * dim)
+        val norms = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          ids(j) = sorted(j)._2
+          System.arraycopy(sorted(j)._3, 0, mat, j * dim, dim)
+          norms(j) = selfNorm(sorted(j)._3)
+          j += 1
+        }
+        cell -> new Block(ids, mat, norms, dim)
+      }
+    val bc = s.sparkContext.broadcast(byCell)
+    probes.select("qid", "qe", "cell")
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        // scratch buffer reused across probe rows — raw sims per
+        // member, so the BigDecimal round (which allocates) runs only
+        // on the handful of near-ties, never per pair: round-6 is
+        // MONOTONE, so max(round(x)) = round(max(x)), and only
+        // candidates within one rounding step of the raw max can
+        // share the rounded max (ties go to the lowest cid, which is
+        // ascending scan order here)
+        var scratch = new Array[Double](0)
+        it.flatMap { case (qid, qe, cell) =>
+          bc.value.get(cell) match {
+            case None => Iterator.empty
+            case Some(b) =>
+              if (scratch.length < b.n) scratch = new Array[Double](b.n)
+              val qn = selfNorm(qe)
+              var rawMax = Double.NegativeInfinity
+              var any = false
+              var r = 0
+              while (r < b.n) {
+                if (b.ids(r) != qid) {
+                  val sim = dotRow(b.mat, r, qe, b.dim) / (qn * b.norms(r))
+                  scratch(r) = sim
+                  if (sim > rawMax) { rawMax = sim; any = true }
+                } else scratch(r) = Double.NegativeInfinity
+                r += 1
+              }
+              if (!any) Iterator.empty
+              else {
+                val roundedMax = roundLikeSpark(rawMax, 6)
+                var bestCid = -1L
+                var r2 = 0
+                while (r2 < b.n && bestCid < 0) {
+                  // only near-ties can round up to roundedMax
+                  if (scratch(r2) > roundedMax - 1e-6 &&
+                    roundLikeSpark(scratch(r2), 6) == roundedMax)
+                    bestCid = b.ids(r2)
+                  r2 += 1
+                }
+                Iterator.single((qid, bestCid, roundedMax))
+              }
+          }
+        }
+      }
+      .toDF("qid", "cid", "sim")
+  }
+
   /** Exact cosine top-k of every vector against all others (self
     * excluded), ties by ascending candidate id — row-for-row equal to
     * the declarative crossJoin + TopKByScore plan.

@@ -1228,9 +1228,11 @@ object EmbeddingQueries {
     // 444 s (probes 4.1 GB + pair distinct 6.4 GB + qid join 2.5 GB).
     val candidates =
       annLshCandidates(s, e, nBands, bits, nProbes, queries, dedup = false, corpusN = n)
-    val va = queries.getOrElse(e)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val va = queries.map(withNorm).getOrElse(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val vb = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
     // narrow projection BEFORE the top-1 aggregation: the exchange
     // must carry (qid, cid, sim), never the two vectors — belt and
     // braces against a pruning regression (at corpus scale the wide
@@ -1242,7 +1244,12 @@ object EmbeddingQueries {
     // that scale the designed operator is IVF-PQ's coded file anyway.
     top1BySim(candidates.join(maybeBroadcastVectors(va, n), "qid")
       .join(maybeBroadcastVectors(vb, n), "cid")
-      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
+      // dot over PRECOMPUTED norms, not the fused cosine kernel: the
+      // fused form re-folds BOTH norms per pair — 3× the arithmetic +
+      // two sqrts on the pipeline's hottest path. Same value chain as
+      // the oracle (dot / (nrm_a · nrm_b), withNorm's sqrt fold).
+      .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+        col("qn"), col("cn")), 6))
       .select(col("qid"), col("cid"), col("sim")))
   }
 
@@ -1255,11 +1262,27 @@ object EmbeddingQueries {
                  iters: Int = IvfIters,
                  nProbes: Int = IvfProbes,
                  sampleN: Int = IvfSampleN,
-                 queries: Option[DataFrame] = None): DataFrame =
-    top1BySim(annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
-      .withColumn("sim", round(cosineSim(s, col("qe"), col("ce")), 6))
-      // narrow projection before the top-1 aggregation (see annLshTop1)
-      .select(col("qid"), col("cid"), col("sim")))
+                 queries: Option[DataFrame] = None): DataFrame = {
+    val n = e.count()
+    if (n <= AnnBroadcastCeilingRows) {
+      // Blocked per-cell kernel (BruteForceCosine.ivfBestInCell): the
+      // declarative join materializes every (query, member) pair as a
+      // row — ~3 B rows at the 100× operating point, whose row
+      // machinery costs ~15× the dot arithmetic (116 s vs ~25 s
+      // measured). Under the corpus broadcast ceiling the inverted
+      // file fits per-cell Blocks; each probe row scans its cell
+      // in-cache and only cell-winners reach the top-1.
+      val (assigned, probes) = annIvfSides(s, e, cells, iters, nProbes, sampleN, queries)
+      top1BySim(graft.functions.BruteForceCosine.ivfBestInCell(s,
+        assigned.select(col("cell"), col("cid"), col("ce")),
+        probes.select(col("qid"), col("qe"), col("cell"))))
+    } else
+      top1BySim(annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
+        .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+          col("qn"), col("cn")), 6))
+        // narrow projection before the top-1 aggregation (see annLshTop1)
+        .select(col("qid"), col("cid"), col("sim")))
+  }
 
   /** The IVF candidate stage (everything before the exact-cosine
     * re-rank), exposed — like [[annLshCandidates]] — so AnnRecallSpec
@@ -1274,6 +1297,24 @@ object EmbeddingQueries {
                                           nProbes: Int = IvfProbes,
                                           sampleN: Int = IvfSampleN,
                                           queries: Option[DataFrame] = None): DataFrame = {
+    val (assigned, probes) = annIvfSides(s, e, cells, iters, nProbes, sampleN, queries)
+    // size-guarded broadcast of the inverted file: below the ceiling
+    // the cell join is map-side — the probe stream (nProbes vector
+    // copies per query) and the corpus side BOTH skip their by-cell
+    // exchanges, and the pair matrix materializes in place (the same
+    // broadcast IVF-PQ's coded file gets unconditionally; raw vectors
+    // need the row guard)
+    probes.join(maybeBroadcastVectors(assigned, e.count()), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+  }
+
+  /** The two IVF relations (inverted file + probe list), shared by the
+    * declarative candidate join and the blocked per-cell kernel path.
+    */
+  private def annIvfSides(s: SparkSession, e: DataFrame,
+                          cells: Int, iters: Int, nProbes: Int,
+                          sampleN: Int,
+                          queries: Option[DataFrame]): (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
     // Coarse quantizer: deterministic driver-side Lloyd's on a
     // BOUNDED sample — a k-cell quantizer is cells×64 floats, a
@@ -1296,24 +1337,24 @@ object EmbeddingQueries {
     // against the literal matrix: one fused loop in the scan
     // projection, NO centroid crossJoin, NO per-vector window
     // rank, nothing shuffled for assignment at all.
-    val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+    // both sides carry PRECOMPUTED norms so the per-pair re-rank is
+    // dot/(qn·cn) — the fused cosine kernel re-folds both norms per
+    // pair, 3× the arithmetic + two sqrts across the ~3 B pairs of
+    // the 100× operating point (measured: 116 → ~45 s)
+    val en = withNorm(e)
+    val assigned = en.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"),
       element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
         .as("cell"))
     // query side defaults to the corpus (self-join ANN); a separate
     // query table is the search-API shape — per-query independence
     // makes a restricted run equal the full run on those queries
-    val probes = queries.getOrElse(e)
+    val probes = queries.map(withNorm).getOrElse(en)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
         explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
           .as("cell"))
-    // size-guarded broadcast of the inverted file: below the ceiling
-    // the cell join is map-side — the probe stream (nProbes vector
-    // copies per query) and the corpus side BOTH skip their by-cell
-    // exchanges, and the pair matrix materializes in place (the same
-    // broadcast IVF-PQ's coded file gets unconditionally; raw vectors
-    // need the row guard)
-    probes.join(maybeBroadcastVectors(assigned, e.count()), Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
+    (assigned, probes)
   }
 
   /** IVF-PQ top-1 (see the registry entry for the scale rationale).
