@@ -194,6 +194,159 @@ object BruteForceCosine {
       .toDF("qid", "cid", "sim")
   }
 
+  /** Whole-pipeline IVF-PQ kernel for the under-broadcast-ceiling
+    * regime: per query row, scan the probed cells' PQ blocks with the
+    * ADC lookup sum, keep a primitive top-`rerank` heap in (adc desc,
+    * cid asc) order, exact-re-rank the survivors against the raw
+    * vector Block, and emit ONE winner row. The declarative form
+    * materializes the candidate matrix as rows twice (ADC pass +
+    * shortlist explode) and exchanges n·rerank partial heaps; here
+    * nothing between the probe row and its winner becomes a row.
+    *
+    * Determinism (oracle-grade, each step replicates its declarative
+    * twin exactly): ADC sum is [[AdcSum.eval]]'s ascending-subspace
+    * fold over the SAME Spark-computed per-query tables (read from
+    * `qSide`, never recomputed); adc_sim = adcSum / (qnrm · nrm) with
+    * the stored exact norms; the heap keeps the (score desc, id asc)
+    * top-k with [[TopKByScore]]'s boundary semantics (kept set is
+    * insertion-order independent); the exact re-rank sorts survivors
+    * by ascending cid and applies the monotone-round winner rule of
+    * [[ivfBestInCell]]. Past the corpus ceiling the declarative
+    * join + aggregate form is the design (coded file still
+    * broadcasts ~20× further than raw vectors — that regime keeps the
+    * declarative path).
+    *
+    * `qSide`: (qid, pcells array<int>, adc array<array<double>>,
+    * qnrm, qe); `pqCells`: (cell, cid, codes array<int>, nrm);
+    * `rawVecs`: (vec_id, embedding). Output: (qid, cid, sim) — one
+    * row per query with ≥1 candidate.
+    */
+  def ivfPqTop1Kernel(s: SparkSession, qSide: DataFrame, pqCells: DataFrame,
+                      rawVecs: DataFrame, rerank: Int,
+                      maxCandidates: Int = 4 << 20): DataFrame = {
+    import s.implicits._
+    val pqRows = pqCells.select("cell", "cid", "codes", "nrm").collect()
+    require(pqRows.length <= maxCandidates,
+      s"IVF-PQ kernel corpus side has ${pqRows.length} rows > $maxCandidates")
+    val byCell: Map[Int, (Array[Long], Array[Int], Array[Double])] = pqRows
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Int](2).toArray, r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (cell, members) =>
+        val sorted = members.sortBy(_._2)
+        val n = sorted.length
+        val m = if (n == 0) 0 else sorted(0)._3.length
+        val ids = new Array[Long](n)
+        val codes = new Array[Int](n * m)
+        val nrms = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          ids(j) = sorted(j)._2
+          System.arraycopy(sorted(j)._3, 0, codes, j * m, m)
+          nrms(j) = sorted(j)._4
+          j += 1
+        }
+        cell -> ((ids, codes, nrms))
+      }
+    val raw = collectBlock(rawVecs, maxCandidates)
+    val bcPq = s.sparkContext.broadcast(byCell)
+    val bcRaw = s.sparkContext.broadcast(raw)
+    qSide.select("qid", "pcells", "adc", "qnrm", "qe")
+      .as[(Long, Seq[Int], Seq[Seq[Double]], Double, Array[Float])]
+      .mapPartitions { it =>
+        // primitive (score desc, id asc) bounded min-heap — the
+        // TopKByScore order, allocation-free per candidate
+        val hs = new Array[Double](rerank)
+        val hi = new Array[Long](rerank)
+        var hn = 0
+        @inline def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+          sa < sb || (sa == sb && ia > ib)
+        def offer(score: Double, id: Long): Unit = {
+          if (hn < rerank) {
+            var i = hn; hs(i) = score; hi(i) = id; hn += 1
+            while (i > 0) {
+              val p = (i - 1) >> 1
+              if (worse(hs(i), hi(i), hs(p), hi(p))) {
+                val ts = hs(i); val ti = hi(i)
+                hs(i) = hs(p); hi(i) = hi(p); hs(p) = ts; hi(p) = ti; i = p
+              } else i = 0
+            }
+          } else if (worse(hs(0), hi(0), score, id)) {
+            hs(0) = score; hi(0) = id
+            var i = 0
+            var cont = true
+            while (cont) {
+              val l = 2 * i + 1; val r = l + 1; var w = i
+              if (l < hn && worse(hs(l), hi(l), hs(w), hi(w))) w = l
+              if (r < hn && worse(hs(r), hi(r), hs(w), hi(w))) w = r
+              if (w == i) cont = false
+              else {
+                val ts = hs(i); val ti = hi(i)
+                hs(i) = hs(w); hi(i) = hi(w); hs(w) = ts; hi(w) = ti; i = w
+              }
+            }
+          }
+        }
+        it.flatMap { case (qid, pcells, adcSeq, qnrm, qe) =>
+          val pq = bcPq.value
+          val adc = adcSeq.map(_.toArray).toArray
+          val m = adc.length
+          hn = 0
+          var pi = 0
+          while (pi < pcells.length) {
+            pq.get(pcells(pi)) match {
+              case None => ()
+              case Some((ids, codes, nrms)) =>
+                var r = 0
+                while (r < ids.length) {
+                  val cid = ids(r)
+                  if (cid != qid) {
+                    // AdcSum.eval's ascending fold
+                    var acc = 0.0
+                    var mm = 0
+                    val base = r * m
+                    while (mm < m) { acc += adc(mm)(codes(base + mm)); mm += 1 }
+                    offer(acc / (qnrm * nrms(r)), cid)
+                  }
+                  r += 1
+                }
+            }
+            pi += 1
+          }
+          if (hn == 0) Iterator.empty
+          else {
+            // exact re-rank of the survivors, ascending cid; the
+            // monotone-round winner rule (see ivfBestInCell)
+            val surv = java.util.Arrays.copyOf(hi, hn)
+            java.util.Arrays.sort(surv)
+            val b = bcRaw.value
+            var rawMax = Double.NegativeInfinity
+            val sims = new Array[Double](hn)
+            var si = 0
+            while (si < hn) {
+              val idx = java.util.Arrays.binarySearch(b.ids, surv(si))
+              val sim = dotRow(b.mat, idx, qe, b.dim) / (qnrm * b.norms(idx))
+              sims(si) = sim
+              if (sim > rawMax) rawMax = sim
+              si += 1
+            }
+            val roundedMax = roundLikeSpark(rawMax, 6)
+            var bestCid = -1L
+            var s2 = 0
+            while (s2 < hn && bestCid < 0) {
+              if (sims(s2) > roundedMax - 1e-6 &&
+                roundLikeSpark(sims(s2), 6) == roundedMax)
+                bestCid = surv(s2)
+              s2 += 1
+            }
+            Iterator.single((qid, bestCid, roundedMax))
+          }
+        }
+      }
+      .toDF("qid", "cid", "sim")
+      .orderBy("qid")
+  }
+
   /** Exact cosine top-k of every vector against all others (self
     * excluded), ties by ascending candidate id — row-for-row equal to
     * the declarative crossJoin + TopKByScore plan.

@@ -1455,7 +1455,7 @@ object EmbeddingQueries {
     val qSide = q.select(col("vec_id").as("qid"),
       call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes))
         .as("pcells"),
-      adcCol.as("adc"), col("nrm").as("qnrm"))
+      adcCol.as("adc"), col("nrm").as("qnrm"), col("embedding").as("qe"))
       .transform(graft.Caching.persistOnce(_))
     val probes = qSide.select(col("qid"), explode(col("pcells")).as("cell"),
       col("adc"), col("qnrm"))
@@ -1501,12 +1501,28 @@ object EmbeddingQueries {
     // 78 GB of spill before dying). Broadcast keeps the re-rank one
     // map-side stage into the top-1 partials.
     val nCorpus = e.count()
-    val top1 = top1BySim(shortlist
-      .join(maybeBroadcastVectors(va, nCorpus), "qid")
-      .join(maybeBroadcastVectors(vb, nCorpus), "cid")
-      .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
-        col("qn"), col("cn")), 6))
-      .select(col("qid"), col("cid"), col("sim")))
+    val top1 =
+      if (nCorpus <= AnnBroadcastCeilingRows)
+        // Whole-pipeline kernel (BruteForceCosine.ivfPqTop1Kernel):
+        // under the ceiling the declarative form's candidate-matrix
+        // row machinery and the n·rerank heap exchange dominate the
+        // ADC arithmetic (the ivfBestInCell measurement, PQ edition);
+        // each step replicates its declarative twin exactly — the ADC
+        // tables are read from the SAME cached qSide rows Spark
+        // computed. Past the ceiling the declarative join+aggregate
+        // below is the design (the coded file broadcasts ~20× further
+        // than raw vectors — exactly that regime keeps it).
+        graft.functions.BruteForceCosine.ivfPqTop1Kernel(s,
+          qSide.select(col("qid"), col("pcells"), col("adc"),
+            col("qnrm"), col("qe")),
+          assigned.select(col("cell"), col("cid"), col("codes"), col("nrm")),
+          e.select(col("vec_id"), col("embedding")), rerank)
+      else top1BySim(shortlist
+        .join(maybeBroadcastVectors(va, nCorpus), "qid")
+        .join(maybeBroadcastVectors(vb, nCorpus), "cid")
+        .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+          col("qn"), col("cn")), 6))
+        .select(col("qid"), col("cid"), col("sim")))
     IvfPqStages(assigned, probes, pairs, shortlist, top1)
   }
 
