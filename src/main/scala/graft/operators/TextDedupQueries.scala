@@ -1323,6 +1323,12 @@ object TextDedupQueries {
     Q("doc_fuzzy_match",
       (s, d) => {
         val cap = TextDedupQueries.FuzzyBlockCap
+        // persist: b's lineage (the two-regex normalization over the
+        // full text, 17 s of the 97 s wall at the 100× slice) feeds
+        // c1 AND keyed, and keyed feeds c2 AND bounded — uncached,
+        // the optimizer re-derives the normalization FOUR times
+        // (FuzzyProfile: 64 s of the stage walls; the in-block
+        // levenshtein is negligible — 74 k pairs)
         val b = Tables.documents(s, d)
           .select(col("doc_id"),
             regexp_replace(regexp_replace(lower(col("text")),
@@ -1330,6 +1336,7 @@ object TextDedupQueries {
           .select(col("doc_id"), substring(col("norm"), 1, 80).as("pre"),
             substring(col("norm"), 1, 16).as("k1"),
             substring(col("norm"), 17, 16).as("k2"))
+          .transform(graft.Caching.persistOnce(_))
         val c1 = b.groupBy("k1").agg(count(lit(1)).as("c1"))
         val keyed = b.join(c1, "k1")
           .withColumn("blk", when(col("c1") > cap,
@@ -1338,13 +1345,33 @@ object TextDedupQueries {
         val c2 = keyed.groupBy("blk").agg(count(lit(1)).as("c2"))
         val bounded = keyed.join(c2, "blk").filter(col("c2") <= cap)
           .select(col("doc_id"), col("pre"), col("blk"))
-        val x = bounded.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"), col("blk"))
-        val y = bounded.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"), col("blk"))
-        x.join(y, Seq("blk"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
-          .filter(col("edit_dist") <= 10)
-          .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+        // Per-block pair loop as a typed flatMap over collected
+        // blocks, not a self-join: no pair ever becomes a join row,
+        // and the distance is UTF8String.levenshteinDistance with
+        // threshold — the builtin's own banded early-abandon
+        // implementation, so survivors are value-identical to the
+        // oracle's full levenshtein. Blocks are ≤ cap members by
+        // construction and fully distributed (no broadcast, no driver
+        // collect — one groupBy of (doc_id, 80-byte prefix)).
+        // Ascending-id nested loop ⇒ doc_a < doc_b. (The 100× profile
+        // put the pair work itself at ~74 k pairs — negligible; the
+        // wall was the uncached normalization above.)
+        import s.implicits._
+        bounded.groupBy("blk")
+          .agg(collect_list(struct(col("doc_id"), col("pre"))).as("ms"))
+          .select(col("ms")).as[Seq[(Long, String)]]
+          .flatMap { ms =>
+            val sorted = ms.sortBy(_._1).toArray
+            val pres = sorted.map(m =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(m._2))
+            for {
+              i <- sorted.indices.iterator
+              j <- (i + 1) until sorted.length
+              d = pres(i).levenshteinDistance(pres(j), 10)
+              if d >= 0 && d <= 10
+            } yield (sorted(i)._1, sorted(j)._1, d.toLong)
+          }
+          .toDF("doc_a", "doc_b", "edit_dist")
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH n AS (
