@@ -136,6 +136,15 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
+      // Release this query's persistOnce caches before the next entry:
+      // nothing in the operator surface ever unpersists, so across a
+      // full registry run dozens of multi-GB cached plans accumulate,
+      // the unified memory manager squeezes execution memory, and late
+      // queries measure eviction/spill pressure instead of themselves
+      // (the round-11 final sweep saw doc_neardup_clusters at 159 s
+      // in-sequence vs 33 s isolated). Clearing per query makes every
+      // wall the same cold, order-independent measurement.
+      spark.catalog.clearCache()
       name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else samples.min)
     }
     // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits

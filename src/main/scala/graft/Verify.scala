@@ -22,8 +22,14 @@ object Verify {
       // contract (it is a directory — Spark always writes one — but a
       // driver globbing the literal name, pyarrow.read_table, and
       // pandas.read_parquet all accept a directory at that path).
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        // release this query's persistOnce caches (see Bench: nothing
+        // in the operator surface unpersists; a full-registry session
+        // otherwise accumulates every cached plan)
+        spark.catalog.clearCache()
+      }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
