@@ -194,6 +194,115 @@ object BruteForceCosine {
       .toDF("qid", "cid", "sim")
   }
 
+  /** Per-cell top-k kernel — [[ivfBestInCell]] generalized from the
+    * single winner to the k best: each probe row emits its cell's
+    * ≤ k best candidates by (round-6 sim DESC, cid ASC), and the
+    * downstream [[TopKByScore]] aggregate merges the per-cell partial
+    * top-ks per query (top-k is distributive over any partition of
+    * the candidate set, so per-cell-then-global equals global). The
+    * declarative form materializes every probed (query, member) pair
+    * as a row (~3 B at the 100× operating point, measured 125.7 s for
+    * emb_ann_ivf_topk); here the pair space stays in-cache and at most
+    * nProbes·k rows per query reach the aggregate.
+    *
+    * Determinism (oracle-grade): the kept set and its order are
+    * decided on ROUNDED sims exactly as the declarative twin ranks
+    * them, but the allocating round-6 runs only on a near-boundary
+    * pool, never per pair: with kthRaw the k-th largest raw sim in
+    * the cell, any candidate whose rounded sim could tie or beat the
+    * rounded k-th must have raw > kthRaw − 1e-6 (HALF_UP rounding to
+    * 6 dp moves a value by ≤ 5·10⁻⁷, so two sims rounding to the same
+    * grid point differ by < 10⁻⁶ raw) — the pool keeps a 2e-6 margin
+    * on top. Pool members are rounded, sorted (rounded DESC, cid
+    * ASC), and the first k emitted.
+    */
+  def ivfTopKInCell(s: SparkSession, assigned: DataFrame,
+                    probes: DataFrame, k: Int,
+                    maxCandidates: Int = 4 << 20): DataFrame = {
+    import s.implicits._
+    require(k >= 1, "k must be >= 1")
+    val rows = assigned.select("cell", "cid", "ce").collect()
+    require(rows.length <= maxCandidates,
+      s"IVF kernel corpus side has ${rows.length} rows > $maxCandidates; " +
+        "fall back to the declarative join form")
+    val byCell: Map[Int, Block] = rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+      .map { case (cell, members) =>
+        val sorted = members.sortBy(_._2)
+        val n = sorted.length
+        val dim = if (n == 0) 0 else sorted(0)._3.length
+        val ids = new Array[Long](n)
+        val mat = new Array[Float](n * dim)
+        val norms = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          ids(j) = sorted(j)._2
+          System.arraycopy(sorted(j)._3, 0, mat, j * dim, dim)
+          norms(j) = selfNorm(sorted(j)._3)
+          j += 1
+        }
+        cell -> new Block(ids, mat, norms, dim)
+      }
+    val bc = s.sparkContext.broadcast(byCell)
+    probes.select("qid", "qe", "cell")
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        var scratch = new Array[Double](0)
+        // raw k-th-largest selection buffer (insertion-ordered, size k)
+        val sel = new Array[Double](k)
+        it.flatMap { case (qid, qe, cell) =>
+          bc.value.get(cell) match {
+            case None => Iterator.empty
+            case Some(b) =>
+              if (scratch.length < b.n) scratch = new Array[Double](b.n)
+              val qn = selfNorm(qe)
+              var selN = 0
+              var r = 0
+              while (r < b.n) {
+                if (b.ids(r) != qid) {
+                  val sim = dotRow(b.mat, r, qe, b.dim) / (qn * b.norms(r))
+                  scratch(r) = sim
+                  // keep the k largest raws seen (ascending in sel)
+                  if (selN < k) {
+                    var i = selN
+                    sel(i) = sim
+                    while (i > 0 && sel(i - 1) > sel(i)) {
+                      val t = sel(i - 1); sel(i - 1) = sel(i); sel(i) = t; i -= 1
+                    }
+                    selN += 1
+                  } else if (sim > sel(0)) {
+                    sel(0) = sim
+                    var i = 0
+                    while (i < k - 1 && sel(i) > sel(i + 1)) {
+                      val t = sel(i); sel(i) = sel(i + 1); sel(i + 1) = t; i += 1
+                    }
+                  }
+                } else scratch(r) = Double.NegativeInfinity
+                r += 1
+              }
+              if (selN == 0) Iterator.empty
+              else {
+                // near-boundary pool: everything whose ROUNDED sim
+                // could reach the rounded k-th (see scaladoc margin)
+                val kthRaw = sel(0)
+                val pool = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 4)
+                var r2 = 0
+                while (r2 < b.n) {
+                  if (b.ids(r2) != qid && scratch(r2) > kthRaw - 2e-6)
+                    pool += ((roundLikeSpark(scratch(r2), 6), b.ids(r2)))
+                  r2 += 1
+                }
+                pool.sortInPlace()(Ordering.Tuple2(
+                  Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+                pool.take(k).iterator.map { case (sim, cid) => (qid, cid, sim) }
+              }
+          }
+        }
+      }
+      .toDF("qid", "cid", "sim")
+  }
+
   /** Whole-pipeline IVF-PQ kernel for the under-broadcast-ceiling
     * regime: per query row, scan the probed cells' PQ blocks with the
     * ADC lookup sum, keep a primitive top-`rerank` heap in (adc desc,

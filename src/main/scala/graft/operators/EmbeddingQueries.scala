@@ -113,6 +113,9 @@ object EmbeddingQueries {
   // PqCodes-entry codebook (4 bits/code — the 8 codes of a vector
   // pack into 32 bits at production scale; kept as ARRAY<INT> here
   // for plan readability). PqRerank = exact-re-rank shortlist depth.
+  /** Neighbors returned per query by emb_ann_ivf_topk. */
+  private val AnnTopK = 5
+
   private val PqM = 8
   private val PqSub = 8
   private val PqCodes = 16
@@ -170,9 +173,16 @@ object EmbeddingQueries {
          FROM ${pfx}c$iters)"""
   }
 
-  private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+  private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int,
+                              topK: Int = 1): String = {
     def dist(emb: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    // top-1 keeps the historical (qid, cid, sim) shape; top-k > 1 emits
+    // the rank so the result order (qid, rnk) is a unique total order
+    val finalSelect =
+      if (topK == 1) "SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"
+      else s"""SELECT qid, CAST(rnk AS INT) AS rnk, cid, sim
+               FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
     s"""WITH samp AS (
          SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
        ${fitCteBlock("", 0, 64, k, iters)},
@@ -201,7 +211,7 @@ object EmbeddingQueries {
                   ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
                            c.cid ASC) AS rnk
          FROM cand c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.cid = b.vec_id)
-       SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
+       $finalSelect"""
   }
 
   /** Full DuckDB replay of the IVF-PQ pipeline: the coarse fit plus
@@ -912,6 +922,76 @@ object EmbeddingQueries {
              GROUP BY label, i ORDER BY label, dim""")),
 
     // ----------------------------------------------------------------
+    // Per-label centroid-distance outliers (z > 2) — the data-cleaning
+    // pass that drops mislabeled / corrupted vectors before training.
+    // Cross-engine exactness without trusting float group-sums: d² is
+    // a per-row ascending-index double fold (bit-identical, like every
+    // dot here); the label statistics aggregate dμ = floor(d²·10³) as
+    // integers (Spark DECIMAL sums / DuckDB HUGEINT sums — exact in
+    // any order), and the z>2 test is the INTEGER inequality
+    //   n·dμ − S1 > 0  ∧  (n·dμ − S1)² > 4·(n·S2 − S1²)
+    // (z = (dμ−mean)/σ with mean=S1/n, σ²=(n·S2−S1²)/n² — multiply
+    // through by n·σ and square), so no engine ever compares a
+    // float-summed mean. DECIMAL(30,0) on the Spark side keeps the
+    // squared terms exact far past the ~2^53 double ceiling a
+    // billion-row label would cross. Scale: two broadcast-joined
+    // label-keyed aggregations (64·|labels| and |labels| result rows),
+    // per-row work O(dims) — a pure scan pipeline, no pair joins.
+    Q("emb_outliers",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dec = org.apache.spark.sql.types.DecimalType(30, 0)
+        val cents = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg((sum(floor(col("v").cast("double") * 1e6)) /
+            (count(lit(1)) * lit(1e6))).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+            .as("ce"))
+        val dists = e.join(broadcast(cents), "label")
+          .withColumn("d2", expr(
+            "aggregate(sequence(1, 64), 0.0D, (acc, i) -> acc + " +
+              "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(ce, i)) * " +
+              "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(ce, i)))"))
+          .select(col("label"), col("vec_id"), col("d2"),
+            floor(col("d2") * 1e3).cast(dec).as("dmu"))
+          .transform(graft.Caching.persistOnce(_))
+        val stats = dists.groupBy("label")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("dmu")).as("s1"),
+            sum(col("dmu") * col("dmu")).as("s2"))
+        dists.join(broadcast(stats), "label")
+          .filter(col("n") * col("dmu") - col("s1") > 0 &&
+            (col("n") * col("dmu") - col("s1")) * (col("n") * col("dmu") - col("s1")) >
+              (col("n") * col("s2") - col("s1") * col("s1")) * 4)
+          .select(col("label"), col("vec_id"), round(col("d2"), 6).as("d2"))
+          .orderBy("label", "vec_id")
+      },
+      Some("""WITH comps AS (
+               SELECT label, vec_id, CAST(i AS INTEGER) AS i,
+                      CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+               FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g),
+             cent AS (
+               SELECT label, i, sum(floor(v * 1e6)) / (count(*) * 1e6) AS c
+               FROM comps GROUP BY label, i),
+             centl AS (SELECT label, array_agg(c ORDER BY i) AS ce FROM cent GROUP BY label),
+             d AS (
+               SELECT e.label, e.vec_id,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - ce[i])
+                           * (CAST(e.embedding[i] AS DOUBLE) - ce[i]))) AS d2
+               FROM embeddings e JOIN centl USING (label)),
+             dm AS (SELECT label, vec_id, d2, CAST(floor(d2 * 1e3) AS BIGINT) AS dmu FROM d),
+             st AS (SELECT label, count(*) AS n, sum(dmu) AS s1, sum(dmu * dmu) AS s2
+                    FROM dm GROUP BY label)
+             SELECT dm.label, vec_id, round(d2, 6) AS d2
+             FROM dm JOIN st USING (label)
+             WHERE n * dmu - s1 > 0
+               AND (n * dmu - s1) * (n * dmu - s1) > 4 * (n * s2 - s1 * s1)
+             ORDER BY label, vec_id""")),
+
+    // ----------------------------------------------------------------
     // Int8 scalar quantization with reconstruction-error attestation
     // (the index-compression step before ANN at 100 TB: 4 bytes/dim →
     // 1). Per-dimension min/max (exact, order-independent) define the
@@ -1095,6 +1175,24 @@ object EmbeddingQueries {
           sampleN = ivfSampleFor(cells))
       },
       Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes))),
+
+    // ----------------------------------------------------------------
+    // IVF approximate top-k (k = 5): the retrieval-service shape — per
+    // query the k best probed neighbors with their ranks. Candidate
+    // stage and sizing identical to emb_ann_ivf_auto (cells ~√n,
+    // probes ~1.5√cells, the same oracle-scale constants); ranking via
+    // the bounded-heap aggregate instead of MAX — see annIvfTopK for
+    // why a window rank would be the wrong plan at 100 TB.
+    Q("emb_ann_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        annIvfTopK(s, e, k = AnnTopK, cells = cells,
+          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells))
+      },
+      Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
+        topK = AnnTopK))),
 
     // ----------------------------------------------------------------
     // IVF-PQ ANN (the third scale path — the memory/shuffle-compressed
@@ -1282,6 +1380,51 @@ object EmbeddingQueries {
           col("qn"), col("cn")), 6))
         // narrow projection before the top-1 aggregation (see annLshTop1)
         .select(col("qid"), col("cid"), col("sim")))
+  }
+
+  /** IVF approximate top-k — the search-API shape a retrieval service
+    * actually serves (the `_auto`/kernel paths above answer top-1; the
+    * exact [[cosineTopKPlan]] answers top-k but scans all pairs). Same
+    * probed candidate stage as [[annIvfTop1]]; the ranking is the
+    * bounded-heap [[graft.functions.TopKByScore]] aggregate, NOT a
+    * window rank — map-side partial aggregation reduces each task's
+    * candidate slice to ≤ k pairs per query before the shuffle, so the
+    * exchange carries O(queries · k) rows where the window form would
+    * shuffle-and-sort the whole probed matrix (the exact SortAggregate
+    * pathology the packed-long top-1 fix removed). Tie order (sim
+    * DESC, cid ASC) matches the oracle's row_number ORDER BY, so ranks
+    * are bit-stable cross-engine.
+    */
+  def annIvfTopK(s: SparkSession, e: DataFrame, k: Int,
+                 cells: Int = IvfCells,
+                 iters: Int = IvfIters,
+                 nProbes: Int = IvfProbes,
+                 sampleN: Int = IvfSampleN): DataFrame = {
+    graft.functions.TopKByScore.tuneForManyGroups(s)
+    val n = e.count()
+    val perCell = if (n <= AnnBroadcastCeilingRows) {
+      // per-cell blocked kernel (see annIvfTop1): the probed pair
+      // space never becomes rows — each probe row emits its cell's
+      // ≤ k best, and the aggregate below merges the partial top-ks
+      // (measured: the declarative pair matrix costs 125.7 s at the
+      // 100× slice; the kernel form 20.6 s — exponent 1.13 → 0.73)
+      val (assigned, probes) = annIvfSides(s, e, cells, iters, nProbes, sampleN, None)
+      graft.functions.BruteForceCosine.ivfTopKInCell(s,
+        assigned.select(col("cell"), col("cid"), col("ce")),
+        probes.select(col("qid"), col("qe"), col("cell")), k)
+    } else
+      annIvfCandidates(s, e, cells, iters, nProbes, sampleN)
+        .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+          col("qn"), col("cn")), 6))
+        // narrow projection before the aggregation (see annLshTop1)
+        .select(col("qid"), col("cid"), col("sim"))
+    perCell
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("cid"), col("sc.score").as("sim"))
+      .orderBy("qid", "rnk")
   }
 
   /** The IVF candidate stage (everything before the exact-cosine

@@ -205,5 +205,75 @@ object MultimodalQueries {
                     AS frame_digest
            FROM clips, LATERAL unnest(range(0, k)) AS t(jj)
            ORDER BY media_id, frame_idx"""))
+    ,
+
+    // ----------------------------------------------------------------
+    // Shot-boundary (scene-cut) detection — the temporal segmentation
+    // pass a video-training pipeline runs before clip extraction:
+    // per-frame content histogram, L1 distance between CONSECUTIVE
+    // frame histograms (one lag window per clip), cut where the
+    // distance clears a threshold. Real detectors diff color
+    // histograms of decoded frames (Media's decode path); here the
+    // frame is the clip's j-th 64-byte block (mm_frame_sample's
+    // layout, full frames only) and the "color" histogram is the
+    // 4-bin ascii%4 profile — so the whole detector (binning, lag
+    // diff, threshold) replays verbatim in DuckDB. Threshold 18 sits
+    // at the ~P75 of the observed L1 distribution (range 0–32 on this
+    // corpus), sparse-but-nonempty by construction. Scale: frame
+    // explode is len/64 rows per clip (linear in bytes), the ONLY
+    // shuffle is the per-clip window partitioning (media_id keys,
+    // frames co-located), per-frame work O(frame bytes) — the same
+    // shape as decoding real frames and diffing their histograms.
+    Q("mm_scene_cuts",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clips = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) >= 128)
+          .select(col("doc_id").as("media_id"), col("text"),
+            floor(length(col("text")) / 64).cast("int").as("n_frames"))
+        val frames = clips
+          .select(col("media_id"),
+            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+            col("text"))
+          .withColumn("frame", expr("substring(text, frame_idx * 64 + 1, 64)"))
+        val hist = frames.select(
+          col("media_id") +: col("frame_idx") +:
+            (0 until 4).map(b => expr(
+              s"size(filter(sequence(1, 64), i -> ascii(substring(frame, i, 1)) % 4 = $b))")
+              .as(s"h$b")): _*)
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        val l1 = (0 until 4)
+          .map(b => abs(col(s"h$b") - lag(col(s"h$b"), 1).over(w)))
+          .reduce(_ + _)
+        hist.withColumn("l1", l1)
+          .filter(col("l1") >= 18)
+          .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+            col("l1").cast("int").as("l1"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some {
+        val histSql = (0 until 4).map(b =>
+          s"length(list_filter(range(1, 65), i -> ascii(substr(frame, CAST(i AS INTEGER), 1)) % 4 = $b)) AS h$b")
+          .mkString(",\n                    ")
+        s"""WITH clips AS (
+             SELECT doc_id AS media_id, text,
+                    CAST(length(text) // 64 AS INTEGER) AS n_frames
+             FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 128),
+           frames AS (
+             SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
+                    substr(text, CAST(j AS INTEGER) * 64 + 1, 64) AS frame
+             FROM clips, LATERAL unnest(range(0, n_frames)) AS t(j)),
+           hist AS (
+             SELECT media_id, frame_idx,
+                    $histSql
+             FROM frames),
+           d AS (
+             SELECT media_id, frame_idx,
+                    abs(h0 - lag(h0) OVER w) + abs(h1 - lag(h1) OVER w)
+                  + abs(h2 - lag(h2) OVER w) + abs(h3 - lag(h3) OVER w) AS l1
+             FROM hist WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+           SELECT media_id, frame_idx, CAST(l1 AS INTEGER) AS l1
+           FROM d WHERE l1 >= 18 ORDER BY media_id, frame_idx"""
+      })
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Invariant tests for the round-11 second-wave operators
+  * (mm_scene_cuts, emb_outliers, emb_ann_ivf_topk) on the sf0.001
+  * fixture. Exact cross-engine agreement is the DuckDB oracle's job
+  * (Verify); these recompute the results independently in plain Scala
+  * (or against a sibling operator's output) so a drift in the
+  * relational derivation fails even if both engines drift together.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mm_scene_cuts: cuts equal a plain-Scala recompute of the histogram detector") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      (id, text) <- texts.toSeq
+      if id % 3 == 2 && text.length >= 128
+      nFrames = text.length / 64
+      hists = (0 until nFrames).map { j =>
+        val frame = text.substring(j * 64, j * 64 + 64)
+        (0 until 4).map(b => frame.count(_.toInt % 4 == b))
+      }
+      j <- 1 until nFrames
+      l1 = (0 until 4).map(b => math.abs(hists(j)(b) - hists(j - 1)(b))).sum
+      if l1 >= 18
+    } yield (id, j, l1)).sortBy(t => (t._1, t._2))
+    val got = Registry.byName("mm_scene_cuts").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // nonempty by construction at fixture scale — a threshold drift
+    // that silences the operator fails loudly here
+    assert(got.nonEmpty)
+  }
+
+  test("emb_outliers: flagged set equals an exact BigInt recompute of the integer z-test") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    val expected = (for {
+      (label, members) <- byLabel.toSeq
+      n = members.length
+      cent = (0 until 64).map { i =>
+        members.map(m => math.floor(m._3(i).toDouble * 1e6)).sum / (n * 1e6)
+      }
+      dms = members.map { case (_, vid, emb) =>
+        var d2 = 0.0
+        for (i <- 0 until 64) {
+          val diff = emb(i).toDouble - cent(i)
+          d2 += diff * diff
+        }
+        (vid, d2, BigInt(math.floor(d2 * 1e3).toLong))
+      }
+      s1 = dms.map(_._3).sum
+      s2 = dms.map(m => m._3 * m._3).sum
+      (vid, d2, dmu) <- dms
+      lhs = BigInt(n) * dmu - s1
+      if lhs > 0 && lhs * lhs > (BigInt(n) * s2 - s1 * s1) * 4
+    } yield (label, vid,
+      BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (t._1, t._2))
+    val got = Registry.byName("emb_outliers").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("emb_ann_ivf_topk: rank-1 equals emb_ann_ivf_auto's winner; ranks dense, sims ordered") {
+    val topk = Registry.byName("emb_ann_ivf_topk").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // same candidate stage + same tie order => the k=1 slice must be
+    // bit-identical to the top-1 operator's output
+    val top1 = Registry.byName("emb_ann_ivf_auto").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(topk.filter(_._2 == 1).map(t => (t._1, t._3, t._4)).toSet == top1)
+    for ((qid, rows) <- topk.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"ranks not dense for $qid")
+      // keep-order: sim DESC, cid ASC
+      val pairs = sorted.map(t => (-t._4, t._3)).toSeq
+      assert(pairs == pairs.sorted, s"rank order violates (sim DESC, cid ASC) for $qid")
+      assert(rows.length <= 5)
+    }
+  }
+
+  test("emb_ann_ivf_topk: aggregation-shaped plan (bounded-heap agg, no window rank)") {
+    val df = Registry.byName("emb_ann_ivf_topk").run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-k ranking must be the bounded-heap aggregate")
+    assert(!plan.contains("Window"),
+      "a window rank would shuffle-and-sort the full candidate matrix")
+  }
+}
