@@ -325,13 +325,22 @@ object BruteForceCosine {
     * broadcasts ~20× further than raw vectors — that regime keeps the
     * declarative path).
     *
+    * Unlike the per-cell IVF kernel, one input row here sees ALL of
+    * its query's probed cells, so the top-`emitK` emitted per row is
+    * already the FINAL ranking — no downstream merge aggregate. The
+    * k-th-boundary rounding pool follows [[ivfTopKInCell]]'s margin
+    * argument.
+    *
     * `qSide`: (qid, pcells array<int>, adc array<array<double>>,
     * qnrm, qe); `pqCells`: (cell, cid, codes array<int>, nrm);
-    * `rawVecs`: (vec_id, embedding). Output: (qid, cid, sim) — one
-    * row per query with ≥1 candidate.
+    * `rawVecs`: (vec_id, embedding). Output: (qid, rnk 1-based, cid,
+    * sim) — ≤ emitK rows per query with ≥1 candidate, ordered
+    * (qid, rnk); emitK = 1 reproduces the historical top-1 winner
+    * bit-for-bit (the pool's first element IS the monotone-round
+    * winner rule).
     */
-  def ivfPqTop1Kernel(s: SparkSession, qSide: DataFrame, pqCells: DataFrame,
-                      rawVecs: DataFrame, rerank: Int,
+  def ivfPqTopKKernel(s: SparkSession, qSide: DataFrame, pqCells: DataFrame,
+                      rawVecs: DataFrame, rerank: Int, emitK: Int = 1,
                       maxCandidates: Int = 4 << 20): DataFrame = {
     import s.implicits._
     val pqRows = pqCells.select("cell", "cid", "codes", "nrm").collect()
@@ -424,36 +433,56 @@ object BruteForceCosine {
           }
           if (hn == 0) Iterator.empty
           else {
-            // exact re-rank of the survivors, ascending cid; the
-            // monotone-round winner rule (see ivfBestInCell)
+            // exact re-rank of the survivors, ascending cid; final
+            // top-emitK on ROUNDED sims via the near-boundary pool
+            // (see ivfTopKInCell — emitK = 1 degenerates to the
+            // monotone-round winner rule)
             val surv = java.util.Arrays.copyOf(hi, hn)
             java.util.Arrays.sort(surv)
             val b = bcRaw.value
-            var rawMax = Double.NegativeInfinity
             val sims = new Array[Double](hn)
+            // k largest raws seen, ascending in sel
+            val sel = new Array[Double](emitK)
+            var selN = 0
             var si = 0
             while (si < hn) {
               val idx = java.util.Arrays.binarySearch(b.ids, surv(si))
               val sim = dotRow(b.mat, idx, qe, b.dim) / (qnrm * b.norms(idx))
               sims(si) = sim
-              if (sim > rawMax) rawMax = sim
+              if (selN < emitK) {
+                var i = selN
+                sel(i) = sim
+                while (i > 0 && sel(i - 1) > sel(i)) {
+                  val t = sel(i - 1); sel(i - 1) = sel(i); sel(i) = t; i -= 1
+                }
+                selN += 1
+              } else if (sim > sel(0)) {
+                sel(0) = sim
+                var i = 0
+                while (i < emitK - 1 && sel(i) > sel(i + 1)) {
+                  val t = sel(i); sel(i) = sel(i + 1); sel(i + 1) = t; i += 1
+                }
+              }
               si += 1
             }
-            val roundedMax = roundLikeSpark(rawMax, 6)
-            var bestCid = -1L
+            val kthRaw = sel(0)
+            val pool = new scala.collection.mutable.ArrayBuffer[(Double, Long)](emitK + 4)
             var s2 = 0
-            while (s2 < hn && bestCid < 0) {
-              if (sims(s2) > roundedMax - 1e-6 &&
-                roundLikeSpark(sims(s2), 6) == roundedMax)
-                bestCid = surv(s2)
+            while (s2 < hn) {
+              if (sims(s2) > kthRaw - 2e-6)
+                pool += ((roundLikeSpark(sims(s2), 6), surv(s2)))
               s2 += 1
             }
-            Iterator.single((qid, bestCid, roundedMax))
+            pool.sortInPlace()(Ordering.Tuple2(
+              Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+            pool.take(emitK).iterator.zipWithIndex.map {
+              case ((sim, cid), i) => (qid, i + 1, cid, sim)
+            }
           }
         }
       }
-      .toDF("qid", "cid", "sim")
-      .orderBy("qid")
+      .toDF("qid", "rnk", "cid", "sim")
+      .orderBy("qid", "rnk")
   }
 
   /** Exact cosine top-k of every vector against all others (self

@@ -227,9 +227,14 @@ object EmbeddingQueries {
     * hash-verified end to end.
     */
   private def annIvfPqOracleSql(k: Int, iters: Int, nProbe: Int,
-                                sampleN: Int, rerank: Int): String = {
+                                sampleN: Int, rerank: Int,
+                                topK: Int = 1): String = {
     def dist64(emb: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    val finalSelect =
+      if (topK == 1) "SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"
+      else s"""SELECT qid, CAST(rnk AS INT) AS rnk, cid, sim
+               FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
     val subFits = (0 until PqM)
       .map(m => fitCteBlock(s"s${m}_", m * PqSub, PqSub, PqCodes, iters))
       .mkString(",\n")
@@ -298,7 +303,7 @@ object EmbeddingQueries {
                   ORDER BY round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
                            s.cid ASC) AS rnk
          FROM shortlist s JOIN n a ON s.qid = a.vec_id JOIN n b ON s.cid = b.vec_id)
-       SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"""
+       $finalSelect"""
   }
 
   /** The LSH candidate-generation stage, exposed so AnnRecallSpec can
@@ -1233,6 +1238,26 @@ object EmbeddingQueries {
         IvfSampleN, PqRerank))),
 
     // ----------------------------------------------------------------
+    // IVF-PQ approximate top-k (k = 5): emb_ann_ivf_topk's sibling for
+    // the compressed-index regime (past ~25 M vectors only the CODED
+    // inverted file still broadcasts). Auto sizing identical to
+    // emb_ann_ivfpq_auto; under the ceiling the whole-pipeline kernel
+    // emits the final per-query ranking directly (one input row sees
+    // all its probed cells — no merge aggregate at all).
+    Q("emb_ann_ivfpq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        val nProbes = ivfProbesFor(n)
+        annIvfPqTopK(s, e, k = AnnTopK, cells = cells, nProbes = nProbes,
+          sampleN = ivfSampleFor(cells),
+          rerank = pqRerankFor(n, cells, nProbes))
+      },
+      Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
+        IvfSampleN, PqRerank, topK = AnnTopK))),
+
+    // ----------------------------------------------------------------
     // SemDeDup (cluster-then-dedup semantic near-dup removal — see
     // [[semDedup]]): the embedding-space analogue of
     // doc_neardup_clusters' "turn pairs into a dedup decision", with
@@ -1528,15 +1553,31 @@ object EmbeddingQueries {
                    sampleN: Int = IvfSampleN,
                    rerank: Int = PqRerank,
                    queries: Option[DataFrame] = None): DataFrame =
-    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank, queries).top1
+    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank, queries).ranked
+
+  /** IVF-PQ approximate top-k — the compressed-index retrieval-service
+    * shape (emb_ann_ivf_topk's sibling for the regime where even the
+    * raw-vector inverted file no longer broadcasts): same ADC
+    * shortlist + exact re-rank, final ranking depth k instead of 1.
+    */
+  def annIvfPqTopK(s: SparkSession, e0: DataFrame, k: Int,
+                   cells: Int = IvfCells,
+                   iters: Int = IvfIters,
+                   nProbes: Int = IvfProbes,
+                   sampleN: Int = IvfSampleN,
+                   rerank: Int = PqRerank): DataFrame =
+    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank,
+      emitK = k).ranked
 
   /** The IVF-PQ pipeline with its intermediate stages exposed (test
     * scope uses this to attribute wall time per phase — PqProfile —
-    * and to pin plan shapes); annIvfPqTop1 is stages.top1.
+    * and to pin plan shapes); annIvfPqTop1 is stages.ranked at
+    * emitK = 1 ((qid, cid, sim)); emitK > 1 ranks to depth k
+    * ((qid, rnk, cid, sim)).
     */
   private[operators] final case class IvfPqStages(
       assigned: DataFrame, probes: DataFrame, pairs: DataFrame,
-      shortlist: DataFrame, top1: DataFrame)
+      shortlist: DataFrame, ranked: DataFrame)
 
   private[operators] def annIvfPqStages(s: SparkSession, e0: DataFrame,
                    cells: Int = IvfCells,
@@ -1544,7 +1585,8 @@ object EmbeddingQueries {
                    nProbes: Int = IvfProbes,
                    sampleN: Int = IvfSampleN,
                    rerank: Int = PqRerank,
-                   queries: Option[DataFrame] = None): IvfPqStages = {
+                   queries: Option[DataFrame] = None,
+                   emitK: Int = 1): IvfPqStages = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
     import s.implicits._
@@ -1644,9 +1686,9 @@ object EmbeddingQueries {
     // 78 GB of spill before dying). Broadcast keeps the re-rank one
     // map-side stage into the top-1 partials.
     val nCorpus = e.count()
-    val top1 =
-      if (nCorpus <= AnnBroadcastCeilingRows)
-        // Whole-pipeline kernel (BruteForceCosine.ivfPqTop1Kernel):
+    val ranked =
+      if (nCorpus <= AnnBroadcastCeilingRows) {
+        // Whole-pipeline kernel (BruteForceCosine.ivfPqTopKKernel):
         // under the ceiling the declarative form's candidate-matrix
         // row machinery and the n·rerank heap exchange dominate the
         // ADC arithmetic (the ivfBestInCell measurement, PQ edition);
@@ -1655,18 +1697,29 @@ object EmbeddingQueries {
         // computed. Past the ceiling the declarative join+aggregate
         // below is the design (the coded file broadcasts ~20× further
         // than raw vectors — exactly that regime keeps it).
-        graft.functions.BruteForceCosine.ivfPqTop1Kernel(s,
+        val k = graft.functions.BruteForceCosine.ivfPqTopKKernel(s,
           qSide.select(col("qid"), col("pcells"), col("adc"),
             col("qnrm"), col("qe")),
           assigned.select(col("cell"), col("cid"), col("codes"), col("nrm")),
-          e.select(col("vec_id"), col("embedding")), rerank)
-      else top1BySim(shortlist
-        .join(maybeBroadcastVectors(va, nCorpus), "qid")
-        .join(maybeBroadcastVectors(vb, nCorpus), "cid")
-        .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
-          col("qn"), col("cn")), 6))
-        .select(col("qid"), col("cid"), col("sim")))
-    IvfPqStages(assigned, probes, pairs, shortlist, top1)
+          e.select(col("vec_id"), col("embedding")), rerank, emitK)
+        if (emitK == 1) k.select(col("qid"), col("cid"), col("sim"))
+        else k
+      } else {
+        val exact = shortlist
+          .join(maybeBroadcastVectors(va, nCorpus), "qid")
+          .join(maybeBroadcastVectors(vb, nCorpus), "cid")
+          .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
+            col("qn"), col("cn")), 6))
+          .select(col("qid"), col("cid"), col("sim"))
+        if (emitK == 1) top1BySim(exact)
+        else exact.groupBy("qid")
+          .agg(graft.functions.TopKByScore.topK(emitK)(col("sim"), col("cid")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+            col("sc.id").as("cid"), col("sc.score").as("sim"))
+          .orderBy("qid", "rnk")
+      }
+    IvfPqStages(assigned, probes, pairs, shortlist, ranked)
   }
 
   /** Candidate-id headroom of the top-1 encoding below: cid must fit

@@ -85,6 +85,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(close >= 0.60, f"IVF-PQ approximation ratio degraded: $close%.3f")
   }
 
+  test("IVF top-k: recall@5 against exact brute-force top-5") {
+    // exact top-5 per query, same rounding + (sim desc, cid asc) order
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x).sum)
+    }.toMap
+    val exact5: Map[Long, Set[Long]] = vecs.map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid).map { case (cid, c) =>
+        val dot = q.zip(c).map { case (a, b) => a.toDouble * b }.sum
+        (BigDecimal(dot / (norms(qid) * norms(cid)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }.sortBy { case (sim, cid) => (-sim, cid) }.take(5).map(_._2).toSet
+    }.toMap
+    val got = Registry.byName("emb_ann_ivf_topk").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val coverage = got.size.toDouble / exact5.size
+    val recall5 = exact5.map { case (qid, ex) =>
+      got.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+    }.sum / exact5.size
+    info(f"emb_ann_ivf_topk recall@5=$recall5%.3f coverage=$coverage%.3f")
+    assert(coverage == 1.0, "IVF top-k must answer every query")
+    // same probe budget as emb_ann_ivf_auto; floor sits a margin under
+    // the value measured at pinning time (0.466 on this corpus)
+    assert(recall5 >= 0.38, f"IVF top-k recall@5 degraded: $recall5%.3f")
+  }
+
   test("banded LSH ANN covers every query and approximates top-1 well") {
     val (recall, coverage, close) = metricsOf("emb_ann_lsh")
     info(f"emb_ann_lsh recall@1=$recall%.3f coverage=$coverage%.3f approx90=$close%.3f")

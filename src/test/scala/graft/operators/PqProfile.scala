@@ -59,7 +59,7 @@ object PqProfile {
     timed("probes count (cached)")(println("  probes=" + staged.probes.count()))
     timed("candidate pair count")(println("  pairs=" + staged.pairs.count()))
     timed("shortlist agg")(println("  shortlist=" + staged.shortlist.count()))
-    timed("full top1")(println("  rows=" + staged.top1.count()))
+    timed("full ranked")(println("  rows=" + staged.ranked.count()))
     spark.stop()
   }
 }

@@ -87,6 +87,21 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_ann_ivfpq_topk: rank-1 equals emb_ann_ivfpq_auto's winner; ranks dense, sims ordered") {
+    val topk = Registry.byName("emb_ann_ivfpq_topk").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val top1 = Registry.byName("emb_ann_ivfpq_auto").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(topk.filter(_._2 == 1).map(t => (t._1, t._3, t._4)).toSet == top1)
+    for ((qid, rows) <- topk.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"ranks not dense for $qid")
+      val pairs = sorted.map(t => (-t._4, t._3)).toSeq
+      assert(pairs == pairs.sorted, s"rank order violates (sim DESC, cid ASC) for $qid")
+      assert(rows.length <= 5)
+    }
+  }
+
   test("emb_ann_ivf_topk: aggregation-shaped plan (bounded-heap agg, no window rank)") {
     val df = Registry.byName("emb_ann_ivf_topk").run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
