@@ -449,6 +449,14 @@ object CorpusQueries {
           .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("g"))
       .select(col("doc_id"), col("lang"),
         expr("int(conv(substring(md5(g), 1, 3), 16, 10))").as("bucket"))
+      // consumed TWICE (bucket stats, then per-doc scoring) — without
+      // the barrier the whole gram derivation (two regex passes +
+      // md5 per gram over the full corpus) re-evaluates per consumer,
+      // doubling the dominant cost (the doc_fuzzy_match lesson;
+      // measured 50.1 → 24.4 s at the 100× slice). Cached rows are
+      // the NARROW (doc_id, lang, bucket) triple — the text never
+      // enters the cache.
+      .transform(graft.Caching.persistOnce(_))
     val stats = occ.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === DsirTargetLang, 1)).as("ct"))
