@@ -205,6 +205,103 @@ object EmbIncrementalDedup {
         (shiftright(col("m"), 43).cast("double") / 1e6).as("sim"))
   }
 
+  /** Batch approximate top-k search against the persisted index at
+    * `dir` — [[searchStream]]'s batch twin (same signatures, same
+    * candidate join, same ranking semantics), and the recompute
+    * EmbIngestSpec pins the stream against. The ranking is the
+    * bounded-heap aggregate, not a window (the emb_ann_ivf_topk
+    * design note).
+    */
+  def searchIndex(s: SparkSession, queries: DataFrame, dir: String, k: Int,
+                  nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.functions.TopKByScore.tuneForManyGroups(s)
+    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
+    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val qn = EmbeddingQueries.withNorm(queries)
+      .select(col("vec_id"), col("embedding"), col("nrm").as("ns"))
+    val cands = signatures(qn, nBands, bits).as("s")
+      .join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("i.vec_id").as("cand_id"))
+      .distinct()
+    cands
+      .join(qn.select(col("vec_id"), col("embedding"), col("ns")), "vec_id")
+      .join(idxVecs, "cand_id")
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("embedding"), col("ec"), col("ns"), col("nc")), 6))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cand_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("match_id"), col("sc.score").as("sim"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Streaming approximate top-k SEARCH against the persisted index —
+    * the online ANN-serving shape (dedupStream answers "is this new
+    * vector a duplicate?"; this answers "what are the k nearest
+    * indexed vectors to this query?"). `queries` must be a STREAMING
+    * DataFrame with (vec_id, embedding, ingest_ts).
+    *
+    * Same stateless stream-static front end as [[dedupStream]]
+    * (signature explode, band join, exact-cosine over stored
+    * vectors), with two deliberate differences:
+    *  - duplicate (query, candidate) collisions from multiple bands
+    *    were harmless under dedupStream's MAX but would occupy
+    *    multiple top-k slots here, so they are removed with
+    *    `dropDuplicatesWithinWatermark` — the bounded-state streaming
+    *    dedup (plain dropDuplicates would hold every pair ever seen) —
+    *    BEFORE the vector join, which also spares the duplicate
+    *    cosines;
+    *  - no similarity threshold: search returns the best k whatever
+    *    their score, ranked by the bounded-heap [[TopKByScore]]
+    *    aggregate (the one stateful aggregation, watermarked like
+    *    dedupStream's max).
+    *
+    * Emits (vec_id, rnk 1-based, match_id, sim) per query when its
+    * window passes the watermark; a query whose signatures collide
+    * with nothing emits nothing (empty candidate set — the caller
+    * widens banding or falls back to a batch scan for exhaustive
+    * search; EmbIngestSpec pins stream ≡ batch on the same index).
+    */
+  def searchStream(s: SparkSession, queries: DataFrame, dir: String, k: Int,
+                   nBands: Int = Bands, bits: Int = Bits,
+                   watermarkDelay: String = "1 hour",
+                   windowDuration: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.functions.TopKByScore.tuneForManyGroups(s)
+    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
+    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val vn = queries.withColumn("ns", sqrt(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+      .withWatermark("ingest_ts", watermarkDelay)
+    val sigs = vn.select(col("vec_id"), col("ingest_ts"), col("embedding"),
+      col("ns"),
+      posexplode(call_function("band_sigs", col("embedding"),
+        typedlit(EmbeddingQueries.planes(nBands * bits)), lit(bits)))
+        .as(Seq("band", "sig")))
+    val cands = sigs.as("s")
+      .join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("s.ingest_ts").as("ingest_ts"),
+        col("s.embedding").as("embedding"), col("s.ns").as("ns"),
+        col("i.vec_id").as("cand_id"))
+      .dropDuplicatesWithinWatermark("vec_id", "cand_id")
+    val scored = cands.join(idxVecs, "cand_id")
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("embedding"), col("ec"), col("ns"), col("nc")), 6))
+    scored.groupBy(window(col("ingest_ts"), windowDuration), col("vec_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cand_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("match_id"), col("sc.score").as("sim"))
+  }
+
   /** Registry entry: simulate the production split on the embeddings
     * table — every 5th vector is the NEW shard, the rest are the
     * already-indexed corpus. Banding is CORPUS-SIZED

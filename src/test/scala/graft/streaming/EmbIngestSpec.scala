@@ -77,6 +77,60 @@ class EmbIngestSpec extends SparkSpec {
           s"only-exact=${(expected.keySet -- streamed.keySet).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming top-k search equals the batch ranking over the same index") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-search-idx").toString
+    EmbIncrementalDedup.build(spark, corpus, dir)
+    val corp = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    // queries: a handful of shard vectors + a planted near-copy of a
+    // corpus vector whose rank-1 must be that vector
+    val plantedOf = corp(2)._1
+    val jitter = corp(2)._2.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 1) 0.0005f else 0f) }
+    val queries = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .take(10) ++ Seq((600000L, jitter))
+
+    val K = 5
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[VecArrival]
+    val out = EmbIncrementalDedup.searchStream(spark, source.toDF()
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("ingest_ts")),
+      dir, k = K, watermarkDelay = "1 minute", windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("emb_stream_search")
+      .outputMode("append").start()
+    try {
+      val T = 1700000000000L
+      source.addData(queries.map { case (id, v) =>
+        VecArrival(id, v.toSeq, new Timestamp(T)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      source.addData(VecArrival(999999L, corp.head._2.toSeq,
+        new Timestamp(T + 3600L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("emb_stream_search").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .filterNot(_._1 == 999999L).toSet
+
+      // batch twin: the searchIndex API over the SAME persisted index
+      val qdf = queries.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val batch = EmbIncrementalDedup.searchIndex(spark, qdf, dir, k = K)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${(streamed -- batch).take(3)}, " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+      // semantic anchor: the planted near-copy's rank-1 is its source
+      assert(streamed.exists(t => t._1 == 600000L && t._2 == 1 && t._3 == plantedOf),
+        "planted near-copy must rank its source first")
+    } finally q.stop()
+  }
 }
 
 case class VecArrival(vec_id: Long, embedding: Seq[Float], ingest_ts: Timestamp)
