@@ -213,13 +213,24 @@ object EmbIncrementalDedup {
     * design note).
     */
   def searchIndex(s: SparkSession, queries: DataFrame, dir: String, k: Int,
-                  nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+                  nBands: Int = Bands, bits: Int = Bits): DataFrame =
+    searchAgainst(s,
+      s.read.parquet(s"$dir/signatures.parquet"),
+      s.read.parquet(s"$dir/vectors.parquet"),
+      queries, k, nBands, bits)
+
+  /** The relation-level search core ([[dedupAgainst]]'s sibling):
+    * `idxSigs` = (vec_id, band, sig), `idxVecs` = (vec_id, embedding,
+    * nrm). Shared by the file-backed [[searchIndex]] and the
+    * oracle-verified registry twin below.
+    */
+  def searchAgainst(s: SparkSession, idxSigs: DataFrame, idxVecs: DataFrame,
+                    queries: DataFrame, k: Int,
+                    nBands: Int = Bands, bits: Int = Bits): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
-    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
-    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
-        col("nrm").as("nc"))
+    val iv = idxVecs.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
     val qn = EmbeddingQueries.withNorm(queries)
       .select(col("vec_id"), col("embedding"), col("nrm").as("ns"))
     val cands = signatures(qn, nBands, bits).as("s")
@@ -228,7 +239,7 @@ object EmbIncrementalDedup {
       .distinct()
     cands
       .join(qn.select(col("vec_id"), col("embedding"), col("ns")), "vec_id")
-      .join(idxVecs, "cand_id")
+      .join(iv, "cand_id")
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
       .groupBy("vec_id")
@@ -347,6 +358,75 @@ object EmbIncrementalDedup {
              SELECT s.vec_id, best.match_id IS NOT NULL AS is_dup,
                     best.match_id, best.sim
              FROM shard s LEFT JOIN best ON s.vec_id = best.vec_id
-             ORDER BY s.vec_id"""))
+             ORDER BY s.vec_id""")),
+
+    // ----------------------------------------------------------------
+    // Index search, oracle-verified: the searchIndex/searchStream
+    // semantics (top-k of banded-signature collisions against an
+    // index, NO similarity threshold) on the same production split as
+    // emb_dedup_incremental. Unlike the dedup twin — whose 0.95
+    // threshold makes exhaustive-recall banding collapse the oracle to
+    // exact all-pairs — an unthresholded top-k is banding-DEPENDENT,
+    // so the oracle replays the signature construction itself (the
+    // annLshOracleSql plane/sig CTEs, minus multi-probe: search
+    // collides on home buckets) and ranks collisions exactly. Banding
+    // is the emb_ann_lsh_auto family (annLshBandsFor/BitsFor — bucket
+    // occupancy ~2 at any n), evaluated at the oracle-scale constants
+    // in the replay; AnnAutoSizeSpec-style coincidence holds because
+    // both formulas sit on their floors at n = 500.
+    Q("emb_search_index",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+        val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val queries = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val n = e.count()
+        val bands = EmbeddingQueries.annLshBandsFor(n)
+        val bits = EmbeddingQueries.annLshBitsFor(n)
+        searchAgainst(s,
+          signatures(corpus, bands, bits),
+          EmbeddingQueries.withNorm(corpus).select("vec_id", "embedding", "nrm"),
+          queries, k = 5, bands, bits)
+      },
+      Some(searchOracleSql(
+        EmbeddingQueries.annLshBandsFor(500), EmbeddingQueries.annLshBitsFor(500),
+        k = 5)))
   )
+
+  /** DuckDB replay of the search pipeline: plane dots → band
+    * signatures (the annLshOracleSql sigs construction) → home-bucket
+    * collisions across the index/query split → exact-cosine top-k.
+    */
+  private def searchOracleSql(nBands: Int, bits: Int, k: Int): String = {
+    val planeRows = EmbeddingQueries.planes(nBands * bits).zipWithIndex
+      .map { case (row, p) =>
+        s"($p, [${row.map(f => s"CAST('$f' AS FLOAT)").mkString(",")}])"
+      }.mkString(",")
+    s"""WITH pl(p, plane) AS (VALUES $planeRows),
+       bits AS (
+         SELECT e.vec_id, pl.p,
+                ${EmbeddingQueries.dotSql("e.embedding", "pl.plane")} AS d
+         FROM embeddings e, pl),
+       sigs AS (
+         SELECT vec_id, p // $bits AS band,
+                CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END * (1 << (p % $bits))) AS BIGINT) AS sig
+         FROM bits GROUP BY vec_id, p // $bits),
+       n AS (
+         SELECT vec_id, embedding,
+                sqrt(${EmbeddingQueries.dotSql("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS qid, s.vec_id AS cid
+         FROM sigs q JOIN sigs s ON q.band = s.band AND q.sig = s.sig
+         WHERE q.vec_id % 5 = 0 AND s.vec_id % 5 <> 0),
+       ranked AS (
+         SELECT c.qid, c.cid,
+                round(${EmbeddingQueries.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY round(${EmbeddingQueries.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) DESC,
+                           c.cid ASC) AS rnk
+         FROM cand c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.cid = b.vec_id)
+       SELECT qid AS vec_id, CAST(rnk AS INT) AS rnk, cid AS match_id, sim
+       FROM ranked WHERE rnk <= $k ORDER BY vec_id, rnk"""
+  }
 }
