@@ -80,4 +80,27 @@ class PlanShapeSpec extends SparkSpec {
         s"$q top-1 fell back to SortAggregate:\n$p")
     }
   }
+
+  test("round-11 operators: broadcast-joined scan pipelines, no window ranks, no sort-merge") {
+    // emb_outliers: two label-keyed aggregations + broadcast joins —
+    // a pair join or SMJ here means the centroid side stopped
+    // broadcasting
+    val po = plan("emb_outliers")
+    assert(po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"),
+      s"emb_outliers lost its broadcast joins:\n$po")
+    // mm_scene_cuts: the per-clip lag window is the ONLY data shuffle
+    // (plus the presentation sort)
+    val pm = plan("mm_scene_cuts")
+    assert(countOf(pm, "hashpartitioning") <= 1,
+      s"mm_scene_cuts grew a second data shuffle:\n$pm")
+    // top-k search entries: ranking must stay the bounded-heap
+    // aggregate — a Window rank would shuffle-and-sort the full
+    // candidate matrix
+    for (q <- Seq("emb_ann_ivf_topk", "emb_ann_ivfpq_topk", "emb_search_index")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a window:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q top-k fell back to SortAggregate:\n$p")
+    }
+  }
 }
