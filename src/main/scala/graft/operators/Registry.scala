@@ -13,6 +13,7 @@ object Registry {
       CorpusQueries.all ++
       IncrementalDedup.all ++
       EmbIncrementalDedup.all ++
+      DocSearchIndex.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 

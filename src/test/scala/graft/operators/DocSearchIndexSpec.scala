@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index: file-backed search must score exactly like a
+  * plain-Scala BM25 recompute over the raw corpus, appends must be
+  * equivalent to rebuilding, and the search scan must prune to the
+  * query terms' bucket partitions.
+  */
+class DocSearchIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val terms = Seq("join", "stream", "hash", "sort")
+
+  /** Plain-Scala BM25 with the exact IEEE op order of the Spark
+    * contrib column (and the oracle SQL): one drifted parenthesis
+    * fails the comparison bit-for-bit.
+    */
+  private def exactScores(docs: Seq[(Long, String)]): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val dls = toks.map { case (id, ws) => id -> ws.length.toDouble }.toMap
+    val nDocs = docs.size.toDouble
+    val avgdl = dls.values.map(_.toLong).sum.toDouble / nDocs
+    val tfs = toks.map { case (id, ws) =>
+      id -> terms.map(t => ws.count(_ == t).toDouble)
+    }.toMap
+    val dfs = terms.indices.map(i => tfs.values.count(_(i) > 0).toDouble)
+    toks.flatMap { case (id, _) =>
+      val score = terms.indices.map { i =>
+        val tf = tfs(id)(i); val df = dfs(i)
+        if (tf > 0)
+          math.log((nDocs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+        else 0.0
+      }.reduce(_ + _)
+      if (score > 0)
+        Some(id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.toMap
+  }
+
+  private def docs = graft.Tables.documents(spark, sf)
+    .select("doc_id", "text").collect()
+    .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("file-backed search equals the exact BM25 recompute; append equals rebuild") {
+    val all = docs
+    val corpus = all.filter(_._1 % 5 != 0)
+    val shard = all.filter(_._1 % 5 == 0)
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc-idx").toString
+    DocSearchIndex.build(spark, df(corpus), dir)
+    DocSearchIndex.appendIncrement(spark, df(shard), dir)
+
+    val k = 25
+    val got = DocSearchIndex.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = exactScores(all)
+    val expected = exact.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(got.toSeq == expected,
+      s"index search diverged from exact BM25: got=${got.take(3).toSeq} expected=${expected.take(3)}")
+  }
+
+  test("search prunes the postings scan to the query terms' buckets") {
+    val all = docs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc-idx2").toString
+    DocSearchIndex.build(spark, all.toDF("doc_id", "text"), dir)
+    // the full path runs (and caches its pruned postings — which is
+    // why the scan below is asserted on the pre-cache relation: the
+    // file scan lives inside the InMemoryRelation after persistOnce)
+    assert(DocSearchIndex.search(spark, dir, Seq("join"), 5).collect().nonEmpty)
+    // the scan search builds: bucket filter over the partitioned
+    // layout — partition pruning must reduce the file list to the
+    // term's bucket directory
+    val b = DocSearchIndex.bucketOf("join")
+    val pruned = spark.read.parquet(s"$dir/postings.parquet")
+      .filter(col("bucket").isin(Integer.valueOf(b)))
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a postings file scan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "bucket filter was not pushed as a partition filter")
+    val files = scans.flatMap(f => f.relation.location.listFiles(
+      f.partitionFilters, f.dataFilters))
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")),
+      s"scan read outside bucket=$b: ${files.filterNot(_.contains(s"bucket=$b")).take(3)}")
+  }
+}
