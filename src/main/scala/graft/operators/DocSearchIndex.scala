@@ -138,6 +138,66 @@ object DocSearchIndex {
       .limit(k)
   }
 
+  /** Streaming search: queries ARRIVE as (query_id, terms
+    * array<string>, ingest_ts) and score against the PERSISTED index —
+    * [[EmbIncrementalDedup.searchStream]]'s text-side sibling. Two
+    * departures from the batch form, both forced by streaming:
+    *  - arriving term sets are arbitrary, so the per-term
+    *    contributions cannot pivot to statically-known columns; they
+    *    flow as ROWS through a per-(query, doc) sum. A float sum over
+    *    rows is partition-order-nondeterministic, so each contribution
+    *    is floored to integer MICRO-units first (doc_lm_nll's
+    *    quantization contract) — exact long addition in any order;
+    *    scores are micro-quantized BM25, off the batch form by
+    *    < 1e-6 per term.
+    *  - per-term document frequencies and the corpus stats are STATIC
+    *    aggregations of the index (computed once at stream start and
+    *    broadcast into the stream-static join) — exactly how a
+    *    serving system holds index statistics; a shard append is
+    *    picked up at the next stream restart.
+    * Two chained stateful operators (per-(query, doc) sum → per-query
+    * top-k), both on the same event-time window — the multi-stateful
+    * append-mode shape Structured Streaming supports natively. Emits
+    * (query_id, rnk, doc_id, score_micro) when the window passes the
+    * watermark.
+    */
+  def searchStream(s: SparkSession, queries: DataFrame, dir: String, k: Int,
+                   watermarkDelay: String = "1 hour",
+                   windowDuration: String = "10 minutes"): DataFrame = {
+    graft.functions.TopKByScore.tuneForManyGroups(s)
+    val postings = s.read.parquet(s"$dir/postings.parquet")
+    val stats = s.read.parquet(s"$dir/stats.parquet")
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double"))
+          .as("avgdl"))
+    val dfs = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val terms = queries
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("query_id"), col("ingest_ts"),
+        explode(array_distinct(col("terms"))).as("term"))
+    val contrib =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = terms
+      .join(postings.select("term", "doc_id", "tf", "dl"), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("ingest_ts"), col("doc_id"),
+        floor(contrib * lit(1e6)).cast("long").as("c_micro"))
+    scored
+      .groupBy(window(col("ingest_ts"), windowDuration),
+        col("query_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+      .groupBy(col("window"), col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(k)(
+        col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("doc_id"), col("sc.score").cast("long").as("score_micro"))
+  }
+
   /** Registry terms — distinct from doc_bm25_topk's so the two entries
     * exercise different postings.
     */

@@ -91,4 +91,65 @@ class DocSearchIndexSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")),
       s"scan read outside bucket=$b: ${files.filterNot(_.contains(s"bucket=$b")).take(3)}")
   }
+
+  test("streaming queries score against the index; results equal the exact micro recompute") {
+    import spark.implicits._
+    val all = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc-idx3").toString
+    DocSearchIndex.build(spark, all.toDF("doc_id", "text"), dir)
+
+    // exact micro-quantized recompute (the streaming contract):
+    // floor(contrib * 1e6) per (query term, doc), exact long sums
+    val toks = all.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val dls = toks.map { case (id, ws) => id -> ws.length.toDouble }.toMap
+    val nDocs = all.size.toDouble
+    val avgdl = dls.values.map(_.toLong).sum.toDouble / nDocs
+    def microScores(qterms: Seq[String]): Map[Long, Long] = {
+      val dfByTerm = qterms.map(t =>
+        t -> toks.count(_._2.contains(t)).toDouble).toMap
+      toks.flatMap { case (id, ws) =>
+        val s = qterms.distinct.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf > 0) {
+            val df = dfByTerm(t)
+            math.floor(math.log((nDocs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+              (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl)) * 1e6).toLong
+          } else 0L
+        }.sum
+        if (s != 0L) Some(id -> s) else None
+      }.toMap
+    }
+    val k = 7
+    val qs = Seq(1L -> Seq("join", "stream"), 2L -> Seq("hash", "sort", "hash"))
+    val expected = qs.flatMap { case (qid, ts) =>
+      microScores(ts.distinct).toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((docId, s), i) => (qid, i + 1, docId, s) }
+    }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[QueryArrival]
+    val out = DocSearchIndex.searchStream(spark, source.toDF(), dir, k = k,
+      watermarkDelay = "1 minute", windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("doc_stream_search")
+      .outputMode("append").start()
+    try {
+      val T = 1700000000000L
+      source.addData(qs.map { case (qid, ts) =>
+        QueryArrival(qid, ts, new java.sql.Timestamp(T)) }: _*)
+      q.processAllAvailable()
+      // flush arrival advances the watermark past the query window
+      source.addData(QueryArrival(99L, Seq("join"),
+        new java.sql.Timestamp(T + 3600L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("doc_stream_search").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .filterNot(_._1 == 99L).toSet
+      assert(streamed == expected,
+        s"stream/exact divergence: only-stream=${(streamed -- expected).take(3)}, " +
+          s"only-exact=${(expected -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
+
+final case class QueryArrival(query_id: Long, terms: Seq[String],
+                              ingest_ts: java.sql.Timestamp)
