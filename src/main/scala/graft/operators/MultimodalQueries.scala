@@ -274,6 +274,76 @@ object MultimodalQueries {
              FROM hist WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
            SELECT media_id, frame_idx, CAST(l1 AS INTEGER) AS l1
            FROM d WHERE l1 >= 18 ORDER BY media_id, frame_idx"""
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // Voice-activity segments — the silence-trimming pass an audio
+    // training pipeline runs before transcription/feature extraction:
+    // frame the PCM into 64-sample windows, per-window energy
+    // (integer sum of squares — exact in both engines), threshold,
+    // then contiguous voiced windows merge into segments via the
+    // gaps-and-islands pattern (w − row_number() over voiced windows
+    // is constant within a run). The PCM is mm_audio_features'
+    // relational derivation (sample[i] = ascii(text[i mod len]) − 96
+    // over the same audio-kind clips); threshold 58000 ≈ the median
+    // window energy of this corpus, giving real segment structure
+    // (≈420 segments / 149 clips at sf0.01, runs up to 5 windows).
+    // Scale: window explode is n_samples/64 rows per clip (bounded at
+    // 32 by the 2048-sample cap), per-window work O(64) over the
+    // pre-split char array (never substring-seek — the
+    // mm_audio_features O(len²) lesson); the only shuffles are the
+    // per-clip window partitioning and the segment groupBy, both
+    // keyed media_id — co-located.
+    Q("mm_voice_segments",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clips = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 1 && length(col("text")) > 0)
+          .select(col("doc_id").as("media_id"),
+            least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
+            split(col("text"), "").as("cs"))
+          .filter(col("n_samples") >= 64)
+        val wins = clips
+          .select(col("media_id"), col("cs"),
+            explode(sequence(lit(0), (col("n_samples") / 64).cast("int") - 1)).as("w"))
+          .withColumn("sum_sq", expr(
+            "aggregate(sequence(w * 64, w * 64 + 63), 0L, (acc, i) -> " +
+              "acc + CAST(ascii(element_at(cs, (i % size(cs)) + 1)) - 96 AS LONG) " +
+              "* (ascii(element_at(cs, (i % size(cs)) + 1)) - 96))"))
+          .select("media_id", "w", "sum_sq")
+        val wv = Window.partitionBy("media_id").orderBy("w")
+        wins.filter(col("sum_sq") >= 58000)
+          .withColumn("rn", row_number().over(wv))
+          .groupBy(col("media_id"), (col("w") - col("rn")).as("grp"))
+          .agg(min(col("w")).cast("int").as("start_w"),
+            max(col("w")).cast("int").as("end_w"),
+            count(lit(1)).cast("int").as("n_windows"),
+            sum(col("sum_sq")).as("energy"))
+          .select("media_id", "start_w", "end_w", "n_windows", "energy")
+          .orderBy("media_id", "start_w")
+      },
+      Some("""WITH clips AS (
+             SELECT doc_id AS media_id, text,
+                    CAST(least(length(text) * 2, 2048) AS INTEGER) AS n_samples
+             FROM documents
+             WHERE doc_id % 3 = 1 AND length(text) > 0
+               AND least(length(text) * 2, 2048) >= 64),
+           wins AS (
+             SELECT media_id, CAST(w AS INTEGER) AS w,
+                    list_sum(list_transform(
+                      range(CAST(w AS INTEGER) * 64, CAST(w AS INTEGER) * 64 + 64),
+                      i -> CAST(ascii(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1)) - 96 AS BIGINT)
+                         * (ascii(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1)) - 96))) AS sum_sq
+             FROM clips, LATERAL unnest(range(0, n_samples // 64)) AS t(w)),
+           voiced AS (
+             SELECT media_id, w, sum_sq,
+                    row_number() OVER (PARTITION BY media_id ORDER BY w) AS rn
+             FROM wins WHERE sum_sq >= 58000)
+           SELECT media_id, CAST(min(w) AS INTEGER) AS start_w,
+                  CAST(max(w) AS INTEGER) AS end_w,
+                  CAST(count(*) AS INTEGER) AS n_windows,
+                  CAST(sum(sum_sq) AS BIGINT) AS energy
+           FROM voiced GROUP BY media_id, w - rn
+           ORDER BY media_id, start_w"""))
   )
 }

@@ -64,4 +64,30 @@ class MultimodalOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("mm_voice_segments: segments equal a plain-Scala recompute of the VAD islands") {
+    val texts = docs
+    val expected = (for {
+      (id, text) <- texts.toSeq
+      if id % 3 == 1 && text.nonEmpty
+      n = math.min(text.length * 2, 2048)
+      if n >= 64
+      energies = (0 until n / 64).map { w =>
+        (64 * w until 64 * w + 64).map { i =>
+          val x = (text.charAt(i % text.length).toInt - 96).toLong
+          x * x
+        }.sum
+      }
+      voiced = energies.zipWithIndex.filter(_._1 >= 58000L).map(_._2)
+      // islands: consecutive voiced window indices
+      (grp, ws) <- voiced.zipWithIndex.groupBy { case (w, rn) => w - rn }
+      sorted = ws.map(_._1).sorted
+    } yield (id, sorted.head, sorted.last, sorted.length,
+      sorted.map(energies(_)).sum)).sortBy(t => (t._1, t._2))
+    val got = Registry.byName("mm_voice_segments").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
