@@ -303,6 +303,167 @@ object BruteForceCosine {
       .toDF("qid", "cid", "sim")
   }
 
+  /** Whole-pipeline LSH top-1 kernel for the under-broadcast-ceiling
+    * regime — [[ivfPqTopKKernel]]'s banded-LSH sibling: one input row
+    * per QUERY carries its full multi-probe signature array (the
+    * band_probes kernel output, never exploded), and the kernel walks
+    * each probed bucket of the broadcast inverted signature file
+    * in-cache, dots the members against the raw vector Block, and
+    * emits ONE winner row. The declarative form materializes ~2 rows
+    * per probe (bucket occupancy ~2 at the sized bits) — 410 M
+    * candidate rows at the 100× operating point, each paying two
+    * broadcast-hash lookups (qid→qe, cid→ce), a pair-row write, and a
+    * hash-aggregate update; LshProfile attributed 43 s of the 55 s
+    * wall to the HashedRelation probe alone. Here a probe is one
+    * open-addressed lookup into a primitive long table and the
+    * candidates never become rows: measured 55.0 → 38.1 s at 100×
+    * (the remainder is dominated by collecting and broadcasting the
+    * n·bands signature relation — 12.8 M rows at the operating
+    * point).
+    *
+    * Determinism (oracle-grade): dots are the shared ascending-index
+    * fold over precomputed norms; the winner rule is
+    * [[ivfBestInCell]]'s — round-6 of the raw max, candidates within
+    * 1e-6 re-rounded, ties to the LOWEST cid (accumulation order is
+    * probe order, so the selection scans the collected candidate list
+    * rather than relying on scan order). Duplicate (qid, cid)
+    * collisions across bands re-score the same pair to the same sim —
+    * a max cannot change, the dedup=false contract of the declarative
+    * path.
+    *
+    * `signed`: (bs packed long key, cid); `rawVecs`: (vec_id,
+    * embedding); `qSide`: (qid, qe, sigs array<long> — slot i probes
+    * band i/nProbes with signature sigs(i)). Output: (qid, cid, sim)
+    * ordered by qid — one row per query with ≥ 1 candidate.
+    */
+  def lshTop1Kernel(s: SparkSession, signed: DataFrame, rawVecs: DataFrame,
+                    qSide: DataFrame, bits: Int, nProbes: Int,
+                    maxCandidates: Int = 4 << 20,
+                    maxSigRows: Int = 64 << 20): DataFrame = {
+    import s.implicits._
+    val raw = collectBlock(rawVecs, maxCandidates)
+    val sigRows = signed.select("bs", "cid").as[(Long, Long)].collect()
+    require(sigRows.length <= maxSigRows,
+      s"LSH kernel signature file has ${sigRows.length} rows > $maxSigRows")
+    // CSR bucket layout over the distinct bs keys + an open-addressed
+    // primitive long hash table for the probe lookup (a boxed Map
+    // would pay an allocation per probe; binary search would pay ~24
+    // dependent branches per probe over 205 M probes). The (bs,
+    // member) pairs pack into ONE primitive long — bs < bands·2^bits
+    // (≤ 2^30 at the caps), block index < 2^22 at maxCandidates — so
+    // the sort is Arrays.sort on a long[]: the first draft's boxed
+    // tuple quickSort over 12.8 M rows cost more wall than the whole
+    // declarative pipeline it replaced.
+    val nRows = sigRows.length
+    val packed = new Array[Long](nRows)
+    var r0 = 0
+    while (r0 < nRows) {
+      val (bs, cid) = sigRows(r0)
+      val idx = java.util.Arrays.binarySearch(raw.ids, cid)
+      require(idx >= 0, s"signature cid $cid missing from vector block")
+      packed(r0) = (bs << 22) | idx.toLong
+      r0 += 1
+    }
+    java.util.Arrays.sort(packed)
+    val bsKeys = new Array[Long](nRows)
+    val bucketStart = new Array[Int](nRows + 1)
+    val members = new Array[Int](nRows)
+    var nKeys = 0
+    var r = 0
+    while (r < nRows) {
+      val bs = packed(r) >>> 22
+      if (nKeys == 0 || bsKeys(nKeys - 1) != bs) {
+        bsKeys(nKeys) = bs
+        bucketStart(nKeys) = r
+        nKeys += 1
+      }
+      members(r) = (packed(r) & ((1L << 22) - 1)).toInt
+      r += 1
+    }
+    bucketStart(nKeys) = nRows
+    var cap = 4
+    while (cap < nKeys * 2) cap <<= 1
+    val htKeys = new Array[Long](cap)
+    java.util.Arrays.fill(htKeys, -1L)
+    val htSlot = new Array[Int](cap)
+    @inline def mix(x0: Long): Int = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      ((x ^ (x >>> 33)) & (cap - 1)).toInt
+    }
+    var ki = 0
+    while (ki < nKeys) {
+      var h = mix(bsKeys(ki))
+      while (htKeys(h) >= 0) h = (h + 1) & (cap - 1)
+      htKeys(h) = bsKeys(ki)
+      htSlot(h) = ki
+      ki += 1
+    }
+    val bcRaw = s.sparkContext.broadcast(raw)
+    val bcIdx = s.sparkContext.broadcast((bsKeys, bucketStart, members, htKeys, htSlot))
+    qSide.select("qid", "qe", "sigs")
+      .as[(Long, Array[Float], Array[Long])]
+      .mapPartitions { it =>
+        var sims = new Array[Double](256)
+        var cids = new Array[Long](256)
+        it.flatMap { case (qid, qe, sigs) =>
+          val b = bcRaw.value
+          val (keys, starts, mem, hk, hs) = bcIdx.value
+          val qn = selfNorm(qe)
+          var nc = 0
+          var rawMax = Double.NegativeInfinity
+          var i = 0
+          while (i < sigs.length) {
+            val bs = (i / nProbes).toLong * (1L << bits) + sigs(i)
+            var h = mix(bs)
+            var slot = -1
+            var cont = true
+            while (cont) {
+              val k = hk(h)
+              if (k == bs) { slot = hs(h); cont = false }
+              else if (k < 0) cont = false
+              else h = (h + 1) & (cap - 1)
+            }
+            if (slot >= 0) {
+              var m = starts(slot)
+              val end = starts(slot + 1)
+              while (m < end) {
+                val idx = mem(m)
+                val cid = b.ids(idx)
+                if (cid != qid) {
+                  val sim = dotRow(b.mat, idx, qe, b.dim) / (qn * b.norms(idx))
+                  if (nc == sims.length) {
+                    sims = java.util.Arrays.copyOf(sims, nc * 2)
+                    cids = java.util.Arrays.copyOf(cids, nc * 2)
+                  }
+                  sims(nc) = sim; cids(nc) = cid; nc += 1
+                  if (sim > rawMax) rawMax = sim
+                }
+                m += 1
+              }
+            }
+            i += 1
+          }
+          if (nc == 0) Iterator.empty
+          else {
+            val roundedMax = roundLikeSpark(rawMax, 6)
+            var best = Long.MaxValue
+            var j = 0
+            while (j < nc) {
+              if (cids(j) < best && sims(j) > roundedMax - 1e-6 &&
+                roundLikeSpark(sims(j), 6) == roundedMax)
+                best = cids(j)
+              j += 1
+            }
+            Iterator.single((qid, best, roundedMax))
+          }
+        }
+      }
+      .toDF("qid", "cid", "sim")
+      .orderBy("qid")
+  }
+
   /** Whole-pipeline IVF-PQ kernel for the under-broadcast-ceiling
     * regime: per query row, scan the probed cells' PQ blocks with the
     * ADC lookup sum, keep a primitive top-`rerank` heap in (adc desc,

@@ -1347,6 +1347,32 @@ object EmbeddingQueries {
                  queries: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(emb)
     val n = e.count() // also warms the persisted e
+    if (n <= AnnBroadcastCeilingRows && n * nBands <= AnnBroadcastCeilingRows * 16) {
+      // Whole-pipeline kernel (BruteForceCosine.lshTop1Kernel): one
+      // row per query carries its full probe array; probed buckets
+      // are walked in-cache against the raw vector Block and only the
+      // per-query winner becomes a row. The declarative path below
+      // materialized ~410 M candidate rows at the 100× operating
+      // point — 55.0 s, of which LshProfile attributed 43 s to the
+      // broadcast-hash probe + pair-row machinery; the kernel runs
+      // the same probes at 38.1 s (exponent 0.84 → 0.79 — the
+      // remaining wall is the n·bands signature relation's
+      // collect+broadcast build, which the declarative path also
+      // pays but distributed). Past either ceiling the declarative
+      // join + aggregate form is the design.
+      graft.GraftExtensions.register(s)
+      val signed = e.select(col("vec_id").as("cid"),
+        posexplode(call_function("band_sigs", col("embedding"),
+          typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
+        .select(col("cid"),
+          expr(s"CAST(band AS BIGINT) * ${1L << bits} + sig").as("bs"))
+      val qSide = queries.getOrElse(e).select(col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        call_function("band_probes", col("embedding"),
+          typedlit(planes(nBands * bits)), lit(bits), lit(nProbes)).as("sigs"))
+      return graft.functions.BruteForceCosine.lshTop1Kernel(s,
+        signed, e.select(col("vec_id"), col("embedding")), qSide, bits, nProbes)
+    }
     // candidate generation (bands, query-aware probes, budget
     // rationale): see annLshCandidates. dedup = false — top-1 is
     // duplicate-insensitive, and under the guarded broadcasts below
