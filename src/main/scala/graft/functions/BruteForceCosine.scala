@@ -317,9 +317,8 @@ object BruteForceCosine {
     * wall to the HashedRelation probe alone. Here a probe is one
     * open-addressed lookup into a primitive long table and the
     * candidates never become rows: measured 55.0 → 38.1 s at 100×
-    * (the remainder is dominated by collecting and broadcasting the
-    * n·bands signature relation — 12.8 M rows at the operating
-    * point).
+    * with a Spark-side signature job, → 32.5 s with the driver-side
+    * signing below.
     *
     * Determinism (oracle-grade): dots are the shared ascending-index
     * fold over precomputed norms; the winner rule is
@@ -331,40 +330,62 @@ object BruteForceCosine {
     * a max cannot change, the dedup=false contract of the declarative
     * path.
     *
-    * `signed`: (bs packed long key, cid); `rawVecs`: (vec_id,
-    * embedding); `qSide`: (qid, qe, sigs array<long> — slot i probes
-    * band i/nProbes with signature sigs(i)). Output: (qid, cid, sim)
-    * ordered by qid — one row per query with ≥ 1 candidate.
+    * `rawVecs`: (vec_id, embedding); `planesM`: the literal hyperplane
+    * matrix (nBands·bits rows — the SAME family the band_probes query
+    * side and the oracle replay use); `qSide`: (qid, qe, sigs
+    * array<long> — slot i probes band i/nProbes with signature
+    * sigs(i)). Output: (qid, cid, sim) ordered by qid — one row per
+    * query with ≥ 1 candidate.
+    *
+    * The inverted signature file is computed ON THE DRIVER from the
+    * already-collected block (a parallel loop replicating
+    * BandSignatures.nullSafeEval's fold exactly: ascending-index
+    * double dot, bit set iff dot ≥ 0) — the first drafts ran a Spark
+    * job for n·bands signature rows and collected them (12.8 M boxed
+    * rows at the 100× operating point), which cost more than the
+    * signing arithmetic itself.
     */
-  def lshTop1Kernel(s: SparkSession, signed: DataFrame, rawVecs: DataFrame,
+  def lshTop1Kernel(s: SparkSession, rawVecs: DataFrame,
+                    planesM: Seq[Seq[Float]],
                     qSide: DataFrame, bits: Int, nProbes: Int,
-                    maxCandidates: Int = 4 << 20,
-                    maxSigRows: Int = 64 << 20): DataFrame = {
+                    maxCandidates: Int = 4 << 20): DataFrame = {
     import s.implicits._
     val raw = collectBlock(rawVecs, maxCandidates)
-    val sigRows = signed.select("bs", "cid").as[(Long, Long)].collect()
-    require(sigRows.length <= maxSigRows,
-      s"LSH kernel signature file has ${sigRows.length} rows > $maxSigRows")
+    val pl = planesM.map(_.toArray).toArray
+    val nPlanes = pl.length
+    val nBands = nPlanes / bits
     // CSR bucket layout over the distinct bs keys + an open-addressed
     // primitive long hash table for the probe lookup (a boxed Map
     // would pay an allocation per probe; binary search would pay ~24
-    // dependent branches per probe over 205 M probes). The (bs,
-    // member) pairs pack into ONE primitive long — bs < bands·2^bits
+    // dependent branches per probe over 205 M probes). Each (bs,
+    // member) pair packs into ONE primitive long — bs < bands·2^bits
     // (≤ 2^30 at the caps), block index < 2^22 at maxCandidates — so
-    // the sort is Arrays.sort on a long[]: the first draft's boxed
-    // tuple quickSort over 12.8 M rows cost more wall than the whole
-    // declarative pipeline it replaced.
-    val nRows = sigRows.length
+    // the sort is a parallel primitive sort.
+    val nRows = raw.n * nBands
     val packed = new Array[Long](nRows)
-    var r0 = 0
-    while (r0 < nRows) {
-      val (bs, cid) = sigRows(r0)
-      val idx = java.util.Arrays.binarySearch(raw.ids, cid)
-      require(idx >= 0, s"signature cid $cid missing from vector block")
-      packed(r0) = (bs << 22) | idx.toLong
-      r0 += 1
+    java.util.stream.IntStream.range(0, raw.n).parallel().forEach { v =>
+      val sigs = new Array[Long](nBands)
+      var p = 0
+      while (p < nPlanes) {
+        val plane = pl(p)
+        var dot = 0.0
+        var j = 0
+        val base = v * raw.dim
+        while (j < raw.dim) {
+          dot += raw.mat(base + j).toDouble * plane(j).toDouble
+          j += 1
+        }
+        if (dot >= 0.0) sigs(p / bits) |= (1L << (p % bits))
+        p += 1
+      }
+      var b = 0
+      while (b < nBands) {
+        val bs = b.toLong * (1L << bits) + sigs(b)
+        packed(v * nBands + b) = (bs << 22) | v.toLong
+        b += 1
+      }
     }
-    java.util.Arrays.sort(packed)
+    java.util.Arrays.parallelSort(packed)
     val bsKeys = new Array[Long](nRows)
     val bucketStart = new Array[Int](nRows + 1)
     val members = new Array[Int](nRows)

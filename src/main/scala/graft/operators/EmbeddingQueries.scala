@@ -1361,17 +1361,13 @@ object EmbeddingQueries {
       // pays but distributed). Past either ceiling the declarative
       // join + aggregate form is the design.
       graft.GraftExtensions.register(s)
-      val signed = e.select(col("vec_id").as("cid"),
-        posexplode(call_function("band_sigs", col("embedding"),
-          typedlit(planes(nBands * bits)), lit(bits))).as(Seq("band", "sig")))
-        .select(col("cid"),
-          expr(s"CAST(band AS BIGINT) * ${1L << bits} + sig").as("bs"))
       val qSide = queries.getOrElse(e).select(col("vec_id").as("qid"),
         col("embedding").as("qe"),
         call_function("band_probes", col("embedding"),
           typedlit(planes(nBands * bits)), lit(bits), lit(nProbes)).as("sigs"))
       return graft.functions.BruteForceCosine.lshTop1Kernel(s,
-        signed, e.select(col("vec_id"), col("embedding")), qSide, bits, nProbes)
+        e.select(col("vec_id"), col("embedding")), planes(nBands * bits),
+        qSide, bits, nProbes)
     }
     // candidate generation (bands, query-aware probes, budget
     // rationale): see annLshCandidates. dedup = false — top-1 is
