@@ -116,6 +116,9 @@ object EmbeddingQueries {
   /** Neighbors returned per query by emb_ann_ivf_topk. */
   private val AnnTopK = 5
 
+  /** Prototypes kept per cluster by emb_cluster_sample. */
+  private val ProtoK = 4
+
   private val PqM = 8
   private val PqSub = 8
   private val PqCodes = 16
@@ -903,6 +906,102 @@ object EmbeddingQueries {
       if (((x >>> 16) & 1L) == 1L) 1 else -1
     }
 
+  /** Shared oracle tail for the k-means corpus ops: home-cell
+    * assignment (same row_number replay as annIvfOracleSql — dist
+    * ASC, cell ASC ties) + d² of each vector to its assigned
+    * float-rounded center, both against the fitCteBlock `cf` CTE.
+    * Emitted WITHOUT a leading/trailing comma so callers splice it
+    * into their WITH chain; produces `d(cell, vec_id, d2)`.
+    */
+  private def kmeansAssignedD2Sql: String = {
+    def dist(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
+    s"""assigned AS (
+         SELECT vec_id, cell, embedding FROM (
+           SELECT e.vec_id, f.cell, e.embedding,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${dist("e.embedding", "f.c")} ASC, f.cell ASC) AS rn
+           FROM embeddings e, cf f) WHERE rn = 1),
+       d AS (
+         SELECT a.cell, a.vec_id,
+                ${dist("a.embedding", "f.c")} AS d2
+         FROM assigned a JOIN cf f USING (cell))"""
+  }
+
+  /** Fit + assign + d² shared by emb_kmeans_profile /
+    * emb_cluster_sample: deterministic bounded Lloyd fit on the
+    * driver (the IVF quantizer discipline — the centroid matrix is a
+    * plan literal, never a distributed ML fit), home-cell assignment
+    * through the nearest_cells codegen kernel in the scan projection,
+    * and d² to the assigned center via a cells-row broadcast join +
+    * one ascending-index fold. Returns (cluster, vec_id, d2) — no
+    * shuffle yet; callers aggregate.
+    */
+  private def kmeansAssignedD2(s: SparkSession, e: DataFrame,
+                               cells: Int, iters: Int,
+                               sampleN: Int): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val sample = e.orderBy(col("vec_id")).select(col("embedding")).limit(sampleN)
+      .as[Array[Float]].collect()
+    val centers = graft.functions.KMeansLite.fit(sample, k = cells, iters = iters)
+    val cLit = typedlit(centers.map(_.toSeq).toSeq)
+    // the SAME float-rounded centers as doubles, for the d² fold (the
+    // oracle's cf CTE: float-round then widen)
+    val centDf = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cluster", "ce")
+    e.select(col("vec_id"),
+        element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
+          .cast("int").as("cluster"),
+        col("embedding"))
+      .join(broadcast(centDf), "cluster")
+      .withColumn("d2", expr(
+        "aggregate(sequence(1, 64), 0.0D, (acc, i) -> acc + " +
+          "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(ce, i)) * " +
+          "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(ce, i)))"))
+      .select(col("cluster"), col("vec_id"), col("d2"))
+  }
+
+  /** emb_kmeans_profile implementation — see the registry entry's
+    * comment for semantics and scale rationale.
+    */
+  def kmeansProfile(s: SparkSession, e: DataFrame,
+                    cells: Int = IvfCells, iters: Int = IvfIters,
+                    sampleN: Int = IvfSampleN): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 0)
+    kmeansAssignedD2(s, e, cells, iters, sampleN)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("d2") * 1e6).cast(dec)).as("smu"),
+        max(round(col("d2"), 6)).as("max_d2"))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("smu").cast("double") / (col("n_vecs").cast("double") * 1e6), 6)
+          .as("avg_d2"),
+        col("max_d2"))
+      .orderBy("cluster")
+  }
+
+  /** emb_cluster_sample implementation — bounded-heap per-cluster
+    * top-ProtoK by ascending d² micro-units (score = negated micro so
+    * TopKByScore's (score DESC, id ASC) contract selects the closest,
+    * ties to the lowest vec_id).
+    */
+  def clusterSample(s: SparkSession, e: DataFrame,
+                    m: Int = ProtoK, cells: Int = IvfCells,
+                    iters: Int = IvfIters,
+                    sampleN: Int = IvfSampleN): DataFrame = {
+    kmeansAssignedD2(s, e, cells, iters, sampleN)
+      .withColumn("neg_micro", -floor(col("d2") * 1e6))
+      .groupBy("cluster")
+      .agg(graft.functions.TopKByScore.topK(m)(col("neg_micro"), col("vec_id")).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("vec_id"),
+        (-col("sc.score")).cast("long").as("d2_micro"))
+      .orderBy("cluster", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -1001,6 +1100,65 @@ object EmbeddingQueries {
              WHERE n * dmu - s1 > 0
                AND (n * dmu - s1) * (n * dmu - s1) > 4 * (n * s2 - s1 * s1)
              ORDER BY label, vec_id""")),
+
+    // ----------------------------------------------------------------
+    // K-means corpus profile — the cluster-then-curate map (cluster
+    // sizes + quantization error per cell) that drives cluster-pruning
+    // and balanced-mixing decisions over an embedding corpus. The
+    // quantizer follows the IVF discipline: a bounded deterministic
+    // driver-side Lloyd fit (first-k init on the vec_id-ordered
+    // sample, fixed-point center updates) entering the plan as a
+    // literal, so the DuckDB oracle replays the fit bit-for-bit via
+    // fitCteBlock. Assignment is the nearest_cells codegen kernel in
+    // the scan projection (zero shuffle to assign); d² to the home
+    // center re-derives through a cells-row broadcast join + one
+    // ascending-index per-row fold; per-cluster stats aggregate
+    // floor(d²·10⁶) micro-units (DECIMAL/HUGEINT — integer sums are
+    // exact in any order), so no float group-sum is ever compared
+    // cross-engine. One shuffle total (the cells-key aggregation,
+    // map-side combined). Scale: with cells FIXED the whole operator
+    // is linear in n (assignment n·cells·dim, agg n rows → cells
+    // groups) — there is no pair join anywhere, so unlike SemDeDup no
+    // auto-sized twin is needed for safety; a 100 TB run would raise
+    // cells for a finer map, still linear.
+    Q("emb_kmeans_profile",
+      (s, d) => kmeansProfile(s, Tables.embeddings(s, d)),
+      Some(s"""WITH samp AS (
+               SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
+             ${fitCteBlock("", 0, 64, IvfCells, IvfIters)},
+             $kmeansAssignedD2Sql
+             SELECT CAST(cell AS INT) AS cluster, count(*) AS n_vecs,
+                    round(CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS DOUBLE)
+                      / (count(*) * 1e6), 6) AS avg_d2,
+                    max(round(d2, 6)) AS max_d2
+             FROM d GROUP BY cell ORDER BY cluster""")),
+
+    // ----------------------------------------------------------------
+    // Cluster-balanced prototype sampling — per fitted cluster the
+    // ProtoK vectors CLOSEST to their centroid (medoid-style
+    // prototypes: the representative-subset curation pass, and the
+    // diversity-preserving complement of SemDeDup's near-centroid
+    // PRUNING). Same fit/assignment/d² derivation as
+    // emb_kmeans_profile; ranking is the bounded-heap TopKByScore
+    // aggregate on NEGATED floor(d²·10⁶) micro-units (map-side
+    // partial top-k per cluster — never a window rank over the full
+    // corpus), ties to the lowest vec_id. Distances are emitted in
+    // exact integer micro-units (d2_micro) — the selection key
+    // itself, so the output carries no engine-float at all.
+    Q("emb_cluster_sample",
+      (s, d) => clusterSample(s, Tables.embeddings(s, d)),
+      Some(s"""WITH samp AS (
+               SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $IvfSampleN),
+             ${fitCteBlock("", 0, 64, IvfCells, IvfIters)},
+             $kmeansAssignedD2Sql,
+             r AS (
+               SELECT cell, vec_id, CAST(floor(d2 * 1e6) AS BIGINT) AS d2_micro,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY floor(d2 * 1e6) ASC, vec_id ASC) AS rn
+               FROM d)
+             SELECT CAST(cell AS INT) AS cluster, CAST(rn AS INT) AS rnk,
+                    vec_id, d2_micro
+             FROM r WHERE rn <= $ProtoK ORDER BY cluster, rnk""")),
 
     // ----------------------------------------------------------------
     // Int8 scalar quantization with reconstruction-error attestation

@@ -103,4 +103,19 @@ class PlanShapeSpec extends SparkSpec {
         s"$q top-k fell back to SortAggregate:\n$p")
     }
   }
+
+  test("k-means corpus ops: broadcast center join, aggregate ranking, one data shuffle") {
+    // assignment is a codegen map against the literal centroid
+    // matrix + a cells-row broadcast join for d² — a SMJ or a second
+    // hashpartitioning means the center side stopped broadcasting or
+    // the agg lost its map-side combine
+    for (q <- Seq("emb_kmeans_profile", "emb_cluster_sample")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$q lost its broadcast center join:\n$p")
+      assert(!p.contains("Window"), s"$q ranks via a window:\n$p")
+      assert(countOf(p, "hashpartitioning") <= 1,
+        s"$q grew a second data shuffle:\n$p")
+    }
+  }
 }

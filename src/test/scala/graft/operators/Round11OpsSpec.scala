@@ -110,4 +110,50 @@ class Round11OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "a window rank would shuffle-and-sort the full candidate matrix")
   }
+
+  test("emb_kmeans_profile / emb_cluster_sample: plain-Scala recompute of assignment, stats, prototypes") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val centers = graft.functions.KMeansLite.fit(
+      vecs.take(4096).map(_._2), k = 16, iters = 5)
+    // nearest_cells semantics: ascending-index double fold against the
+    // FLOAT centers widened to double, strict < keeps the lowest cell
+    // on ties
+    def assign(emb: Array[Float]): (Int, Double) = {
+      var best = -1; var bd = Double.MaxValue
+      for (c <- centers.indices) {
+        var d2 = 0.0; var i = 0
+        while (i < 64) {
+          val diff = emb(i).toDouble - centers(c)(i).toDouble
+          d2 += diff * diff; i += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+      }
+      (best, bd)
+    }
+    val assigned = vecs.map { case (vid, e) =>
+      val (c, d2) = assign(e); (c, vid, d2)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expProfile = assigned.groupBy(_._1).toSeq.map { case (c, ms) =>
+      val smu = ms.map(m => BigInt(math.floor(m._3 * 1e6).toLong)).sum
+      (c, ms.length.toLong,
+        r6(smu.toDouble / (ms.length.toDouble * 1e6)),
+        ms.map(m => r6(m._3)).max)
+    }.sortBy(_._1)
+    val gotProfile = Registry.byName("emb_kmeans_profile").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(gotProfile == expProfile)
+    assert(gotProfile.map(_._2).sum == vecs.length) // every vector assigned once
+    val expProto = assigned.groupBy(_._1).toSeq.flatMap { case (c, ms) =>
+      ms.map(m => (math.floor(m._3 * 1e6).toLong, m._2))
+        .sorted.take(4).zipWithIndex
+        .map { case ((micro, vid), i) => (c, i + 1, vid, micro) }
+    }.sortBy(t => (t._1, t._2))
+    val gotProto = Registry.byName("emb_cluster_sample").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotProto == expProto)
+  }
 }
