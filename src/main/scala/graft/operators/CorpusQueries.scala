@@ -416,6 +416,139 @@ object CorpusQueries {
                   round(CAST($entropyMicroSql AS DOUBLE) / 1e6, 6) AS entropy,
                   round(CAST($entropyKmaxSql AS DOUBLE) / n, 6) AS top_char_fraction
            FROM wo ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // End-to-end cleaning-funnel attrition report — the dashboard
+    // every production corpus run ships: per SOURCE, how many
+    // documents enter and survive each stage of the standard gate
+    // chain (Gopher quality rules → exact keep-first dedup →
+    // benchmark decontamination). Each stage reuses the EXACT
+    // machinery of its standalone registry twin (gopherRuleCols /
+    // md5 keep-first / grams8 + the %7 benchmark split of
+    // doc_decontaminate), so the funnel is the composition proof for
+    // the gates — a drift in any stage fails this oracle too. The
+    // quality gate is Gopher's four CONTENT rules (word-count,
+    // mean-word-length, symbol-ratio, alpha-ratio): the fifth
+    // (stopword) rule rejects 100% of the synthetic word-salad corpus
+    // (see doc_gopher_rules, which keeps all five for rule-level
+    // attribution), and an all-zero stage 1 would leave every
+    // downstream stage vacuously untested at every oracle scale. Funnel
+    // discipline: dedup's keep-first min runs over stage-1 SURVIVORS
+    // (the kept copy depends on what quality filtering left), and the
+    // gram join scans only stage-2 survivors (cost shrinks with the
+    // funnel, the production shape); the benchmark gram set comes
+    // from the full table — benchmarks are contamination references,
+    // not pipeline input. Scale: scan-shaped rule columns, one digest
+    // shuffle, one gram join (survivor-side only), then a tiny
+    // per-source aggregate unpivoted to stage rows — every shuffle
+    // key is high-cardinality (digest / gram / doc_id), the final
+    // agg is map-side combined to |sources| rows.
+    Q("doc_pipeline_attrition",
+      (s, d) => {
+        val docsAll = Tables.documents(s, d)
+        val corpus = docsAll.filter(col("doc_id") % 7 =!= 0)
+        val flag1 = TextDedupQueries.gopherRuleCols(corpus)
+          .select(col("doc_id"), col("source"), col("text"),
+            (col("r_word_count") && col("r_mean_len") &&
+              col("r_symbol") && col("r_alpha")).as("s1"),
+            md5(col("text")).as("digest"))
+          .transform(graft.Caching.persistOnce(_))
+        val firsts = flag1.filter(col("s1"))
+          .groupBy("digest").agg(min(col("doc_id")).as("keep_doc"))
+        val withS2 = flag1.join(firsts, Seq("digest"), "left")
+          .withColumn("s2", col("s1") && col("doc_id") === col("keep_doc"))
+          .transform(graft.Caching.persistOnce(_))
+        val bench = TextDedupQueries.grams8(
+            docsAll.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
+          .select(explode(col("g8")).as("g")).distinct()
+        val contam = TextDedupQueries.grams8(
+            withS2.filter(col("s2")).select("doc_id", "text"))
+          .select(col("doc_id"), explode(col("g8")).as("g"))
+          .join(bench, "g").select("doc_id").distinct()
+          .withColumn("hit", lit(true))
+        val flags = withS2.join(contam, Seq("doc_id"), "left")
+          .withColumn("s3", col("s2") && col("hit").isNull)
+        flags.groupBy("source").agg(
+            count(lit(1)).as("n0"),
+            sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(coalesce(col("s2"), lit(false)), 1L).otherwise(0L)).as("n2"),
+            sum(when(coalesce(col("s3"), lit(false)), 1L).otherwise(0L)).as("n3"))
+          .select(col("source"), explode(array(
+            struct(lit(1).as("stage_ord"), lit("gopher_quality").as("stage"),
+              col("n0").as("n_in"), col("n1").as("n_out")),
+            struct(lit(2).as("stage_ord"), lit("exact_dedup").as("stage"),
+              col("n1").as("n_in"), col("n2").as("n_out")),
+            struct(lit(3).as("stage_ord"), lit("decontaminate").as("stage"),
+              col("n2").as("n_in"), col("n3").as("n_out")))).as("r"))
+          .select(col("r.stage_ord"), col("r.stage"), col("source"),
+            col("r.n_in"), col("r.n_out"),
+            (col("r.n_in") - col("r.n_out")).as("n_dropped"))
+          .orderBy("stage_ord", "source")
+      },
+      Some("""WITH corpus AS (
+               SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+             w AS (
+               SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[^ ]+') AS words
+               FROM corpus),
+             m AS (
+               SELECT doc_id,
+                      len(words) AS n_words,
+                      list_sum(list_transform(words, x -> len(x))) AS sum_len,
+                      len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                      (len(text) - len(replace(text, '#', ''))) +
+                        (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS n_sym
+               FROM w),
+             keepers AS (
+               SELECT doc_id FROM m
+               WHERE n_words >= 50 AND n_words <= 100000
+                 AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+                 AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+                 AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8),
+             k AS (
+               SELECT c.doc_id, c.source, md5(c.text) AS digest
+               FROM corpus c JOIN keepers USING (doc_id)),
+             firsts AS (SELECT digest, min(doc_id) AS keep_doc FROM k GROUP BY digest),
+             s2 AS (
+               SELECT k.doc_id, k.source FROM k
+               JOIN firsts USING (digest) WHERE k.doc_id = firsts.keep_doc),
+             sh AS (
+               SELECT doc_id,
+                      CASE WHEN len(ws) >= 8
+                           THEN list_distinct([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                                               FOR i IN range(1, len(ws) - 6)])
+                           ELSE [] END AS s
+               FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) t),
+             bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 = 0),
+             contam AS (
+               SELECT DISTINCT t.doc_id
+               FROM (SELECT sh.doc_id, unnest(sh.s) AS g
+                     FROM sh JOIN s2 USING (doc_id)) t
+               WHERE t.g IN (SELECT g FROM bench)),
+             s3 AS (
+               SELECT doc_id, source FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             c0 AS (SELECT source, count(*) AS n FROM corpus GROUP BY source),
+             c1 AS (SELECT source, count(*) AS n FROM k GROUP BY source),
+             c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY source),
+             c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY source),
+             st AS (
+               SELECT 1 AS stage_ord, 'gopher_quality' AS stage, c0.source,
+                      c0.n AS n_in, COALESCE(c1.n, 0) AS n_out
+               FROM c0 LEFT JOIN c1 USING (source)
+               UNION ALL
+               SELECT 2, 'exact_dedup', c0.source,
+                      COALESCE(c1.n, 0), COALESCE(c2.n, 0)
+               FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+               UNION ALL
+               SELECT 3, 'decontaminate', c0.source,
+                      COALESCE(c2.n, 0), COALESCE(c3.n, 0)
+               FROM c0 LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source))
+             SELECT CAST(stage_ord AS INT) AS stage_ord, stage, source,
+                    CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+                    CAST(n_in - n_out AS BIGINT) AS n_dropped
+             FROM st ORDER BY stage_ord, source""")),
   )
 
   // 28-symbol alphabet for doc_char_entropy: a–z, space, + an implicit

@@ -111,6 +111,39 @@ class Round11OpsSpec extends SparkSpec {
       "a window rank would shuffle-and-sort the full candidate matrix")
   }
 
+  test("doc_pipeline_attrition: each stage drops exactly its planted victims") {
+    import spark.implicits._
+    // fixture corpus: ids %7!=0 are pipeline input, id 7 is the
+    // benchmark reference. Vocabularies are disjoint across texts so
+    // the ONLY 8-gram collision is the planted run in doc 5.
+    val passA = Seq.fill(15)("alpha beta gamma delta").mkString(" ")
+    val passB = Seq.fill(15)("omega kappa sigma tau").mkString(" ")
+    val run8 = "one two three four five six seven eight"
+    val passC = Seq.fill(13)("lima mike november oscar").mkString(" ") + " " + run8
+    val docs = Seq(
+      (1L, passA, "en", "srcA"), // survives everything
+      (2L, "tiny bad doc", "en", "srcA"), // fails the quality gate (word count)
+      (3L, passB, "en", "srcB"), // duplicate pair: 3 kept (min id) ...
+      (4L, passB, "en", "srcB"), // ... 4 dropped at exact_dedup
+      (5L, passC, "en", "srcB"), // shares run8 with the benchmark -> decontaminated
+      (7L, "pad pad pad " + run8, "en", "bench") // doc_id%7=0: reference only
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.expr("CAST(length(text) AS BIGINT)"))
+    val dir = java.nio.file.Files.createTempDirectory("attr_fixture").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("doc_pipeline_attrition").run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val expected = Seq(
+      (1, "gopher_quality", "srcA", 2L, 1L, 1L),
+      (1, "gopher_quality", "srcB", 3L, 3L, 0L),
+      (2, "exact_dedup", "srcA", 1L, 1L, 0L),
+      (2, "exact_dedup", "srcB", 3L, 2L, 1L),
+      (3, "decontaminate", "srcA", 1L, 1L, 0L),
+      (3, "decontaminate", "srcB", 2L, 1L, 1L))
+    assert(got == expected)
+  }
+
   test("emb_kmeans_profile / emb_cluster_sample: plain-Scala recompute of assignment, stats, prototypes") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
