@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -46,7 +46,10 @@ object GraftExtensions {
         (children: Seq[Expression]) => AdcSum(children.head, children(1))),
       (FunctionIdentifier("jl_project"),
         new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
-        (children: Seq[Expression]) => JlProject(children.head, children(1))))
+        (children: Seq[Expression]) => JlProject(children.head, children(1))),
+      (FunctionIdentifier("squash_alnum"),
+        new ExpressionInfo(classOf[SquashAlnum].getName, "squash_alnum"),
+        (children: Seq[Expression]) => SquashAlnum(children.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

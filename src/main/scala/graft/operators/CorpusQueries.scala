@@ -573,8 +573,8 @@ object CorpusQueries {
 
   private[operators] def docDsirWeights(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
-      split(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+      split(trim(TextDedupQueries.normSquash(docs)(lower(col("text")))), " ")
+        .as("ws"))
     val occ = toks.select(col("doc_id"), col("lang"),
         explode(when(size(col("ws")) >= 2,
           expr("""transform(sequence(1, size(ws) - 1),

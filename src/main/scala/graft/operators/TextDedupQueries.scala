@@ -129,6 +129,19 @@ object TextDedupQueries {
     * ratio rules false on empty docs) and short-circuits before the
     * division in each engine.
     */
+  /** The fingerprint-family normalization (`lower` → keep `[a-z0-9 ]`
+    * → collapse spaces) with the two regex passes replaced by the
+    * single-pass [[graft.functions.SquashAlnum]] codegen kernel —
+    * byte-identical output (see that file's exactness argument; the
+    * oracles keep the regex spelling, which is the same function).
+    * Takes the DataFrame only to register the extension on its
+    * session.
+    */
+  private[operators] def normSquash(df: DataFrame)(c: Column): Column = {
+    graft.GraftExtensions.register(df.sparkSession)
+    call_function("squash_alnum", c)
+  }
+
   private[graft] def gopherRuleCols(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
@@ -494,8 +507,7 @@ object TextDedupQueries {
     // slice, recomputing the regex+split per pass costs ~2× the cache.
     val toks = docs
       .select(col("doc_id"),
-        split(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+        split(trim(normSquash(docs)(lower(col("text")))), " ").as("ws"))
       .transform(graft.Caching.persistOnce(_))
     // sequence(1, 0) is DESCENDING in Spark, so the short-doc case
     // must be an explicit empty array (the doc_substring_dedup
@@ -612,10 +624,10 @@ object TextDedupQueries {
     // content identity) — the "document fingerprinting" primitive.
     Q("doc_fingerprint",
       (s, d) => {
-        Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        docs
           .select(col("doc_id"),
-            md5(regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9 ]", ""), " +", " ")).as("fingerprint"))
+            md5(normSquash(docs)(lower(col("text")))).as("fingerprint"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -703,10 +715,10 @@ object TextDedupQueries {
       (s, d) => {
         val w4 = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-        Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        docs
           .select(col("doc_id"),
-            split(trim(regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9 ]", ""), " +", " ")), " ").as("ws"))
+            split(trim(normSquash(docs)(lower(col("text")))), " ").as("ws"))
           .withColumn("grams", when(size(col("ws")) >= 5, expr(
             """transform(sequence(1, size(ws) - 4),
                  i -> md5(array_join(slice(ws, i, 5), ' ')))"""))
@@ -769,10 +781,10 @@ object TextDedupQueries {
         // (fingerprint, source) first collapses the data to ≤ one row
         // per distinct pair before any join; the occurrence total then
         // joins two already-tiny aggregates on the 32-byte digest.
-        val perFs = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val perFs = docs
           .select(col("source"),
-            md5(regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9 ]", ""), " +", " ")).as("fingerprint"))
+            md5(normSquash(docs)(lower(col("text")))).as("fingerprint"))
           .groupBy("fingerprint", "source").agg(count(lit(1)).as("cnt"))
         val occ = perFs.groupBy("fingerprint").agg(sum(col("cnt")).as("occ"))
         perFs.join(occ, "fingerprint")
@@ -1329,10 +1341,10 @@ object TextDedupQueries {
         // the optimizer re-derives the normalization FOUR times
         // (FuzzyProfile: 64 s of the stage walls; the in-block
         // levenshtein is negligible — 74 k pairs)
-        val b = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val b = docs
           .select(col("doc_id"),
-            regexp_replace(regexp_replace(lower(col("text")),
-              "[^a-z0-9 ]", ""), " +", " ").as("norm"))
+            normSquash(docs)(lower(col("text"))).as("norm"))
           .select(col("doc_id"), substring(col("norm"), 1, 80).as("pre"),
             substring(col("norm"), 1, 16).as("k1"),
             substring(col("norm"), 17, 16).as("k2"))
