@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -49,7 +49,10 @@ object GraftExtensions {
         (children: Seq[Expression]) => JlProject(children.head, children(1))),
       (FunctionIdentifier("squash_alnum"),
         new ExpressionInfo(classOf[SquashAlnum].getName, "squash_alnum"),
-        (children: Seq[Expression]) => SquashAlnum(children.head)))
+        (children: Seq[Expression]) => SquashAlnum(children.head)),
+      (FunctionIdentifier("window_md5s"),
+        new ExpressionInfo(classOf[WindowMd5s].getName, "window_md5s"),
+        (children: Seq[Expression]) => WindowMd5s(children.head, children(1))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

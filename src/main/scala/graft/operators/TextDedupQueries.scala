@@ -1276,13 +1276,17 @@ object TextDedupQueries {
     // the per-doc branch read ONE computation.
     Q("doc_substring_dedup",
       (s, d) => {
+        // gram construction runs through the window_md5s codegen
+        // kernel: each 12-word window is a contiguous byte range of
+        // lower(text) (join(split(x,' '),' ') == x), digested as
+        // 16-byte BINARY — no per-window string build, digests ship
+        // at half the hex spelling's bytes. See WindowMd5s for the
+        // exactness argument; the oracle keeps the string-built md5.
+        graft.GraftExtensions.register(s)
         val grams = Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .withColumn("s", when(size(col("ws")) >= 12,
-            expr("""array_distinct(transform(sequence(0, size(ws) - 12),
-                     i -> md5(array_join(slice(ws, i + 1, 12), ' '))))"""))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-          .select(col("doc_id"), explode(col("s")).as("g"))
+          .select(col("doc_id"),
+            explode(call_function("window_md5s", lower(col("text")), lit(12)))
+              .as("g"))
           .transform(graft.Caching.persistOnce(_))
         // grams are distinct per doc, so count(*) per gram = doc freq
         val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
