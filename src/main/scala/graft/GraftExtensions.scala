@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowMd5s}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -52,7 +52,14 @@ object GraftExtensions {
         (children: Seq[Expression]) => SquashAlnum(children.head)),
       (FunctionIdentifier("window_md5s"),
         new ExpressionInfo(classOf[WindowMd5s].getName, "window_md5s"),
-        (children: Seq[Expression]) => WindowMd5s(children.head, children(1))))
+        (children: Seq[Expression]) => WindowMd5s(children.head, children(1))),
+      (FunctionIdentifier("window_md5s_all"),
+        new ExpressionInfo(classOf[WindowMd5s].getName, "window_md5s_all"),
+        (children: Seq[Expression]) =>
+          WindowMd5s(children.head, children(1), dedup = false)),
+      (FunctionIdentifier("count_tokens"),
+        new ExpressionInfo(classOf[CountTokens].getName, "count_tokens"),
+        (children: Seq[Expression]) => CountTokens(children.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -37,7 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * preserved like array_distinct. The DuckDB oracles keep the
   * string-built spelling — same digests, same groups.
   */
-case class WindowMd5s(left: Expression, right: Expression)
+case class WindowMd5s(left: Expression, right: Expression,
+                      dedup: Boolean = true)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -49,13 +50,15 @@ case class WindowMd5s(left: Expression, right: Expression)
     }
 
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
-  override def prettyName: String = "window_md5s"
+  override def prettyName: String =
+    if (dedup) "window_md5s" else "window_md5s_all"
 
   override def nullSafeEval(t: Any, n: Any): Any =
-    WindowMd5s.compute(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    WindowMd5s.compute(t.asInstanceOf[UTF8String], n.asInstanceOf[Int], dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.WindowMd5s.compute($t, $n)")
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.WindowMd5s.compute($t, $n, $dedup)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WindowMd5s =
@@ -68,7 +71,7 @@ object WindowMd5s {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def compute(t: UTF8String, n: Int): GenericArrayData = {
+  def compute(t: UTF8String, n: Int, dedup: Boolean): GenericArrayData = {
     val b = t.getBytes
     // word k of split(txt, ' ') starts at starts(k); a window of n
     // words [w, w+n) is the byte range [starts(w), starts(w+n) - 1)
@@ -88,20 +91,36 @@ object WindowMd5s {
     }
     starts(nWords) = b.length + 1
     val md = digest.get()
-    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer](nWin * 2)
-    w = 0
-    while (w < nWin) {
-      val from = starts(w)
-      val until = starts(w + n) - 1
-      md.reset()
-      md.update(b, from, until - from)
-      seen.add(java.nio.ByteBuffer.wrap(md.digest()))
-      w += 1
+    if (dedup) {
+      val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer](nWin * 2)
+      w = 0
+      while (w < nWin) {
+        val from = starts(w)
+        val until = starts(w + n) - 1
+        md.reset()
+        md.update(b, from, until - from)
+        seen.add(java.nio.ByteBuffer.wrap(md.digest()))
+        w += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().array(); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      // window_md5s_all: one digest per window, duplicates and
+      // positions preserved (the winnowing input shape)
+      val out = new Array[Any](nWin)
+      w = 0
+      while (w < nWin) {
+        val from = starts(w)
+        val until = starts(w + n) - 1
+        md.reset()
+        md.update(b, from, until - from)
+        out(w) = md.digest()
+        w += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next().array(); k += 1 }
-    new GenericArrayData(out)
   }
 }

@@ -716,21 +716,27 @@ object TextDedupQueries {
         val w4 = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
         val docs = Tables.documents(s, d)
+        // gram hashes through the window_md5s_all kernel (duplicates
+        // and positions preserved — winnowing needs the full gram
+        // sequence): each 5-word window digested in place off the
+        // normalized text as 16-byte BINARY, halving the exploded
+        // window-shuffle payload vs hex strings. Binary min/max/
+        // distinct order under Spark's unsigned-lexicographic
+        // comparison equals the hex string order (hex is
+        // order-preserving), so the winnow selection is unchanged;
+        // hex spelling is restored only on the two emitted digests.
+        graft.GraftExtensions.register(s)
         docs
           .select(col("doc_id"),
-            split(trim(normSquash(docs)(lower(col("text")))), " ").as("ws"))
-          .withColumn("grams", when(size(col("ws")) >= 5, expr(
-            """transform(sequence(1, size(ws) - 4),
-                 i -> md5(array_join(slice(ws, i, 5), ' ')))"""))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+            call_function("window_md5s_all",
+              trim(normSquash(docs)(lower(col("text")))), lit(5)).as("grams"))
           // OUTER posexplode, null rows dropped AFTER the Generate: a
           // plain posexplode makes InferFiltersFromGenerate push a
           // `size(grams) > 0` filter below the projection, where the
-          // whole gram transform is INLINED three times (and the split
-          // re-runs per lambda element — no CSE across lambda bounds);
-          // the resulting expression took ~7 s of fixed codegen time
-          // alone. The outer form infers nothing; the null filter
-          // below runs on materialized columns.
+          // whole gram expression is INLINED multiple times (no CSE
+          // across the Generate bound). The outer form infers
+          // nothing; the null filter below runs on materialized
+          // columns.
           .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
             posexplode_outer(col("grams")).as(Seq("pos", "g")))
           .filter(col("g").isNotNull)
@@ -743,6 +749,9 @@ object TextDedupQueries {
             countDistinct(col("wmin")).as("n_fp"),
             min(col("wmin")).as("fp_min"),
             max(col("wmin")).as("fp_max"))
+          .select(col("doc_id"), col("n_grams"), col("n_fp"),
+            lower(hex(col("fp_min"))).as("fp_min"),
+            lower(hex(col("fp_max"))).as("fp_max"))
           .orderBy("doc_id")
       },
       Some("""WITH w AS (
@@ -1116,9 +1125,14 @@ object TextDedupQueries {
     // exact; density is the one rounded division.
     Q("doc_token_count",
       (s, d) => {
+        // token counting via the count_tokens codegen kernel — the
+        // regex spelling materialized a match list whose only
+        // consumer was size() (see CountTokens; the oracle keeps the
+        // regex spelling)
+        graft.GraftExtensions.register(s)
         Tables.documents(s, d)
-          .withColumn("n_tokens", size(expr(
-            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+          .withColumn("n_tokens",
+            call_function("count_tokens", lower(col("text"))).cast("long"))
           .select(col("doc_id"), col("n_tokens"),
             round(col("n_tokens").cast("double") * 100 / col("n_chars"), 6)
               .as("tokens_per_100_chars"))
@@ -1422,10 +1436,11 @@ object TextDedupQueries {
     // broadcast of the totals.
     Q("doc_mixing_weights",
       (s, d) => {
+        graft.GraftExtensions.register(s)
         val tok = Tables.documents(s, d)
-          .select(col("source"), size(expr(
-            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-            .cast("long").as("n"))
+          .select(col("source"),
+            call_function("count_tokens", lower(col("text")))
+              .cast("long").as("n"))
         val per = tok.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
             round(sqrt(sum(col("n")).cast("double")), 6)

@@ -37,10 +37,20 @@ class WindowMd5sSpec extends SparkSpec {
   test("helper equals the HOF reference on edge cases") {
     for ((txt, n) <- cases) {
       val got = WindowMd5s.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(txt), n)
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), n, dedup = true)
       val hex = (0 until got.numElements())
         .map(i => got.getBinary(i).map("%02x".format(_)).mkString)
       assert(hex == reference(txt, n), s"mismatch for '$txt' n=$n")
+      // the _all form keeps duplicates and positions: its distinct
+      // (first occurrence order) must equal the dedup form
+      val all = WindowMd5s.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), n, dedup = false)
+      val allHex = (0 until all.numElements())
+        .map(i => all.getBinary(i).map("%02x".format(_)).mkString)
+      assert(allHex.distinct == hex, s"_all/distinct mismatch for '$txt' n=$n")
+      val ws = txt.split(" ", -1)
+      assert(all.numElements() == math.max(0, ws.length - n + 1) ||
+        (ws.length < n && all.numElements() == 0))
     }
   }
 
@@ -67,7 +77,7 @@ class WindowMd5sSpec extends SparkSpec {
         pieces(rnd.nextInt(pieces.length))).mkString
       val n = 1 + rnd.nextInt(6)
       val got = WindowMd5s.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(txt), n)
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), n, dedup = true)
       val hex = (0 until got.numElements())
         .map(i => got.getBinary(i).map("%02x".format(_)).mkString)
       assert(hex == reference(txt, n), s"mismatch for '$txt' n=$n")
