@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowMd5s}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowBloomPositions, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -59,7 +59,12 @@ object GraftExtensions {
           WindowMd5s(children.head, children(1), dedup = false)),
       (FunctionIdentifier("count_tokens"),
         new ExpressionInfo(classOf[CountTokens].getName, "count_tokens"),
-        (children: Seq[Expression]) => CountTokens(children.head)))
+        (children: Seq[Expression]) => CountTokens(children.head)),
+      (FunctionIdentifier("window_bloom_positions"),
+        new ExpressionInfo(classOf[WindowBloomPositions].getName,
+          "window_bloom_positions"),
+        (children: Seq[Expression]) =>
+          WindowBloomPositions(children.head, children(1))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

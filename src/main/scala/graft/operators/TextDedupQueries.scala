@@ -1230,21 +1230,38 @@ object TextDedupQueries {
     // both engines, no engine-private bloom internals.
     Q("doc_decontaminate_bloom",
       (s, d) => {
-        // gram build + position hashing shared with the streaming gate
-        // (grams8 / bloomPositions / bloomPos — one definition, two
-        // execution modes; CorpusIngestSpec pins batch/stream parity)
-        val docs = grams8(Tables.documents(s, d).select("doc_id", "text"))
+        // gram build + position hashing fused into the
+        // window_bloom_positions codegen kernel: the declarative
+        // spelling paid the HOF gram build plus FOUR
+        // md5/concat/conv round-trips per gram row (~106 M at the
+        // 100× slice); the kernel digests each distinct window in
+        // place off lower(text) and reads the position from the
+        // digest's top 3 bytes — bit-identical to bloomPos (which the
+        // streaming gate and the oracle keep). Grams never
+        // materialize as strings: the per-doc window INDEX (gi =
+        // flat-position div 4, a bijection with the distinct gram
+        // per doc) replaces `g` as the k-hit group key.
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            call_function("window_bloom_positions", lower(col("text")), lit(8))
+              .as("ps"))
           .transform(graft.Caching.persistOnce(_))
-        val benchPos = bloomPositions(
-          docs.filter(col("doc_id") % 7 === 0)
-            .select(explode(col("g8")).as("g")).distinct())
+        // The position relation is bounded by the bloom SPACE, not the
+        // benchmark: ≤ m = 16^6 ≈ 16.7 M distinct longs no matter how
+        // large the benchmark grows — the fixed-m property that makes
+        // a Bloom filter a filter. Broadcast unconditionally (worst
+        // case ~250 MB HashedRelation) so the corpus gram stream is
+        // probe-only at any scale; without the hint the 100× slice
+        // fell to a sort-merge join that exchanged all ~106 M
+        // high-entropy (doc_id, gi, pos) rows (1.5 GB shuffle).
+        val benchPos = broadcast(docs.filter(col("doc_id") % 7 === 0)
+          .select(explode(col("ps")).as("pos")).distinct())
         val corpus = docs.filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"), explode(col("g8")).as("g"))
-          .withColumn("salt", explode(sequence(lit(0), lit(3))))
-          .withColumn("pos",
-            expr("CAST(conv(substring(md5(concat(g, '#', CAST(salt AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+          .select(col("doc_id"), posexplode(col("ps")).as(Seq("i", "pos")))
+          .select(col("doc_id"), (col("i") / 4).cast("int").as("gi"), col("pos"))
         corpus.join(benchPos, "pos")
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("k_hit"))
+          .groupBy("doc_id", "gi").agg(count(lit(1)).as("k_hit"))
           .filter(col("k_hit") === 4)
           .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
           .orderBy("doc_id")
