@@ -67,23 +67,41 @@ object TextDedupQueries {
   private[operators] def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val tCand = threshold - 0.001
     val sh = shingles(docs).transform(graft.Caching.persistOnce(_))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // global document frequency per shingle → rarest-first order
-    val df_ = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    // Candidate generation runs in the 64-BIT HASH UNIVERSE: every
+    // pre-verification exchange (frequency count, rarest-first window,
+    // prefix self-join) keys on xxhash64(shingle) longs instead of
+    // ~30-byte shingle strings — ~4× fewer shuffled bytes and
+    // long-keyed hash relations throughout. Exactness is preserved:
+    // the prefix-filter theorem needs only A consistent total order
+    // over SOME universe the sets live in, and hash-set Jaccard can
+    // fall below string-set Jaccard only by cAB/|A∪B| where cAB =
+    // xxhash64 collisions WITHIN one pair's common shingles — the
+    // existing t − 0.001 candidate backoff absorbs up to one
+    // collision per 1000 common shingles (P < 1e-10 corpus-wide;
+    // same argument class as doc_minhash_lsh's 0.9998 banding
+    // recall, and verification below is exact on the string sets
+    // either way). n here = |hash set| (array_distinct of hashes), so
+    // both the prefix length and the length filter are the hash
+    // universe's own — the theorem applies wholly inside it.
+    val shH = sh.select(col("doc_id"),
+        expr("array_distinct(transform(sh, x -> xxhash64(x)))").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    val ex = shH.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    // global document frequency per hashed shingle → rarest-first
+    val df_ = ex.groupBy("h").agg(count(lit(1)).as("freq"))
     val wDoc = Window.partitionBy("doc_id")
-      .orderBy(col("freq").asc, col("shingle").asc)
+      .orderBy(col("freq").asc, col("h").asc)
     // persisted: the self-join below would otherwise recompute the
     // whole freq+window pipeline once per side.
-    val prefixes = ex.join(df_, "shingle")
+    val prefixes = ex.join(df_, "h")
       .withColumn("pos", row_number().over(wDoc))
-      .join(sh.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("shingle"))
+      .select(col("doc_id"), col("n"), col("h"))
       .transform(graft.Caching.persistOnce(_))
-    // candidate pairs: shared prefix shingle + the LENGTH filter
+    // candidate pairs: shared prefix hash + the LENGTH filter
     // (Jaccard ≥ t ⟹ t·max(n_a,n_b) ≤ min(n_a,n_b)) applied before
     // the distinct to cut the dedup shuffle.
-    val candidates = prefixes.as("a").join(prefixes.as("b"), Seq("shingle"))
+    val candidates = prefixes.as("a").join(prefixes.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * tCand <= least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
