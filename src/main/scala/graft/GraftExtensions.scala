@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SquashAlnum, WindowBloomPositions, WindowMd5s}
+import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SimHashVotes, SquashAlnum, WindowBloomPositions, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -64,7 +64,10 @@ object GraftExtensions {
         new ExpressionInfo(classOf[WindowBloomPositions].getName,
           "window_bloom_positions"),
         (children: Seq[Expression]) =>
-          WindowBloomPositions(children.head, children(1))))
+          WindowBloomPositions(children.head, children(1))),
+      (FunctionIdentifier("simhash_votes"),
+        new ExpressionInfo(classOf[SimHashVotes].getName, "simhash_votes"),
+        (children: Seq[Expression]) => SimHashVotes(children.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

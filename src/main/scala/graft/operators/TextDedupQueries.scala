@@ -1040,21 +1040,22 @@ object TextDedupQueries {
     Q("doc_simhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-          .withColumn("hx", md5(col("w")))
-        val toksD = (0 until 16).foldLeft(toks)((df, dd) =>
-          df.withColumn(s"d$dd", expr(s"int(conv(substring(hx, ${dd + 1}, 1), 16, 10))")))
-        // per doc, per bit: sum(±1); simhash bit j set iff sum > 0.
-        // All 64 bit-sums as ONE wide aggregation (the doc_minhash_lsh
-        // pattern): the shuffle carries (doc_id, 64 longs) with
-        // map-side combine over token rows — NOT a 64× bit-position
-        // row explosion, which shuffled tokens×64 rows through a
-        // (doc_id, j) key and was the scale bottleneck of this query.
-        val sumCols = (0 until 64).map(j =>
-          sum(when(expr(s"(shiftright(d${j / 4}, ${j % 4}) & 1) = 1"), 1).otherwise(-1))
-            .as(s"s$j"))
-        val perDoc = toksD.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        graft.GraftExtensions.register(s)
+        // All 64 ±1 vote sums in ONE codegen pass over the text bytes
+        // ([[graft.functions.SimHashVotes]] — bit-identical to the
+        // explode→md5→16×conv→64-sum spelling the oracle keeps, see
+        // that file's exactness argument). The operator is now a pure
+        // per-row map: no token explosion, no hex-string
+        // materialization, and NO aggregation at all before chunk
+        // bucketing — the groupBy this replaced shuffled (doc_id,
+        // 64 longs) per doc; element 65 (token count) reproduces the
+        // explode→groupBy behavior of dropping zero-token docs.
+        val perDoc = docs
+          .select(col("doc_id"),
+            call_function("simhash_votes", lower(col("text"))).as("v"))
+          .filter(element_at(col("v"), 65) > 0)
+          .select(col("doc_id") +:
+            (0 until 64).map(j => element_at(col("v"), j + 1).as(s"s$j")): _*)
         def chunkExpr(c: Int): String = (0 until 16).map { k =>
           s"CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END"
         }.mkString(" + ")
