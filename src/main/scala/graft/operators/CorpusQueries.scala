@@ -137,26 +137,30 @@ object CorpusQueries {
     * per-document repetition scores (doc_repetition) cannot see.
     */
   private def boilerplateOverlap(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      // guard: sequence(0, size-3) DESCENDS for docs under 3 words and
-      // slice(ws, 0, _) then throws at runtime; the oracle's
-      // range(1, len-1) just goes empty — dropping such docs matches it
-      .filter(size(col("ws")) >= 3)
+    graft.GraftExtensions.register(docs.sparkSession)
+    // Distinct 3-gram stream as 16-byte digests off ONE codegen scan
+    // ([[graft.functions.WindowMd5s]] — exactness argument there: the
+    // HOF gram build + string keys this replaces shuffled ~30-byte
+    // grams through the frequency agg and the semi join; digests ship
+    // at half the bytes and skip the per-window string allocation).
+    // window_md5s returns empty under 3 words, so size(gs) > 0 is the
+    // old size(ws) >= 3 guard. n_grams is read off the ARRAY SIZE
+    // before the explode — the gram stream is exploded once, not
+    // re-aggregated a second time for the denominator.
+    val perDoc = docs
       .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(0, size(ws) - 3),
-                 i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
+        call_function("window_md5s", lower(col("text")), lit(3)).as("gs"))
+      .filter(size(col("gs")) > 0)
       .transform(graft.Caching.persistOnce(_))
+    val grams = perDoc.select(col("doc_id"), explode(col("gs")).as("g"))
     val shared = grams.groupBy("g")
       .agg(count(lit(1)).as("docs_with"))
       .filter(col("docs_with") >= 3)
       .select("g")
-    grams
-      .join(shared, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
-        Seq("doc_id"), "right")
+    perDoc.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(grams.join(shared, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("share_ratio",
