@@ -1112,17 +1112,25 @@ object TextDedupQueries {
     // 2-gram list never leaves its row.
     Q("doc_repetition",
       (s, d) => {
+        graft.GraftExtensions.register(s)
+        // Total 2-gram count is just the SPACE count (nWords − 1 =
+        // windows, 0 under 2 words — two length builtins, no array);
+        // the distinct count comes off the window_md5s digest kernel
+        // (digest distinctness == string distinctness, see that
+        // file). The HOF gram build + per-row array_distinct over
+        // 2-gram strings this replaces was 13 s of pure scan CPU at
+        // the 100× slice for an operator that shuffles nothing.
         Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .withColumn("g2", when(size(col("ws")) >= 2,
-            expr("transform(sequence(0, size(ws) - 2), i -> array_join(slice(ws, i + 1, 2), ' '))"))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+          .select(col("doc_id"), lower(col("text")).as("t"))
           .select(col("doc_id"),
-            size(col("g2")).cast("long").as("n_2grams"),
-            size(array_distinct(col("g2"))).cast("long").as("n_distinct"),
-            when(size(col("g2")) > 0,
-              round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
-                / size(col("g2")), 6)).otherwise(lit(0.0)).as("rep_ratio"))
+            (length(col("t")) - length(replace(col("t"), lit(" "), lit(""))))
+              .cast("long").as("n_2grams"),
+            size(call_function("window_md5s", col("t"), lit(2)))
+              .cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_2grams"), col("n_distinct"),
+            when(col("n_2grams") > 0,
+              round(lit(1.0) - col("n_distinct").cast("double")
+                / col("n_2grams"), 6)).otherwise(lit(0.0)).as("rep_ratio"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -1196,15 +1204,16 @@ object TextDedupQueries {
     // materialize cross-row.
     Q("doc_decontaminate",
       (s, d) => {
+        graft.GraftExtensions.register(s)
         // persisted: the benchmark and corpus branches both read the
         // 8-gram projection — one computation, not one per branch.
+        // Grams live as window_md5s 16-byte digests (digest equality
+        // == gram equality, see that file): the equi-join and the
+        // benchmark distinct key on digests instead of ~50-byte
+        // 8-gram strings, and the HOF gram build leaves the scan.
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .withColumn("g8", when(size(col("ws")) >= 8,
-            expr("""array_distinct(transform(sequence(0, size(ws) - 8),
-                     i -> array_join(slice(ws, i + 1, 8), ' ')))"""))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-          .select(col("doc_id"), col("g8"))
+          .select(col("doc_id"),
+            call_function("window_md5s", lower(col("text")), lit(8)).as("g8"))
           .transform(graft.Caching.persistOnce(_))
         val bench = docs.filter(col("doc_id") % 7 === 0)
           .select(explode(col("g8")).as("g")).distinct()
