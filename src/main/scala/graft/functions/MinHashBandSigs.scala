@@ -45,18 +45,31 @@ object MinHashBandSigs {
 
   /** Shared interpreted/codegen kernel (codegen emits one call here —
     * a single fused loop either way, no per-shingle expression
-    * machinery).
+    * machinery). `binary` selects the element accessor: the set may be
+    * raw shingle STRINGS or their 16-byte window_md5s DIGESTS — a
+    * different byte stream, hence a different (equally universal)
+    * hash family, which the no-bit-identity contract above already
+    * covers.
     */
-  def eval(sh: ArrayData, nBands: Int, rows: Int): Array[Long] = {
+  def eval(sh: ArrayData, nBands: Int, rows: Int): Array[Long] =
+    eval(sh, nBands, rows, binary = false)
+
+  def eval(sh: ArrayData, nBands: Int, rows: Int, binary: Boolean): Array[Long] = {
     val n = sh.numElements()
     if (n == 0) return Array.emptyLongArray
     val k = nBands * rows
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = if (binary) {
+        val bs = sh.getBinary(i)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bs, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bs.length, 42L)
+      } else {
+        val s = sh.getUTF8String(i)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      }
       var j = 0
       while (j < k) {
         val v = mix(h ^ (j.toLong * 0xbf58476d1ce4e5b9L))
@@ -85,10 +98,17 @@ case class MinHashBandSigs(first: Expression, second: Expression, third: Express
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(BinaryType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (ARRAY<STRING>, INT, INT), got " +
+        s"$prettyName requires (ARRAY<STRING|BINARY>, INT, INT), got " +
           s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
     }
+
+  private lazy val binaryElems: Boolean = first.dataType match {
+    case ArrayType(BinaryType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_sigs"
@@ -98,7 +118,7 @@ case class MinHashBandSigs(first: Expression, second: Expression, third: Express
     val nBands = nbv.asInstanceOf[Int]
     val rows = rbv.asInstanceOf[Int]
     new GenericArrayData(
-      MinHashBandSigs.eval(sh, nBands, rows))
+      MinHashBandSigs.eval(sh, nBands, rows, binaryElems))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -106,7 +126,7 @@ case class MinHashBandSigs(first: Expression, second: Expression, third: Express
       val helper = MinHashBandSigs.getClass.getName.stripSuffix("$") + "$.MODULE$"
       val genericArrayData = classOf[GenericArrayData].getName
       s"""
-         |${ev.value} = new $genericArrayData($helper.eval($sh, $nBands, $rows));
+         |${ev.value} = new $genericArrayData($helper.eval($sh, $nBands, $rows, $binaryElems));
        """.stripMargin
     })
 

@@ -32,18 +32,31 @@ object TextDedupQueries {
     */
   val FuzzyBlockCap = 256
 
-  /** Distinct 3-word shingles per document:
-    * (doc_id, sh: array, n). The word array is projected FIRST —
-    * inlining `split` into the transform lambda makes Catalyst
-    * re-evaluate it per element (no CSE across lambda bounds), which
-    * dominated the whole near-dup pipeline before this hoist.
+  /** Distinct 3-word shingles per document as 16-byte window_md5s
+    * DIGESTS: (doc_id, sh: array<binary>, n). Digest distinctness,
+    * intersection, and equality all equal their string-shingle
+    * counterparts (the [[graft.functions.WindowMd5s]] exactness
+    * argument), so every consumer — exact-Jaccard verification,
+    * MinHash banding, the persisted incremental-dedup index — keeps
+    * its oracle while the HOF gram build (split + per-window
+    * slice/array_join lambdas, ~10 s of scan CPU at the 100× slice)
+    * leaves the plan and set payloads ship at half the bytes.
+    *
+    * The digests are carried as STRINGS holding the raw 16 bytes
+    * (binary→string cast = an unvalidated byte wrap; Spark string
+    * equality/hashing is byte-based, so semantics are the digest's):
+    * StringType has "proper equals", which keeps array_intersect /
+    * array set ops on the codegen hash-set fast path — as
+    * ARRAY<BINARY> the same plans fall to the interpreted O(n·m)
+    * ordering scan (measured: doc_ngram_jaccard 22.6 → 143.7 s at the
+    * 100× slice on binary elements).
     */
-  private[operators] def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(0, size(ws) - 3),
-                 i -> array_join(slice(ws, i + 1, 3), ' ')))""").as("sh"))
+  private[operators] def shingles(df: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.select(col("doc_id"),
+        expr("transform(window_md5s(lower(text), 3), x -> string(x))").as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+  }
 
   private[operators] val shingleSqlCte =
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
