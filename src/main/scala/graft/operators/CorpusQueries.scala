@@ -230,6 +230,39 @@ object CorpusQueries {
     * GlobalIndex.withOrderedPrefixSum (parallel range-partitioned
     * sort, one Long per partition to the driver).
     */
+  /** Deterministic pre-training corpus shuffle into S training shards
+    * — the global-shuffle step every LLM data pipeline runs before
+    * epoch sharding: priority = the 32-bit md5 value of a seeded key
+    * (md5 so the DuckDB oracle replays it, the doc_sample_weighted
+    * discipline), shard = priority mod S, position within shard =
+    * rank under the total order (priority, doc_id). Re-running with
+    * the same seed reproduces the epoch bit-for-bit (resumable
+    * ingest); a new seed is a fresh epoch permutation.
+    *
+    * Scale: `row_number() OVER (PARTITION BY shard ...)` would sort a
+    * 100 TB corpus on S tasks. Position here rides
+    * GlobalIndex.withOrderedIndex (parallel range-partitioned sort +
+    * one Long per partition to the driver) over the total order
+    * (shard, priority, doc_id); each shard's start index is then
+    * subtracted via a broadcast S-row join — no single-task stage
+    * anywhere, and the shard files themselves could be written
+    * straight off the range-sorted partitions.
+    */
+  val ShuffleShards = 16
+  private def shuffleShards(docs: DataFrame): DataFrame = {
+    val prio = expr("CAST(conv(substring(md5(concat('shuffle42#', " +
+      "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val assigned = docs.select(col("doc_id"), prio.as("priority"))
+      .withColumn("shard", (col("priority") % ShuffleShards).cast("int"))
+    val indexed = graft.store.GlobalIndex.withOrderedIndex(
+      assigned, Seq(col("shard"), col("priority"), col("doc_id")), "gidx")
+    val starts = indexed.groupBy("shard").agg(min(col("gidx")).as("s0"))
+    indexed.join(broadcast(starts), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("gidx") - col("s0") + lit(1L)).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   private def packSequences(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"))
@@ -295,6 +328,22 @@ object CorpusQueries {
                     start_offset // 256 AS first_seq,
                     (start_offset + n_words - 1) // 256 AS last_seq
              FROM c ORDER BY doc_id""")),
+
+    Q("doc_shuffle_shards",
+      (s, d) => shuffleShards(Tables.documents(s, d)),
+      Some {
+        val hexVal = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+          .mkString(" + ")
+        s"""WITH h AS (SELECT doc_id,
+                              substr(md5('shuffle42#' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+                       FROM documents),
+           v AS (SELECT doc_id, CAST($hexVal AS BIGINT) AS priority FROM h)
+           SELECT doc_id, CAST(priority % $ShuffleShards AS INT) AS shard,
+                  row_number() OVER (PARTITION BY priority % $ShuffleShards
+                                     ORDER BY priority, doc_id) AS pos
+           FROM v ORDER BY shard, pos"""
+      }),
 
     Q("doc_tfidf_topk",
       (s, d) => tfidfTopK(Tables.documents(s, d)),
