@@ -131,6 +131,60 @@ object IncrementalDedup {
       .orderBy("doc_id")
   }
 
+  /** Streaming form of [[dedupIncrement]] — the ingest-time near-dup
+    * gate ([[graft.operators.EmbIncrementalDedup.dedupStream]]'s text
+    * sibling): documents arriving as (doc_id, text, ingest_ts) flag
+    * their best verified match in the PERSISTED index. Within-batch
+    * keep-first is deliberately out of scope (a stream-stream
+    * self-join; production appends each processed batch to the index,
+    * after which later arrivals see it — the same contract as the
+    * embedding side). Every pre-state step is a per-row map (shingle
+    * digests + band signatures, one codegen pass each) or a
+    * stream-static join (candidate band-join, exact-Jaccard
+    * verification against the stored sets), so the plan carries ONE
+    * stateful operator: the windowed packed-max picking
+    * (jaccard desc, cand_id asc) per doc — multi-band (doc, cand)
+    * collision duplicates cannot change a MAX, so no streaming
+    * dropDuplicates state is held (the annLshTop1 dedup=false lesson,
+    * streaming edition).
+    */
+  def dedupStream(s: SparkSession, docs: DataFrame, dir: String,
+                  watermarkDelay: String = "1 hour",
+                  windowDuration: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
+    val idxSets = s.read.parquet(s"$dir/sets.parquet")
+      .select(col("doc_id").as("cand_id"), col("sh").as("sh_c"),
+        col("n").as("n_c"))
+    val sh = docs.select(col("doc_id"), col("ingest_ts"),
+        expr("transform(window_md5s(lower(text), 3), x -> string(x))").as("sh"))
+      .withColumn("n", size(col("sh")))
+    val sigs = sh.select(col("doc_id"), col("ingest_ts"), col("sh"), col("n"),
+      posexplode(call_function("minhash_band_sigs",
+        col("sh"), lit(Bands), lit(RowsPerBand))).as(Seq("band", "sig")))
+    val cands = sigs.as("s").join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.doc_id").as("doc_id"), col("s.ingest_ts").as("ingest_ts"),
+        col("s.sh").as("sh_s"), col("s.n").as("n_s"),
+        col("i.doc_id").as("cand_id"))
+    val verified = cands.join(idxSets, "cand_id")
+      .withColumn("inter", size(array_intersect(col("sh_s"), col("sh_c"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("n_s") + col("n_c") - col("inter")), 6))
+      .filter(col("jaccard") >= Threshold)
+    // packed (jaccard desc, cand_id asc) max — the top1BySim encoding
+    // (jaccard·10⁶ ≤ 10⁶ < 2^21; cand_id < 2^43 as everywhere)
+    val enc = (round(col("jaccard") * 1e6).cast("long") * lit(1L << 43) +
+      (lit((1L << 43) - 1) - col("cand_id"))).as("enc")
+    verified.select(col("doc_id"), col("ingest_ts"), enc)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(window(col("ingest_ts"), windowDuration), col("doc_id"))
+      .agg(max(col("enc")).as("m"))
+      .select(col("doc_id"),
+        (lit((1L << 43) - 1) -
+          (col("m") - shiftright(col("m"), 43) * lit(1L << 43))).as("match_id"),
+        (shiftright(col("m"), 43).cast("double") / 1e6).as("jaccard"))
+  }
+
   /** Registry entry: simulate the production split on the documents
     * table — every 5th doc (doc_id % 5 = 0) is the NEW shard, the
     * rest are the already-indexed corpus. The oracle replays with
