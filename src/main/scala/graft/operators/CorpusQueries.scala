@@ -511,10 +511,10 @@ object CorpusQueries {
         val withS2 = flag1.join(firsts, Seq("digest"), "left")
           .withColumn("s2", col("s1") && col("doc_id") === col("keep_doc"))
           .transform(graft.Caching.persistOnce(_))
-        val bench = TextDedupQueries.grams8(
+        val bench = TextDedupQueries.grams8d(
             docsAll.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
           .select(explode(col("g8")).as("g")).distinct()
-        val contam = TextDedupQueries.grams8(
+        val contam = TextDedupQueries.grams8d(
             withS2.filter(col("s2")).select("doc_id", "text"))
           .select(col("doc_id"), explode(col("g8")).as("g"))
           .join(bench, "g").select("doc_id").distinct()

@@ -227,6 +227,21 @@ object TextDedupQueries {
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
       .drop("ws", "text")
 
+  /** Digest-keyed twin of [[grams8]]: (input minus text, plus g8) with
+    * the distinct 8-word-gram set as window_md5s digest STRINGS (see
+    * [[shingles]] for the digest-as-string rationale — byte-wrapped
+    * StringType keeps joins/set ops on the proper-equals fast path).
+    * Gram-equality joins and distincts are digest-exact; the oracles
+    * and the streaming gate keep the string-gram spelling.
+    */
+  private[operators] def grams8d(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("g8",
+        expr("transform(window_md5s(lower(text), 8), x -> string(x))"))
+      .drop("text")
+  }
+
   /** Bloom position of gram `g` under `salt` — the first-6-hex-digit
     * value of md5(g || '#' || salt): k=4 salts × m=16^6 addressable
     * bits (≈2 MB as a real bitset). Deterministic on both engines
