@@ -145,6 +145,18 @@ object Bench {
       // in-sequence vs 33 s isolated). Clearing per query makes every
       // wall the same cold, order-independent measurement.
       spark.catalog.clearCache()
+      // ...and nudge the driver GC: Spark's ContextCleaner reaps
+      // shuffle files and broadcast blocks only when the driver-side
+      // reference objects are COLLECTED — on a 128 GiB heap that may
+      // not happen for the whole run, so every prior query's shuffle
+      // files pile up on local disk and in the shuffle-tracking maps,
+      // and late heavy entries measure that accumulation instead of
+      // themselves (fifth-session sweep: doc_neardup_clusters 124.8 s
+      // in-sequence vs 27.0 s solo-cold on identical code). An
+      // explicit gc per entry is the standard long-running-driver
+      // remedy (what spark.cleaner.periodicGC.interval exists for —
+      // too coarse at 15 min for a per-query bench).
+      System.gc()
       name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else samples.min)
     }
     // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits
