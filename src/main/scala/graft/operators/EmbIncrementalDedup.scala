@@ -126,11 +126,20 @@ object EmbIncrementalDedup {
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("es"), col("ec"), col("ns"), col("nc")), 6))
       .filter(col("sim") >= Threshold)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    val best = verified
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cand_id").as("match_id"), col("sim"))
+    // best match as a packed-(sim desc, cand_id asc) MAX — a codegen
+    // hash aggregate with map-side combine over the verified pairs,
+    // not a row_number window (which exchanges AND sorts the full
+    // pair stream; the annLshTop1 plan-shape lesson). Same winner:
+    // highest sim, ties to the lowest id. sim ≥ Threshold > 0 here,
+    // so the packed long is monotone.
+    val encB = (round(col("sim") * 1e6).cast("long") * lit(1L << 43) +
+      (lit((1L << 43) - 1) - col("cand_id"))).as("enc")
+    val best = verified.select(col("vec_id"), encB)
+      .groupBy("vec_id").agg(max(col("enc")).as("m"))
+      .select(col("vec_id"),
+        (lit((1L << 43) - 1) -
+          (col("m") - shiftright(col("m"), 43) * lit(1L << 43))).as("match_id"),
+        (shiftright(col("m"), 43).cast("double") / 1e6).as("sim"))
     shard.select(col("vec_id"))
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("match_id").isNotNull.as("is_dup"),

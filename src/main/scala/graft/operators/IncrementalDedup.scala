@@ -119,11 +119,19 @@ object IncrementalDedup {
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_s") + col("n_c") - col("inter")), 6))
       .filter(col("jaccard") >= Threshold)
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("jaccard").desc, col("cand_id").asc)
-    val best = verified
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_id").as("match_id"), col("jaccard"))
+    // best match as a packed-(jaccard desc, cand_id asc) MAX — a
+    // codegen hash aggregate with map-side combine, not a row_number
+    // window over the verified pair stream (the annLshTop1 plan-shape
+    // lesson; [[dedupStream]] already uses this encoding). Same
+    // winner: highest jaccard, ties to the lowest id.
+    val encB = (round(col("jaccard") * 1e6).cast("long") * lit(1L << 43) +
+      (lit((1L << 43) - 1) - col("cand_id"))).as("enc")
+    val best = verified.select(col("doc_id"), encB)
+      .groupBy("doc_id").agg(max(col("enc")).as("m"))
+      .select(col("doc_id"),
+        (lit((1L << 43) - 1) -
+          (col("m") - shiftright(col("m"), 43) * lit(1L << 43))).as("match_id"),
+        (shiftright(col("m"), 43).cast("double") / 1e6).as("jaccard"))
     shard.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
