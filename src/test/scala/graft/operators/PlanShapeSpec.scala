@@ -104,6 +104,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("session-5 kernel rides: digests in the scan, no regex/HOF gram builds") {
+    // doc_simhash: the vote kernel makes the pre-bucketing side a pure
+    // per-row map — no token explode, no regex, no 64-column aggregate
+    val ps = plan("doc_simhash")
+    assert(ps.contains("simhash_votes"), s"doc_simhash lost its kernel:\n$ps")
+    assert(!ps.contains("regexp_extract_all"),
+      s"doc_simhash re-grew the token regex:\n$ps")
+    // doc_repetition: kernel + two length builtins — no explode, no
+    // lambda transform, and the only exchange is the presentation sort
+    val pr = plan("doc_repetition")
+    assert(pr.contains("window_md5s") && !pr.contains("Generate"),
+      s"doc_repetition re-grew the gram explode:\n$pr")
+    assert(countOf(pr, "hashpartitioning") == 0,
+      s"doc_repetition grew a data shuffle:\n$pr")
+    // the shared shingle/gram builds ride the digest kernel everywhere
+    for (q <- Seq("doc_ngram_jaccard", "doc_minhash_lsh",
+        "doc_dedup_incremental", "doc_decontaminate",
+        "doc_boilerplate_overlap", "doc_pipeline_attrition")) {
+      val p = plan(q)
+      assert(p.contains("window_md5s"), s"$q lost the digest gram build:\n$p")
+    }
+  }
+
+  test("bloom decontamination: fixed-m position relation broadcasts, kernel in the scan") {
+    val p = plan("doc_decontaminate_bloom")
+    assert(p.contains("window_bloom_positions"),
+      s"doc_decontaminate_bloom lost its fused kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the ≤16^6-position bloom relation stopped broadcasting:\n$p")
+  }
+
+  test("incremental dedups rank via the packed-max aggregate, not a window") {
+    for (q <- Seq("doc_dedup_incremental", "emb_dedup_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a window again:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q best-match fell back to SortAggregate:\n$p")
+    }
+  }
+
   test("k-means corpus ops: broadcast center join, aggregate ranking, one data shuffle") {
     // assignment is a codegen map against the literal centroid
     // matrix + a cells-row broadcast join for d² — a SMJ or a second
