@@ -801,12 +801,19 @@ object EmbeddingQueries {
     */
   def nearDupLsh(s: SparkSession, emb: DataFrame, threshold: Double,
                  nBands: Int = 48, bitsPerBand: Int = 12): DataFrame = {
-    val e = withNorm(emb)
+    // persisted: the normed table feeds the signature pass, both
+    // verification vector sides, and the broadcast-guard count; the
+    // signature relation feeds BOTH sides of the bucket self-join —
+    // unpersisted, band_sigs (bands×bits plane dots per vector) ran
+    // once per side (the doc_minhash_lsh lesson; NgramProfile showed
+    // two full Generate(band_sigs) branches at the 100× slice).
+    val e = withNorm(emb).transform(graft.Caching.persistOnce(_))
     graft.GraftExtensions.register(s)
     val bands = e.select(col("vec_id"),
         posexplode(call_function("band_sigs", col("embedding"),
           typedlit(planes(nBands * bitsPerBand)), lit(bitsPerBand)))
           .as(Seq("band", "sig")))
+      .transform(graft.Caching.persistOnce(_))
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vid_a"), col("y.vec_id").as("vid_b"))
