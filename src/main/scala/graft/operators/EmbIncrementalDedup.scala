@@ -119,10 +119,17 @@ object EmbIncrementalDedup {
         col("nrm").as("nc"))
       .unionByName(shardN.select(col("vec_id").as("cand_id"),
         col("embedding").as("ec"), col("nrm").as("nc")))
+    // both vector sides under the size guard (the nearDupLsh rationale
+    // — without it the pair stream re-exchanged on cand_id with the
+    // shard vectors ATTACHED: 374 MB of the query's shuffle at the
+    // 100× slice was that one exchange, NgramProfile attribution)
+    val nShard = shardN.count()
+    val nAll = nShard + indexVecs.count()
     val verified = candidates
-      .join(shardN.select(col("vec_id"), col("embedding").as("es"),
-        col("nrm").as("ns")), "vec_id")
-      .join(candVecs, "cand_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(
+        shardN.select(col("vec_id"), col("embedding").as("es"),
+          col("nrm").as("ns")), nShard), "vec_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(candVecs, nAll), "cand_id")
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("es"), col("ec"), col("ns"), col("nc")), 6))
       .filter(col("sim") >= Threshold)
@@ -246,9 +253,14 @@ object EmbIncrementalDedup {
       .join(idxSigs.as("i"), Seq("band", "sig"))
       .select(col("s.vec_id").as("vec_id"), col("i.vec_id").as("cand_id"))
       .distinct()
+    // both vector sides size-guard-broadcast (dedupAgainst's note):
+    // un-hinted, the pair stream re-exchanged on cand_id carrying the
+    // query vectors — 432 MB at the 100× slice
     cands
-      .join(qn.select(col("vec_id"), col("embedding"), col("ns")), "vec_id")
-      .join(iv, "cand_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(
+        qn.select(col("vec_id"), col("embedding"), col("ns")),
+        qn.count()), "vec_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(iv, idxVecs.count()), "cand_id")
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
       .groupBy("vec_id")

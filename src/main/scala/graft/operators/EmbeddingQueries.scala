@@ -78,7 +78,7 @@ object EmbeddingQueries {
   /** Size-guarded corpus-side broadcast (see AnnBroadcastCeilingRows);
     * `n` is the corpus row count the caller already holds or counts.
     */
-  private def maybeBroadcastVectors(df: DataFrame, n: Long): DataFrame =
+  private[operators] def maybeBroadcastVectors(df: DataFrame, n: Long): DataFrame =
     if (n <= AnnBroadcastCeilingRows) broadcast(df) else df
 
   /** DuckDB-side: the same sequential fold (list index is 1-based).
