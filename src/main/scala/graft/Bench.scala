@@ -145,6 +145,10 @@ object Bench {
       // in-sequence vs 33 s isolated). Clearing per query makes every
       // wall the same cold, order-independent measurement.
       spark.catalog.clearCache()
+      // ...restore the ObjectHashAggregate sort-fallback threshold a
+      // topK-based query may have raised for its own execution
+      // (TopKByScore.tuneForManyGroups is session-global by necessity)
+      graft.functions.TopKByScore.restoreTuning(spark)
       // ...and nudge the driver GC: Spark's ContextCleaner reaps
       // shuffle files and broadcast blocks only when the driver-side
       // reference objects are COLLECTED — on a 128 GiB heap that may

@@ -25,10 +25,6 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")
-        // release this query's persistOnce caches (see Bench: nothing
-        // in the operator surface unpersists; a full-registry session
-        // otherwise accumulates every cached plan)
-        spark.catalog.clearCache()
       }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -38,6 +34,19 @@ object Verify {
           Seq(errors(name).take(2000)).toDF("err")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
         } catch { case _: Throwable => () } // the err row is best-effort
+      }
+      finally {
+        // release this query's persistOnce caches (see Bench: nothing
+        // in the operator surface unpersists; a full-registry session
+        // otherwise accumulates every cached plan) — in a FINALLY so a
+        // THROWING query's caches don't survive into every later
+        // entry, reintroducing the accumulation pressure this exists
+        // to remove and skewing post-failure rows
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // ...and un-tune the ObjectHashAggregate fallback threshold a
+        // topK-based entry may have raised (session-global by
+        // necessity — see TopKByScore.tuneForManyGroups)
+        graft.functions.TopKByScore.restoreTuning(spark)
       }
     }
     errors

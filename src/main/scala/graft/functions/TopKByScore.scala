@@ -145,6 +145,19 @@ object TopKByScore {
     udaf(new TopKByScore(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
       .apply(score, id)
 
+  private val FallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** The session's pre-tune fallbackThreshold, captured by the FIRST
+    * [[tuneForManyGroups]] call so [[restoreTuning]] can put it back.
+    * None = never tuned; Some(None) = tuned, key was unset before.
+    * Weak keys: a dropped session must not be pinned by this map.
+    */
+  private val saved =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        Option[String]]())
+
   /** Callers whose groupBy key is the QUERY id (one group per query
     * vector) must raise ObjectHashAggregate's sort-fallback threshold:
     * its default of 128 distinct keys per task silently degrades the
@@ -154,8 +167,33 @@ object TopKByScore {
     * a geometric-growth heap per key stays well inside executor
     * memory for every operating point in this engine (a task's heaps
     * hold at most the candidates the task actually saw).
+    *
+    * The raise is session-visible (Spark has no per-plan conf, and
+    * these operators return LAZY plans — the threshold must still be
+    * up when the caller finally executes), so it is paired with
+    * [[restoreTuning]]: the first call here snapshots the session's
+    * previous value, and every engine execution surface (Verify,
+    * Bench, the test harness) restores it after collecting results,
+    * so a long-lived user session does not permanently lose the
+    * memory-bounding sort fallback for ITS OWN unrelated
+    * ObjectHashAggregates (large collect_list / percentile queries).
     */
-  def tuneForManyGroups(s: org.apache.spark.sql.SparkSession): Unit =
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 22).toString)
+  def tuneForManyGroups(s: org.apache.spark.sql.SparkSession): Unit = {
+    saved.computeIfAbsent(s, _ => s.conf.getOption(FallbackKey))
+    s.conf.set(FallbackKey, (1 << 22).toString)
+  }
+
+  /** Undo [[tuneForManyGroups]] on `s`: restore the snapshotted
+    * pre-tune value (or unset, if it was unset). Safe to call on a
+    * never-tuned session (no-op). Callers embedding these operators
+    * in a long-lived session should call this after materializing the
+    * returned DataFrames.
+    */
+  def restoreTuning(s: org.apache.spark.sql.SparkSession): Unit = {
+    val prior = saved.remove(s)
+    if (prior != null) prior match {
+      case Some(v) => s.conf.set(FallbackKey, v)
+      case None => s.conf.unset(FallbackKey)
+    }
+  }
 }

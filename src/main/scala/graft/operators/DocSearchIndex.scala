@@ -44,6 +44,22 @@ object DocSearchIndex {
     */
   val NBuckets = 64
 
+  /** Persisted-format identity pinned in `_format.json`
+    * (graft.store.IndexMaintenance); `n_buckets` is pinned as a prop
+    * so a build with a different layout constant fails fast instead
+    * of pruning to the wrong partitions. Migration: rebuild. */
+  val FormatKind = "graft-bm25-postings-index"
+  val FormatVersion = 1
+
+  private def conf(s: SparkSession) = s.sparkContext.hadoopConfiguration
+  private def postPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "postings", conf(s))
+  private def statsPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "stats", conf(s))
+  private def checkFormat(s: SparkSession, dir: String): Unit =
+    graft.store.IndexMaintenance.checkMarker(dir, FormatKind, FormatVersion,
+      Map("n_buckets" -> NBuckets.toString), conf(s))
+
   /** Driver-side twin of the Spark `crc32` builtin (same polynomial,
     * same UTF-8 bytes) — lets `search` compute the bucket list for
     * partition pruning without a Spark job.
@@ -73,26 +89,61 @@ object DocSearchIndex {
     postingsOf(docs).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings.parquet")
     statsOf(docs).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
+      Map("n_buckets" -> NBuckets.toString), conf(s))
   }
 
   /** Append a shard (append-only: new postings files in existing
-    * bucket directories + one more stats row).
+    * bucket directories + one more stats row; lands in the live
+    * compacted version when one exists). Fails fast on a
+    * format-mismatched index.
     */
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
+    checkFormat(s, dir)
     postingsOf(shard).write.mode("append")
-      .partitionBy("bucket").parquet(s"$dir/postings.parquet")
-    statsOf(shard).write.mode("append").parquet(s"$dir/stats.parquet")
+      .partitionBy("bucket").parquet(postPath(s, dir))
+    statsOf(shard).write.mode("append").parquet(statsPath(s, dir))
+  }
+
+  /** Compact the index: live postings rewritten as ONE file per
+    * bucket sorted by (term, doc_id) — a query's term filter then
+    * prunes row groups WITHIN its bucket partitions via min/max stats
+    * on the sorted term column, on top of the directory-level bucket
+    * pruning — and the accumulated per-shard stats rows SUMMED into a
+    * single row (exact integer sums, so avgdl is unchanged — the
+    * layout's own "readers SUM the rows" contract applied once at
+    * rest). Published MVCC-style through the component pointers
+    * ([[graft.store.IndexMaintenance.publish]]): in-flight searches
+    * finish on the version they resolved.
+    */
+  def compact(s: SparkSession, dir: String, retainDepth: Int = 1): Unit = {
+    checkFormat(s, dir)
+    val c = conf(s)
+    val im = graft.store.IndexMaintenance
+    val postV = im.nextVersionName(dir, "postings", c)
+    s.read.parquet(postPath(s, dir))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term", "doc_id")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")
+    val statsV = im.nextVersionName(dir, "stats", c)
+    s.read.parquet(statsPath(s, dir))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$statsV")
+    im.publish(dir, "postings", postV, c, retainDepth)
+    im.publish(dir, "stats", statsV, c, retainDepth)
   }
 
   /** Top-k BM25 against the persisted index — reads only the query
     * terms' bucket partitions.
     */
   def search(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    checkFormat(s, dir)
     val bks = terms.map(bucketOf).distinct
     searchRelations(s,
-      s.read.parquet(s"$dir/postings.parquet")
+      s.read.parquet(postPath(s, dir))
         .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
-      s.read.parquet(s"$dir/stats.parquet"),
+      s.read.parquet(statsPath(s, dir)),
       terms, k)
   }
 
@@ -165,8 +216,9 @@ object DocSearchIndex {
                    watermarkDelay: String = "1 hour",
                    windowDuration: String = "10 minutes"): DataFrame = {
     graft.functions.TopKByScore.tuneForManyGroups(s)
-    val postings = s.read.parquet(s"$dir/postings.parquet")
-    val stats = s.read.parquet(s"$dir/stats.parquet")
+    checkFormat(s, dir)
+    val postings = s.read.parquet(postPath(s, dir))
+    val stats = s.read.parquet(statsPath(s, dir))
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double"))
           .as("avgdl"))

@@ -43,6 +43,27 @@ object EmbIncrementalDedup {
   val Bits = 12
   val Threshold = 0.95
 
+  /** Persisted-format identity pinned in `_format.json`
+    * (graft.store.IndexMaintenance): besides the representation
+    * version, the marker pins the BANDING the index was built at —
+    * the scaladoc above says callers "persist the choice with the
+    * index", and the marker makes that a fail-fast contract instead
+    * of a convention (signing a shard with different banding than the
+    * index silently zero-matches). Migration: rebuild with [[build]].
+    */
+  val FormatKind = "graft-emb-lsh-index"
+  val FormatVersion = 1
+
+  private def conf(s: SparkSession) = s.sparkContext.hadoopConfiguration
+  private def sigPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "signatures", conf(s))
+  private def vecPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "vectors", conf(s))
+  private def checkFormat(s: SparkSession, dir: String,
+                          nBands: Int, bits: Int): Unit =
+    graft.store.IndexMaintenance.checkMarker(dir, FormatKind, FormatVersion,
+      Map("bands" -> nBands.toString, "bits" -> bits.toString), conf(s))
+
   private def signatures(e: DataFrame, nBands: Int, bits: Int): DataFrame =
     e.select(col("vec_id"),
       posexplode(call_function("band_sigs", col("embedding"),
@@ -61,17 +82,22 @@ object EmbIncrementalDedup {
     EmbeddingQueries.withNorm(emb)
       .select("vec_id", "embedding", "nrm")
       .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+    graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
+      Map("bands" -> nBands.toString, "bits" -> bits.toString), conf(s))
   }
 
-  /** Append a processed shard to the index (append-only). */
+  /** Append a processed shard to the index (append-only; lands in the
+    * live compacted version when one exists). Fails fast unless the
+    * index marker matches this code's format AND the caller's banding. */
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String,
                       nBands: Int = Bands, bits: Int = Bits): Unit = {
     graft.GraftExtensions.register(s)
+    checkFormat(s, dir, nBands, bits)
     signatures(shard, nBands, bits).write.mode("append")
-      .partitionBy("band").parquet(s"$dir/signatures.parquet")
+      .partitionBy("band").parquet(sigPath(s, dir))
     EmbeddingQueries.withNorm(shard)
       .select("vec_id", "embedding", "nrm")
-      .write.mode("append").parquet(s"$dir/vectors.parquet")
+      .write.mode("append").parquet(vecPath(s, dir))
   }
 
   /** Dedup `shard` against the PERSISTED index at `dir` — touches the
@@ -80,10 +106,41 @@ object EmbIncrementalDedup {
   def dedupIncrement(s: SparkSession, shard: DataFrame, dir: String,
                      nBands: Int = Bands, bits: Int = Bits): DataFrame = {
     graft.GraftExtensions.register(s)
+    checkFormat(s, dir, nBands, bits)
     dedupAgainst(s,
-      s.read.parquet(s"$dir/signatures.parquet"),
-      s.read.parquet(s"$dir/vectors.parquet"),
+      s.read.parquet(sigPath(s, dir)),
+      s.read.parquet(vecPath(s, dir)),
       shard, nBands, bits)
+  }
+
+  /** Compact the index ([[IncrementalDedup.compact]]'s vector-side
+    * twin): live signatures rewritten as ONE file per band sorted by
+    * (sig, vec_id), vectors range-partitioned and sorted by vec_id —
+    * file counts bounded regardless of increment count — published
+    * MVCC-style through the component pointers (in-flight readers
+    * finish on the version they resolved; `retainDepth` widens the
+    * window).
+    */
+  def compact(s: SparkSession, dir: String, retainDepth: Int = 1,
+              vecPartitions: Int = 0): Unit = {
+    graft.store.IndexMaintenance.checkMarker(
+      dir, FormatKind, FormatVersion, Map.empty, conf(s))
+    val c = conf(s)
+    val im = graft.store.IndexMaintenance
+    val nVec = if (vecPartitions > 0) vecPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigV = im.nextVersionName(dir, "signatures", c)
+    s.read.parquet(sigPath(s, dir))
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "sig", "vec_id")
+      .write.partitionBy("band").mode("overwrite").parquet(s"$dir/$sigV")
+    val vecV = im.nextVersionName(dir, "vectors", c)
+    s.read.parquet(vecPath(s, dir))
+      .repartitionByRange(nVec, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/$vecV")
+    im.publish(dir, "signatures", sigV, c, retainDepth)
+    im.publish(dir, "vectors", vecV, c, retainDepth)
   }
 
   /** The shared core: flag each shard vector whose best exact-verified
@@ -181,8 +238,9 @@ object EmbIncrementalDedup {
                   watermarkDelay: String = "1 hour",
                   windowDuration: String = "10 minutes"): DataFrame = {
     graft.GraftExtensions.register(s)
-    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
-    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
+    checkFormat(s, dir, nBands, bits)
+    val idxSigs = s.read.parquet(sigPath(s, dir))
+    val idxVecs = s.read.parquet(vecPath(s, dir))
       .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
         col("nrm").as("nc"))
     val vn = vecs.withColumn("ns", sqrt(aggregate(
@@ -229,11 +287,13 @@ object EmbIncrementalDedup {
     * design note).
     */
   def searchIndex(s: SparkSession, queries: DataFrame, dir: String, k: Int,
-                  nBands: Int = Bands, bits: Int = Bits): DataFrame =
+                  nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    checkFormat(s, dir, nBands, bits)
     searchAgainst(s,
-      s.read.parquet(s"$dir/signatures.parquet"),
-      s.read.parquet(s"$dir/vectors.parquet"),
+      s.read.parquet(sigPath(s, dir)),
+      s.read.parquet(vecPath(s, dir)),
       queries, k, nBands, bits)
+  }
 
   /** The relation-level search core ([[dedupAgainst]]'s sibling):
     * `idxSigs` = (vec_id, band, sig), `idxVecs` = (vec_id, embedding,
@@ -304,8 +364,9 @@ object EmbIncrementalDedup {
                    windowDuration: String = "10 minutes"): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
-    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
-    val idxVecs = s.read.parquet(s"$dir/vectors.parquet")
+    checkFormat(s, dir, nBands, bits)
+    val idxSigs = s.read.parquet(sigPath(s, dir))
+    val idxVecs = s.read.parquet(vecPath(s, dir))
       .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
         col("nrm").as("nc"))
     val vn = queries.withColumn("ns", sqrt(aggregate(

@@ -36,6 +36,52 @@ object IncrementalDedup {
   val RowsPerBand = 4
   val Threshold = 0.8
 
+  /** Persisted-format identity, pinned in the index's `_format.json`
+    * (graft.store.IndexMaintenance): readers and appenders fail fast
+    * on mismatch instead of silently zero-matching. Version history:
+    * v1 (unmarked) carried raw-string 3-word shingles, then
+    * md5-digest bytes wrapped in StringType — both unreadable by this
+    * code (digest sets never intersect raw-shingle sets; parquet
+    * UTF8-annotated strings holding raw digest bytes are rejected by
+    * UTF-8-validating readers). v2 = md5 digests persisted as
+    * BinaryType (`shingle_repr` below), banding pinned in props.
+    * Migration from any other format: rebuild with [[build]].
+    */
+  val FormatKind = "graft-minhash-dedup-index"
+  val FormatVersion = 2
+  private def formatProps = Map(
+    "shingle_repr" -> "md5-16-binary",
+    "bands" -> Bands.toString,
+    "rows_per_band" -> RowsPerBand.toString)
+
+  private def conf(s: SparkSession) = s.sparkContext.hadoopConfiguration
+
+  /** Live signatures/sets paths — resolved through the compaction
+    * pointer (legacy unversioned layout when never compacted). */
+  private def sigPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "signatures", conf(s))
+  private def setsPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "sets", conf(s))
+
+  private def checkFormat(s: SparkSession, dir: String): Unit =
+    graft.store.IndexMaintenance.checkMarker(
+      dir, FormatKind, FormatVersion, formatProps, conf(s))
+
+  /** Write boundary: digest elements leave StringType (the in-plan
+    * fast path — see [[TextDedupQueries.shingles]]' codegen-hash-set
+    * note) and persist as BinaryType, the honest parquet type for raw
+    * md5 bytes: a UTF-8-validating reader (pyarrow, other engines)
+    * reads the files instead of rejecting invalid-UTF8 "strings". */
+  private def shToBinary(df: DataFrame): DataFrame =
+    df.withColumn("sh", expr("transform(sh, x -> binary(x))"))
+
+  /** Read boundary: wrap the stored digest bytes back into StringType
+    * so array_intersect and friends stay on the codegen hash-set fast
+    * path (binary elements fall to the interpreted ordering scan —
+    * the measured 6x regression documented at TextDedupQueries.shingles). */
+  private def shToString(df: DataFrame): DataFrame =
+    df.withColumn("sh", expr("transform(sh, x -> string(x))"))
+
   /** (doc_id, band, sig) MinHash band signatures — one fused codegen
     * pass per doc (graft.functions.MinHashBandSigs), nothing
     * per-shingle shuffled.
@@ -58,16 +104,24 @@ object IncrementalDedup {
     graft.GraftExtensions.register(s)
     signatures(docs).write.mode("overwrite")
       .partitionBy("band").parquet(s"$dir/signatures.parquet")
-    shingleSets(docs).write.mode("overwrite").parquet(s"$dir/sets.parquet")
+    shingleSets(docs).transform(shToBinary)
+      .write.mode("overwrite").parquet(s"$dir/sets.parquet")
+    graft.store.IndexMaintenance.writeMarker(
+      dir, FormatKind, FormatVersion, formatProps, conf(s))
   }
 
   /** Append a processed shard's signatures + sets to the index
-    * (append-only — no rewrite of existing partitions). */
+    * (append-only — no rewrite of existing partitions; lands in the
+    * live compacted version when one exists). Fails fast on a
+    * format-mismatched index — appending would mix incompatible
+    * representations in one directory. */
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
     graft.GraftExtensions.register(s)
+    checkFormat(s, dir)
     signatures(shard).write.mode("append")
-      .partitionBy("band").parquet(s"$dir/signatures.parquet")
-    shingleSets(shard).write.mode("append").parquet(s"$dir/sets.parquet")
+      .partitionBy("band").parquet(sigPath(s, dir))
+    shingleSets(shard).transform(shToBinary)
+      .write.mode("append").parquet(setsPath(s, dir))
   }
 
   /** Dedup `shard` against the PERSISTED index at `dir` — touches the
@@ -75,10 +129,43 @@ object IncrementalDedup {
     * the executed plan's input files all live under `dir`). */
   def dedupIncrement(s: SparkSession, shard: DataFrame, dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
+    checkFormat(s, dir)
     dedupAgainst(
-      s.read.parquet(s"$dir/signatures.parquet"),
-      s.read.parquet(s"$dir/sets.parquet"),
+      s.read.parquet(sigPath(s, dir)),
+      s.read.parquet(setsPath(s, dir)).transform(shToString),
       shard)
+  }
+
+  /** Compact the index: rewrite the live signatures as ONE file per
+    * band sorted by (sig, doc_id) — row-group min/max stats then
+    * prune probe sigs WITHIN a band partition too — and the live sets
+    * range-partitioned and sorted by doc_id, bounding the per-band
+    * file count at 1 and the sets file count at `setsPartitions`
+    * regardless of how many increments have appended. Published
+    * MVCC-style through the `_current.<component>` pointers
+    * ([[graft.store.IndexMaintenance.publish]] — the EventStore.compact
+    * discipline): an in-flight reader's scan finishes against the
+    * version it resolved, retained for `retainDepth` further rewrites.
+    */
+  def compact(s: SparkSession, dir: String, retainDepth: Int = 1,
+              setsPartitions: Int = 0): Unit = {
+    checkFormat(s, dir)
+    val c = conf(s)
+    val im = graft.store.IndexMaintenance
+    val nSets = if (setsPartitions > 0) setsPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigV = im.nextVersionName(dir, "signatures", c)
+    s.read.parquet(sigPath(s, dir))
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "sig", "doc_id")
+      .write.partitionBy("band").mode("overwrite").parquet(s"$dir/$sigV")
+    val setsV = im.nextVersionName(dir, "sets", c)
+    s.read.parquet(setsPath(s, dir))
+      .repartitionByRange(nSets, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/$setsV")
+    im.publish(dir, "signatures", sigV, c, retainDepth)
+    im.publish(dir, "sets", setsV, c, retainDepth)
   }
 
   /** The shared core: flag each shard doc whose best verified match —
@@ -160,8 +247,9 @@ object IncrementalDedup {
                   watermarkDelay: String = "1 hour",
                   windowDuration: String = "10 minutes"): DataFrame = {
     graft.GraftExtensions.register(s)
-    val idxSigs = s.read.parquet(s"$dir/signatures.parquet")
-    val idxSets = s.read.parquet(s"$dir/sets.parquet")
+    checkFormat(s, dir)
+    val idxSigs = s.read.parquet(sigPath(s, dir))
+    val idxSets = s.read.parquet(setsPath(s, dir)).transform(shToString)
       .select(col("doc_id").as("cand_id"), col("sh").as("sh_c"),
         col("n").as("n_c"))
     val sh = docs.select(col("doc_id"), col("ingest_ts"),

@@ -1,0 +1,239 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Shared maintenance plumbing for the persisted-index family
+  * (graft.operators.{IncrementalDedup, EmbIncrementalDedup,
+  * DocSearchIndex}) — the two disciplines the append-only indexes
+  * were missing relative to the event store:
+  *
+  *  1. '''Format markers.''' An index directory is a durable,
+  *     append-only FORMAT: every later writer and reader must agree
+  *     on the representation (shingle digests vs raw shingles, LSH
+  *     banding, bucket count). A `_format.json` written at build time
+  *     pins `(kind, version, props)`; readers and appenders fail fast
+  *     on mismatch instead of silently returning zero matches (an
+  *     old-format index intersected with new-format probes has no
+  *     collisions — the worst failure mode a dedup gate can have) or
+  *     appending an incompatible increment. The migration path on
+  *     mismatch is a REBUILD (`build()` over the corpus): the index
+  *     is derived data, the corpus is the source of truth.
+  *
+  *  2. '''Versioned compaction publication.''' Increments append
+  *     small files into band/bucket partitions forever; after N
+  *     shards the read side pays an O(N) file-open tail. Compaction
+  *     rewrites a component into a fresh `<component>_v<K>.parquet`
+  *     directory (one sorted file per band/bucket — row-group min/max
+  *     stats then prune within the partition too) and publishes it
+  *     MVCC-style through a `_current.<component>` pointer — the
+  *     EventStore.compact discipline (EventStore.scala `publishVersion`):
+  *     one atomic rename flips readers to the compacted copy, there is
+  *     no window where a listing can fail, in-flight scans on the
+  *     previous version finish against its retained files (deleted
+  *     only by the NEXT rewrite), and `retainDepth` widens that
+  *     window for long scans. Appends land in the RESOLVED live
+  *     version, so compact → append → compact cycles stay append-only
+  *     between rewrites.
+  */
+object IndexMaintenance {
+
+  private val MarkerFile = "_format.json"
+
+  private def fsOf(dir: String, conf: Configuration): FileSystem =
+    FileSystem.get(new java.net.URI(dir), conf)
+
+  // ------------------------------------------------------------------
+  // Format marker
+
+  /** Write `_format.json` at `dir` (atomic publish — a concurrent
+    * reader sees the old marker or the new one, never a torn file).
+    * `props` pins representation parameters (banding, bucket count,
+    * shingle encoding) alongside the version.
+    */
+  def writeMarker(dir: String, kind: String, version: Int,
+                  props: Map[String, String], conf: Configuration): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val propJson = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val json =
+      s"""{"kind": ${q(kind)}, "version": $version, "props": $propJson}"""
+    val fs = fsOf(dir, conf)
+    fs.mkdirs(new HPath(dir))
+    AtomicFs.atomicWrite(fs, conf, new HPath(s"$dir/$MarkerFile"),
+      json.getBytes("UTF-8"))
+  }
+
+  /** Read the marker at `dir`; None when absent (a pre-marker or
+    * foreign directory). */
+  def readMarker(dir: String, conf: Configuration)
+      : Option[(String, Int, Map[String, String])] = {
+    val fs = fsOf(dir, conf)
+    val p = new HPath(s"$dir/$MarkerFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.commons.io.IOUtils.copy(in, buf)
+          buf.toString("UTF-8")
+        } finally in.close()
+      val kindR = """"kind"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      val verR = """"version"\s*:\s*(\d+)""".r
+      val propR = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      for {
+        k <- kindR.findFirstMatchIn(raw).map(m => unesc(m.group(1)))
+        v <- verR.findFirstMatchIn(raw).map(_.group(1).toInt)
+      } yield {
+        val props = raw.indexOf("\"props\"") match {
+          case -1 => Map.empty[String, String]
+          case i => propR.findAllMatchIn(raw.substring(i + 7))
+            .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+        }
+        (k, v, props)
+      }
+    }
+  }
+
+  /** Fail fast unless `dir` carries a marker matching `(kind,
+    * version)` and every pinned prop in `props`. Returns the marker's
+    * full prop map on success. A MISSING marker also fails: an
+    * unmarked directory is either a pre-versioning index (whose
+    * representation this code can no longer read compatibly) or not
+    * an index at all — both need the rebuild path, not a silent
+    * zero-match run.
+    */
+  def checkMarker(dir: String, kind: String, version: Int,
+                  props: Map[String, String],
+                  conf: Configuration): Map[String, String] =
+    readMarker(dir, conf) match {
+      case None => throw new IllegalStateException(
+        s"index at $dir has no $MarkerFile format marker — either a " +
+          s"pre-versioning index (incompatible representation) or not an " +
+          s"index directory. Migration path: rebuild with build() over " +
+          s"the source corpus (the index is derived data).")
+      case Some((k, v, p)) =>
+        if (k != kind || v != version)
+          throw new IllegalStateException(
+            s"index format mismatch at $dir: found kind=$k version=$v, " +
+              s"this code reads kind=$kind version=$version. Migration " +
+              s"path: rebuild with build() over the source corpus.")
+        val bad = props.filter { case (pk, pv) => p.get(pk).exists(_ != pv) } ++
+          props.filter { case (pk, _) => !p.contains(pk) }
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"index property mismatch at $dir: expected $props, marker has " +
+              s"${p.view.filterKeys(props.contains).toMap}. An index must be " +
+              s"read/appended with the parameters it was built at; rebuild " +
+              s"with build() to change them.")
+        p
+    }
+
+  // ------------------------------------------------------------------
+  // Versioned component publication (the EventStore `_current` pattern,
+  // generalized to named components within one index directory)
+
+  private def pointerFile(component: String) = s"_current.$component"
+  private def versionRe(component: String) =
+    (java.util.regex.Pattern.quote(component) + """_v(\d+)\.parquet""").r
+
+  /** The live directory for `component` under `dir`: the version the
+    * `_current.<component>` pointer names; with no pointer, the
+    * highest on-disk `<component>_v<N>.parquet` (covers a crash that
+    * lost the pointer mid-flip); else the legacy unversioned
+    * `<component>.parquet` every pre-compaction index uses.
+    */
+  def resolve(dir: String, component: String, conf: Configuration): String = {
+    val fs = fsOf(dir, conf)
+    val ptr = new HPath(s"$dir/${pointerFile(component)}")
+    val fromPtr =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.commons.io.IOUtils.copy(in, buf)
+          Some(buf.toString("UTF-8").trim)
+        } finally in.close()
+      }
+    fromPtr.map(v => s"$dir/$v")
+      .orElse(latestOnDisk(dir, component, conf).map(v => s"$dir/$v"))
+      .getOrElse(s"$dir/$component.parquet")
+  }
+
+  private def latestOnDisk(dir: String, component: String,
+                           conf: Configuration): Option[String] = {
+    val fs = fsOf(dir, conf)
+    val d = new HPath(dir)
+    val re = versionRe(component)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case v @ re(n) => (n.toLong, v) }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Fresh directory name for the next compacted version of
+    * `component` (strictly above every version on disk). */
+  def nextVersionName(dir: String, component: String,
+                      conf: Configuration): String = {
+    val n = latestOnDisk(dir, component, conf)
+      .map { v => val re = versionRe(component)
+        v match { case re(k) => k.toLong; case _ => 0L } }
+      .getOrElse(0L)
+    s"${component}_v${n + 1}.parquet"
+  }
+
+  /** Atomically flip `_current.<component>` to `newVer` and delete
+    * superseded versions beyond the `retainDepth` youngest (the
+    * pointer-previous version always survives this rewrite — the
+    * EventStore reader-lifetime contract: a scan must finish within
+    * `retainDepth` subsequent rewrites of the version it resolved).
+    * The legacy unversioned directory counts as the oldest
+    * predecessor.
+    */
+  def publish(dir: String, component: String, newVer: String,
+              conf: Configuration, retainDepth: Int = 1): Unit = {
+    val fs = fsOf(dir, conf)
+    val prevLive = { // pointer target BEFORE the flip — must survive
+      val ptr = new HPath(s"$dir/${pointerFile(component)}")
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.commons.io.IOUtils.copy(in, buf)
+          Some(buf.toString("UTF-8").trim)
+        } finally in.close()
+      }
+    }
+    AtomicFs.atomicWrite(fs, conf, new HPath(s"$dir/${pointerFile(component)}"),
+      newVer.getBytes("UTF-8"))
+    val legacy = s"$component.parquet"
+    val re = versionRe(component)
+    val predecessors = // youngest-first, legacy oldest
+      (fs.listStatus(new HPath(dir)).toSeq.map(_.getPath.getName)
+        .collect { case v @ re(n) if v != newVer => (n.toLong, v) }
+        ++ (if (fs.exists(new HPath(s"$dir/$legacy"))) Seq((0L, legacy)) else Nil))
+        .sortBy(-_._1).map(_._2)
+    val keep = Set(newVer) ++ prevLive ++
+      predecessors.take(math.max(retainDepth, 0))
+    (predecessors.filterNot(keep)).foreach { v =>
+      fs.delete(new HPath(s"$dir/$v"), true)
+    }
+  }
+
+  /** Parquet file count under the live version of `component` — the
+    * number compaction exists to bound (spec + monitoring hook). */
+  def liveFileCount(dir: String, component: String, conf: Configuration): Int = {
+    val fs = fsOf(dir, conf)
+    val it = fs.listFiles(new HPath(resolve(dir, component, conf)), true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}
