@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** The shared 9×8 pseudo-raster + dHash chunk builders (Spark and
+    * SQL-fragment twins), used by mm_phash_dedup (image near-dup) and
+    * mm_text_image_pairs (cross-modal pairing): pixel (r,c) =
+    * ascii(text[(r·9+c) mod len]), chunk k = 16 gradient-sign bits.
+    * `src` names the column/expression holding the source text.
+    */
+  private def pxCols(src: String): Seq[org.apache.spark.sql.Column] =
+    (0 until 72).map(i =>
+      expr(s"ascii(substring($src, ($i % length($src)) + 1, 1))").as(s"p$i"))
+  private def chunkCol(c: Int): org.apache.spark.sql.Column =
+    (0 until 16).map { k =>
+      val j = c * 16 + k; val r = j / 8; val cc = j % 8
+      when(col(s"p${r * 9 + cc}") > col(s"p${r * 9 + cc + 1}"), lit(1 << k))
+        .otherwise(lit(0))
+    }.reduce(_ + _).as(s"c$c")
+  private def pxSqlFrag(src: String): String =
+    (0 until 72).map(i =>
+      s"ascii(substr($src, ($i % length($src)) + 1, 1)) AS p$i").mkString(", ")
+  private val chunkSqlFrag: String =
+    (0 until 4).map { c =>
+      val bits = (0 until 16).map { k =>
+        val j = c * 16 + k; val r = j / 8; val cc = j % 8
+        s"CASE WHEN p${r * 9 + cc} > p${r * 9 + cc + 1} THEN ${1 << k} ELSE 0 END"
+      }.mkString(" + ")
+      s"($bits) AS c$c"
+    }.mkString(", ")
+
   val all: Seq[Q] = Seq(
 
     Q("mm_blob_meta",
@@ -49,18 +76,11 @@ object MultimodalQueries {
     // 4-int sketch shuffles; candidates ∝ bucket occupancy.
     Q("mm_phash_dedup",
       (s, d) => {
-        val px = (0 until 72).map(i =>
-          expr(s"ascii(substring(text, ($i % length(text)) + 1, 1))").as(s"p$i"))
         val rast = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id").as("media_id") +: px: _*)
-        def chunk(c: Int) = (0 until 16).map { k =>
-          val j = c * 16 + k; val r = j / 8; val cc = j % 8
-          when(col(s"p${r * 9 + cc}") > col(s"p${r * 9 + cc + 1}"), lit(1 << k))
-            .otherwise(lit(0))
-        }.reduce(_ + _).as(s"c$c")
+          .select(col("doc_id").as("media_id") +: pxCols("text"): _*)
         val sketch = rast.select(col("media_id"),
-          chunk(0), chunk(1), chunk(2), chunk(3))
+          chunkCol(0), chunkCol(1), chunkCol(2), chunkCol(3))
         val ex = sketch.select(col("media_id"), col("c0"), col("c1"),
           col("c2"), col("c3"),
           posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
@@ -76,21 +96,12 @@ object MultimodalQueries {
           .orderBy("media_a", "media_b")
       },
       Some {
-        val pxSql = (0 until 72).map(i =>
-          s"ascii(substr(text, ($i % length(text)) + 1, 1)) AS p$i").mkString(", ")
-        val chunkSql = (0 until 4).map { c =>
-          val bits = (0 until 16).map { k =>
-            val j = c * 16 + k; val r = j / 8; val cc = j % 8
-            s"CASE WHEN p${r * 9 + cc} > p${r * 9 + cc + 1} THEN ${1 << k} ELSE 0 END"
-          }.mkString(" + ")
-          s"($bits) AS c$c"
-        }.mkString(", ")
         val hammingSql = (0 until 4).map(i =>
           s"bit_count(xor(x.c$i, y.c$i))").mkString(" + ")
         s"""WITH px AS (
-             SELECT doc_id AS media_id, $pxSql
+             SELECT doc_id AS media_id, ${pxSqlFrag("text")}
              FROM documents WHERE length(text) > 0),
-           chunks AS (SELECT media_id, $chunkSql FROM px),
+           chunks AS (SELECT media_id, $chunkSqlFrag FROM px),
            ex AS (SELECT media_id, c0, c1, c2, c3, g.c,
                          CASE g.c WHEN 0 THEN c0 WHEN 1 THEN c1
                                   WHEN 2 THEN c2 ELSE c3 END AS chunk
@@ -102,6 +113,75 @@ object MultimodalQueries {
                                AND x.media_id < y.media_id)
            SELECT media_a, media_b, hamming FROM pairs
            WHERE hamming <= 6 ORDER BY media_a, media_b"""
+      }),
+
+    // ----------------------------------------------------------------
+    // Cross-modal (text ↔ image) pairing — the CLIP-style curation
+    // join every image-text training pipeline runs: encode both
+    // modalities into ONE shared feature space, bucket-join for
+    // candidates, score, keep each image's best text above threshold.
+    // Here both encoders are deterministic relational functions into
+    // the shared dHash sketch space (the mm_phash_dedup discipline —
+    // the sketch replays verbatim in DuckDB): the IMAGE side decodes
+    // its pseudo-raster to a 4-chunk sketch (docs with
+    // doc_id % 3 = 0, mm_blob_meta's image kind), the TEXT side maps
+    // captions (the other docs) through the same sketch construction.
+    // Candidates exist only where a 16-bit chunk collides (the
+    // pigeonhole trade documented at mm_phash_dedup / doc_simhash);
+    // multi-chunk collisions duplicate pairs but cannot change the
+    // packed MIN that picks each image's best match (hamming asc,
+    // doc_id asc — the annLshTop1 no-distinct lesson). Scale: only
+    // 4-int sketches shuffle, candidates ∝ bucket occupancy, the
+    // ranking is a map-side-combined hash aggregate — never
+    // images × texts.
+    Q("mm_text_image_pairs",
+      (s, d) => {
+        val sk = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id") +: pxCols("text"): _*)
+          .select(col("doc_id"), chunkCol(0), chunkCol(1), chunkCol(2), chunkCol(3))
+        def sideEx(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+            posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+              .as(Seq("c", "chunk")))
+        val imgs = sideEx(sk.filter(pmod(col("doc_id"), lit(3)) === 0))
+        val txts = sideEx(sk.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        val hamming = (0 until 4).map(i =>
+          bit_count(expr(s"x.c$i ^ y.c$i"))).reduce(_ + _).cast("int")
+        val enc = (col("hamming").cast("long") * lit(1L << 43) + col("doc_id"))
+        imgs.as("x").join(txts.as("y"), Seq("c", "chunk"))
+          .select(col("x.doc_id").as("media_id"), col("y.doc_id").as("doc_id"),
+            hamming.as("hamming"))
+          .filter(col("hamming") <= 6)
+          .groupBy("media_id").agg(min(enc).as("m"))
+          .select(col("media_id"),
+            (col("m") - shiftright(col("m"), 43) * lit(1L << 43)).as("doc_id"),
+            shiftright(col("m"), 43).cast("int").as("hamming"))
+          .orderBy("media_id")
+      },
+      Some {
+        val hammingSql = (0 until 4).map(i =>
+          s"bit_count(xor(x.c$i, y.c$i))").mkString(" + ")
+        s"""WITH px AS (
+             SELECT doc_id, ${pxSqlFrag("text")}
+             FROM documents WHERE length(text) > 0),
+           chunks AS (SELECT doc_id, $chunkSqlFrag FROM px),
+           ex AS (SELECT doc_id, c0, c1, c2, c3, g.c,
+                         CASE g.c WHEN 0 THEN c0 WHEN 1 THEN c1
+                                  WHEN 2 THEN c2 ELSE c3 END AS chunk
+                  FROM chunks, (SELECT unnest([0, 1, 2, 3]) AS c) g),
+           pairs AS (
+             SELECT DISTINCT x.doc_id AS media_id, y.doc_id AS doc_id,
+                    CAST($hammingSql AS INTEGER) AS hamming
+             FROM ex x JOIN ex y ON x.c = y.c AND x.chunk = y.chunk
+             WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0),
+           best AS (
+             SELECT media_id, doc_id, hamming,
+                    row_number() OVER (PARTITION BY media_id
+                      ORDER BY hamming ASC, doc_id ASC) AS rn
+             FROM pairs WHERE hamming <= 6)
+           SELECT media_id, doc_id, hamming FROM best
+           WHERE rn = 1 ORDER BY media_id"""
       }),
 
     // ----------------------------------------------------------------

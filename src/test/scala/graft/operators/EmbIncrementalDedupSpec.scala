@@ -79,4 +79,35 @@ class EmbIncrementalDedupSpec extends SparkSpec {
     assert(out(500001L).getBoolean(1) && out(500001L).getLong(2) === 500000L,
       "second flags against the first (keep-first)")
   }
+
+  test("decontaminate: a planted paraphrase of a benchmark vector flags, clean corpus passes") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+    // every 20th vector plays the benchmark suite; index it once
+    val bench = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-decon").toString
+    EmbIncrementalDedup.build(spark, bench, dir)
+    val benchVec = bench.orderBy("vec_id")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].head()
+    // "paraphrase" = the benchmark vector nudged by small noise —
+    // lexically different, semantically on top of it (cosine ≈ 0.9999)
+    val paraphrase = benchVec._2.zipWithIndex
+      .map { case (x, i) => x + (if (i % 2 == 0) 1e-3f else -1e-3f) }
+    // clean doc: an orthogonal-ish direction far from every benchmark
+    val clean = Array.tabulate(benchVec._2.length)(i =>
+      if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((900001L, paraphrase.toSeq, 0), (900002L, clean.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val flagged = EmbIncrementalDedup
+      .decontaminateIndex(spark, corpus, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flagged.contains(900001L),
+      "near-identical paraphrase of a benchmark vector must flag")
+    assert(flagged(900001L).getLong(1) === benchVec._1,
+      "flag must name the benchmark item it leaked from")
+    assert(flagged(900001L).getDouble(2) >= EmbIncrementalDedup.Threshold)
+    assert(!flagged.contains(900002L),
+      "a vector far from every benchmark must pass (absence = clean)")
+  }
 }

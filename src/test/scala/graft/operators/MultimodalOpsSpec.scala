@@ -90,4 +90,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("mm_text_image_pairs: a planted image-caption pair is found; an unpaired image stays absent") {
+    import spark.implicits._
+    // planted corpus: doc 3 is an IMAGE (doc_id % 3 = 0) whose raster
+    // derives from the same text as caption doc 4 (% 3 = 1) → sketch
+    // distance 0; doc 6 is an image whose text shares nothing with any
+    // caption; docs 5, 7 are unrelated captions
+    val fox = "the quick brown fox jumps over the lazy dog and keeps running"
+    val rows = Seq(
+      (3L, fox, "en", "img", fox.length.toLong),
+      (4L, fox, "en", "txt", fox.length.toLong),
+      (5L, "completely unrelated caption about database engines", "en", "txt", 52L),
+      (6L, "zzzz qqqq xxxx wwww kkkk jjjj vvvv bbbb nnnn mmmm", "en", "img", 49L),
+      (7L, "another caption mentioning vector search and lsh", "en", "txt", 48L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("mm_text_image_pairs").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.contains(3L), "planted image must pair")
+    assert(out(3L) === (4L, 0), "image 3 pairs its identical caption at hamming 0")
+    assert(!out.contains(6L),
+      "an image with no matching caption must be absent from the pairing")
+  }
 }
