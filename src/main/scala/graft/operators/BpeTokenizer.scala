@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned-vocabulary byte-pair-encoding tokenization (Sennrich et
+  * al. 2016, arXiv:1508.07909) — the real-token-count upgrade over
+  * the regex proxy (doc_token_count): sequence-packing budgets and
+  * mixture weights are only as accurate as the token counts, and real
+  * pipelines count under a TRAINED vocabulary.
+  *
+  * Training is fully relational and engine-replayable:
+  *  - the corpus collapses to the distinct-word dictionary
+  *    (word, freq) — ONE shuffle, vocabulary-sized;
+  *  - each word's merge state is a STRING of marker-wrapped symbols
+  *    ("\u001f l \u001f  \u001f o \u001f  ..." — every symbol wrapped
+  *    in US (0x1f) and joined by spaces), so applying a merge is ONE
+  *    literal `replace(state, "<a> <b>", "<ab>")`: left-to-right
+  *    non-overlapping replacement in both engines = the classic
+  *    greedy BPE merge pass, and the marker makes a false boundary
+  *    match impossible (symbols never contain US, so "…x‹a› ‹b›…"
+  *    cannot match "‹a› ‹b›" inside "‹xa› ‹b›");
+  *  - each of the K iterations counts adjacent symbol pairs weighted
+  *    by word freq and takes the argmax by (count DESC, pair ASC) —
+  *    exact long sums, byte-order ties, so both engines learn the
+  *    IDENTICAL merge sequence. The driver collects exactly one row
+  *    per iteration (the argmax — the KMeansLite bounded-driver
+  *    discipline), and the per-iteration job runs over the CACHED
+  *    word dictionary, never the corpus.
+  *
+  * Tokenization applies the learned merges IN ORDER as a chain of K
+  * literal replaces over the dictionary (codegen'd string ops), then
+  * counts per-doc tokens through a (word → n_tokens) join — at 100 TB
+  * the model pass is vocabulary-sized and the corpus pass is one
+  * explode + hash join + map-side-combined sum, never a second corpus
+  * shuffle beyond the word key.
+  *
+  * The DuckDB oracle replays the ENTIRE training (the K-level
+  * unrolled CTE chain — doc_lm_nll's "training replayed in SQL"
+  * discipline, iterated like KMeansLite's Lloyd steps), so
+  * doc_bpe_vocab hash-verifies the learned merge table itself and
+  * doc_bpe_tokenize hash-verifies counts under that table.
+  */
+object BpeTokenizer {
+
+  /** Merge-iteration count — enough to learn multi-char subwords on
+    * the synthetic corpus while keeping the oracle's unrolled chain
+    * readable. Mirrored structurally in the oracle SQL (generated
+    * from the same constant). */
+  val Merges = 12
+
+  /** Symbol marker: ASCII unit separator — absent from the corpus
+    * (asserted nowhere needed: any marker char in a word would only
+    * make that word unmergeable, not corrupt others). */
+  val M = "\u001f"
+
+  /** (word, freq) dictionary over lower(text) space-split words. */
+  def wordDict(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial merge state: every character marker-wrapped, symbols
+    * space-joined — "low" → "‹l› ‹o› ‹w›". One regex pass. */
+  private def state0(word: Column): Column =
+    rtrim(regexp_replace(word, "(.)", s"$M$$1$M "))
+
+  /** The state column after applying `merges` (marked pair strings)
+    * in order — a chain of literal replaces, codegen'd. */
+  private def stateAfter(merges: Seq[String]): Column =
+    merges.foldLeft(state0(col("word"))) { (st, p) =>
+      call_function("replace", st, lit(p), lit(p.replace(s"$M $M", "")))
+    }
+
+  /** Train `k` greedy BPE merges on `dict` (cached). Returns the
+    * marked pair strings in learned order. Stops early if the corpus
+    * runs out of repeated pairs (never at the shipped scales). */
+  def trainMerges(dict: DataFrame, k: Int = Merges): Seq[String] = {
+    val cached = graft.Caching.persistOnce(dict)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (merges.size < k && !done) {
+      val st = stateAfter(merges.toSeq)
+      val top = cached
+        .select(col("freq"), split(st, " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else merges += top.head.getString(0)
+    }
+    merges.toSeq
+  }
+
+  /** (word, n_tok) under the learned merges: symbols remaining after
+    * the ordered replace chain. */
+  def tokenCounts(dict: DataFrame, merges: Seq[String]): DataFrame =
+    dict.select(col("word"),
+      size(split(stateAfter(merges), " ")).as("n_tok"))
+
+  private def unmark(sym: String): String = sym.replace(M, "")
+
+  // ------------------------------------------------------------------
+  // Oracle construction: the K-level unrolled training chain. Level i
+  // derives p{i} (the argmax pair over s{i-1}) and s{i} (the state
+  // after replacing it). Both entries share the chain.
+
+  private def chainSql(k: Int): String = {
+    val m = "chr(31)"
+    def level(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+           SELECT pair FROM (
+             SELECT t.pair, sum(s.freq) AS f
+             FROM (SELECT string_split(st, ' ') AS l, freq FROM $prev
+                   WHERE len(string_split(st, ' ')) >= 2) s,
+                  LATERAL unnest(list_transform(range(1, len(s.l)),
+                    i -> s.l[CAST(i AS INTEGER)] || ' ' || s.l[CAST(i AS INTEGER) + 1])) AS t(pair)
+             GROUP BY t.pair ORDER BY f DESC, t.pair ASC LIMIT 1)),
+         s$i AS MATERIALIZED (
+           SELECT word, freq,
+                  replace(st, (SELECT pair FROM p$i),
+                          replace((SELECT pair FROM p$i), $m || ' ' || $m, '')) AS st
+           FROM $prev)"""
+    }
+    s"""w AS MATERIALIZED (
+         SELECT word, count(*) AS freq FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word),
+       s0 AS MATERIALIZED (
+         SELECT word, freq,
+                rtrim(regexp_replace(word, '(.)', $m || '\\1' || $m || ' ', 'g')) AS st
+         FROM w),
+       ${(1 to k).map(level).mkString(",\n       ")}"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // The learned merge table itself — training parity is THE check:
+    // if either engine's pair counts, tie order, or replace semantics
+    // drifted, the very first divergent merge changes every later row.
+    Q("doc_bpe_vocab",
+      (s, d) => {
+        import s.implicits._
+        val merges = trainMerges(wordDict(Tables.documents(s, d)))
+        merges.zipWithIndex.map { case (p, i) =>
+          val Array(a, b) = p.split(' ')
+          (i + 1, unmark(a), unmark(b), unmark(a) + unmark(b))
+        }.toDF("step", "lhs", "rhs", "merged")
+      },
+      Some {
+        val rows = (1 to Merges).map { i =>
+          s"""SELECT $i AS step,
+                replace(string_split((SELECT pair FROM p$i), ' ')[1], chr(31), '') AS lhs,
+                replace(string_split((SELECT pair FROM p$i), ' ')[2], chr(31), '') AS rhs,
+                replace(replace((SELECT pair FROM p$i), chr(31), ''), ' ', '') AS merged"""
+        }.mkString("\n           UNION ALL\n           ")
+        s"""WITH ${chainSql(Merges)}
+           SELECT * FROM ($rows) ORDER BY step"""
+      }),
+
+    // Per-doc token counts under the learned vocabulary — the number
+    // sequence packing and mixture weighting actually need. n_words
+    // rides along so the compression ratio (tokens per word) is
+    // readable off the row.
+    Q("doc_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dict = graft.Caching.persistOnce(wordDict(docs))
+        val merges = trainMerges(dict)
+        val counts = tokenCounts(dict, merges)
+        docs.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(counts, "word")
+          .groupBy("doc_id")
+          .agg(sum(col("n_tok")).as("n_tokens"),
+            count(lit(1)).as("n_words"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${chainSql(Merges)},
+             tok AS (
+               SELECT word, len(string_split(st, ' ')) AS n_tok FROM s$Merges),
+             dw AS (
+               SELECT doc_id, word FROM (
+                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+               WHERE word <> '')
+             SELECT dw.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+                    count(*) AS n_words
+             FROM dw JOIN tok t USING (word)
+             GROUP BY dw.doc_id ORDER BY dw.doc_id"""))
+  )
+}

@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier — the learned gate real corpus
+  * pipelines (CCNet, FineWeb-edu) run AFTER the hand rules: weak
+  * labels from the Gopher rule verdict, a CART decision tree trained
+  * on the scalar quality signals, verdicts for every document.
+  *
+  * Why a tree and not the textbook hashed-feature linear scorer: the
+  * weak labels are conjunctions of axis thresholds (word count ∈
+  * [50, 100k], mean word length ∈ [3, 10], symbol ratio ≤ 0.1, alpha
+  * ratio ≥ 0.8), which a depth-D tree represents EXACTLY, while batch
+  * linear learners measurably stall on them (batch perceptron and
+  * passive-aggressive variants plateaued at 43-59% training agreement
+  * on this corpus across learning-rate schedules — the aggregate
+  * update direction cannot fix its own misclassified set, which stays
+  * literally constant round over round). Trees over quantized quality
+  * signals are also what production quality gates actually deploy
+  * (the GBDT family).
+  *
+  * Training (CART, misclassification impurity, fixed depth D=3) is
+  * fully relational and integer-exact:
+  *  - the corpus melts ONCE to (doc_id, y, f, v) — 7 scalar features
+  *    per doc, all exact integers (ratios carried as floor-divided
+  *    milli/micro fixed-point; every operand is non-negative so floor
+  *    = truncate in both engines);
+  *  - per depth, every candidate split (node, f, v ≤ t) is scored in
+  *    ONE pass: group by (node, f, v), cumulative (count, positives)
+  *    window per (node, f) ordered by v, error = min(lp, lc−lp) +
+  *    min(P−lp, (C−lc)−(P−lp)) — integer counts only;
+  *  - the argmin per node (error ASC, f ASC, v ASC — a total,
+  *    engine-identical order) is accepted only if it STRICTLY
+  *    improves the node's majority-vote error (pure or unimprovable
+  *    nodes stop); the driver holds ≤ 2^D−1 split rows (KMeansLite's
+  *    bounded-driver discipline); docs re-assign node = 2n or 2n+1.
+  *
+  * Scale: D is fixed; each depth is one groupBy + windows over
+  * (node, f, v) AGGREGATES — cardinality ≤ nodes × 7 × distinct
+  * values, not corpus rows (candidate thresholds are the distinct
+  * observed values; a 100 TB run would pre-quantize v onto a fixed
+  * grid, the standard histogram-GBDT move — the fixed-point ratio
+  * features already are). Scoring is a pure projection of the CASE
+  * tree — zero shuffle.
+  *
+  * The DuckDB oracle replays the ENTIRE training as a D-level
+  * unrolled CTE chain (doc_bpe_vocab's discipline), so a green row
+  * certifies the learned tree, not just the final verdicts.
+  */
+object QualityClassifier {
+
+  /** Fixed tree depth — deep enough to absorb every rule conjunct in
+    * the weak labels with a spare level. Mirrored structurally in the
+    * oracle SQL (generated from the same constant). */
+  val Depth = 3
+
+  /** Feature ordinals — shared by both engines so the (error, f, v)
+    * tie order is identical. All exact non-negative integers. */
+  val FeatureNames: Seq[String] = Seq(
+    "n_words", "sum_len", "n_alpha", "n_sym",
+    "mean_wlen_milli", "sym_ratio_micro", "alpha_ratio_micro")
+
+  /** (doc_id, y, f, v) melted feature rows. Labels are the Gopher
+    * rule verdict MINUS the distinct-stopword rule — on the synthetic
+    * corpus no document carries 2 of the 8 Gopher stopwords, so the
+    * full `keep` is constant-false (a degenerate training set); the
+    * remaining word-count ∧ mean-length ∧ symbol ∧ alpha composite
+    * splits the corpus and is the rule content the tree absorbs.
+    *
+    * n_sym rides as an exact integer (each '...' match removes
+    * exactly 3 chars, so the rule's float /3 is integer-valued — the
+    * integer feature and the rule's double agree bit-for-bit). */
+  private[operators] def melted(docs: DataFrame): DataFrame =
+    TextDedupQueries.gopherRuleCols(docs)
+      .withColumn("y",
+        when(col("r_word_count") && col("r_mean_len") &&
+          col("r_symbol") && col("r_alpha"), 1).otherwise(-1))
+      .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
+      .withColumn("nw", col("n_words").cast("long"))
+      .withColumn("sum_len", aggregate(col("words"), lit(0L),
+        (acc, w) => acc + length(w)))
+      .withColumn("n_alpha",
+        size(expr("filter(words, w -> w rlike '[a-z]')")).cast("long"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long") +
+          expr("""CAST(length(text) -
+                       length(regexp_replace(text, '\\.\\.\\.', '')) AS BIGINT)
+                  div 3"""))
+      .select(col("doc_id"), col("y"),
+        expr("""stack(7,
+          0, nw,
+          1, sum_len,
+          2, n_alpha,
+          3, n_sym,
+          4, sum_len * 1000 div greatest(nw, 1),
+          5, n_sym * 1000000 div greatest(nw, 1),
+          6, n_alpha * 1000000 div greatest(nw, 1)) AS (f, v)"""))
+
+  /** One learned split: docs at `node` with feature `f` value ≤ `t`
+    * go to node 2n, the rest to 2n+1. */
+  final case class Split(node: Int, f: Int, t: Long, err: Long)
+
+  /** Melted frame + `node` column under `splits`: the per-doc values
+    * of the split features are window-broadcast onto every feature
+    * row of the doc, then the tree walks as a fold over depth levels
+    * — a pure projection, shared by training re-assignment and final
+    * scoring. */
+  private def withNode(melt: DataFrame, splits: Map[Int, Split]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val needed = splits.values.map(_.f).toSeq.distinct.sorted
+    val wDoc = Window.partitionBy("doc_id")
+    val withVals = needed.foldLeft(melt) { (df, f) =>
+      df.withColumn(s"sv$f",
+        max(when(col("f") === f, col("v"))).over(wDoc))
+    }
+    val node = (1 to Depth).foldLeft(lit(1): Column) { (n, _) =>
+      splits.values.foldLeft(n) { (acc, s) =>
+        when(acc === s.node,
+          when(col(s"sv${s.f}") <= s.t, lit(s.node * 2))
+            .otherwise(lit(s.node * 2 + 1)))
+          .otherwise(acc)
+      }
+    }
+    withVals.withColumn("node", node)
+  }
+
+  /** Train the depth-D CART tree; `melt` should be cached (every
+    * depth re-reads it). Returns the splits keyed by node. */
+  def train(spark: SparkSession, melt: DataFrame, depth: Int = Depth): Map[Int, Split] = {
+    import org.apache.spark.sql.expressions.Window
+    var splits = Map.empty[Int, Split]
+    var level = 0
+    var grew = true
+    while (level < depth && grew) {
+      val assigned = withNode(melt, splits)
+      val g = assigned.groupBy("node", "f", "v")
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
+      val wCum = Window.partitionBy("node", "f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("node", "f")
+      val cand = g
+        .withColumn("lc", sum(col("c")).over(wCum))
+        .withColumn("lp", sum(col("p")).over(wCum))
+        .withColumn("tc", sum(col("c")).over(wTot))
+        .withColumn("tp", sum(col("p")).over(wTot))
+        .filter(col("lc") < col("tc")) // right side must be non-empty
+        .withColumn("err",
+          least(col("lp"), col("lc") - col("lp")) +
+            least(col("tp") - col("lp"),
+              (col("tc") - col("lc")) - (col("tp") - col("lp"))))
+        .filter(col("err") < least(col("tp"), col("tc") - col("tp")))
+      val wBest = Window.partitionBy("node")
+        .orderBy(col("err").asc, col("f").asc, col("v").asc)
+      val best = cand
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select("node", "f", "v", "err")
+        .collect() // ≤ 2^(depth-1) rows by construction
+      grew = best.nonEmpty
+      best.foreach { r =>
+        val n = r.getInt(0)
+        splits = splits.updated(n, Split(n, r.getInt(1), r.getLong(2), r.getLong(3)))
+      }
+      level += 1
+    }
+    splits
+  }
+
+  private def trained(s: SparkSession, d: String): (DataFrame, Map[Int, Split]) = {
+    val melt = graft.Caching.persistOnce(melted(Tables.documents(s, d)))
+    (melt, train(s, melt))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle: the D-level unrolled training chain. a{l} assigns every
+  // doc its node after l split levels; g/cum/best replicate the split
+  // scoring; the leaves vote at the end.
+
+  private def chainSql(depth: Int): String = {
+    def level(l: Int): String =
+      s"""g$l AS (
+           SELECT a.node, f.f, f.v, count(*) AS c,
+                  sum(CASE WHEN f.y = 1 THEN 1 ELSE 0 END) AS p
+           FROM fm f JOIN a${l - 1} a USING (doc_id)
+           GROUP BY a.node, f.f, f.v),
+         cum$l AS (
+           SELECT node, f, v,
+                  sum(c) OVER (PARTITION BY node, f ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS lc,
+                  sum(p) OVER (PARTITION BY node, f ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS lp,
+                  sum(c) OVER (PARTITION BY node, f) AS tc,
+                  sum(p) OVER (PARTITION BY node, f) AS tp
+           FROM g$l),
+         best$l AS MATERIALIZED (
+           SELECT node, f, v, err FROM (
+             SELECT node, f, v, err,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY err ASC, f ASC, v ASC) AS rn
+             FROM (
+               SELECT node, f, v,
+                      least(lp, lc - lp) + least(tp - lp, (tc - lc) - (tp - lp)) AS err,
+                      least(tp, tc - tp) AS base_err
+               FROM cum$l WHERE lc < tc)
+             WHERE err < base_err)
+           WHERE rn = 1),
+         a$l AS MATERIALIZED (
+           SELECT a.doc_id,
+                  CASE WHEN b.node IS NULL THEN a.node
+                       WHEN fv.v <= b.v THEN a.node * 2
+                       ELSE a.node * 2 + 1 END AS node
+           FROM a${l - 1} a
+           LEFT JOIN best$l b ON a.node = b.node
+           LEFT JOIN fm fv ON fv.doc_id = a.doc_id AND fv.f = b.f)"""
+    s"""w AS (
+         SELECT doc_id, text, regexp_extract_all(lower(text), '[^ ]+') AS words
+         FROM documents),
+       m AS (
+         SELECT doc_id, len(words) AS nw,
+                coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sum_len,
+                len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                (len(text) - len(replace(text, '#', ''))) +
+                  (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_sym
+         FROM w),
+       lab AS (
+         SELECT doc_id,
+                CASE WHEN nw >= 50 AND nw <= 100000 AND
+                          CAST(sum_len AS DOUBLE) / nw >= 3.0 AND
+                          CAST(sum_len AS DOUBLE) / nw <= 10.0 AND
+                          CAST(n_sym AS DOUBLE) / nw <= 0.1 AND
+                          CAST(n_alpha AS DOUBLE) / nw >= 0.8
+                     THEN 1 ELSE -1 END AS y
+         FROM m),
+       fm AS MATERIALIZED (
+         SELECT m.doc_id, l.y, t.f, t.v
+         FROM m JOIN lab l USING (doc_id),
+         LATERAL (VALUES
+           (0, CAST(m.nw AS BIGINT)),
+           (1, CAST(m.sum_len AS BIGINT)),
+           (2, CAST(m.n_alpha AS BIGINT)),
+           (3, CAST(m.n_sym AS BIGINT)),
+           (4, CAST(m.sum_len * 1000 // greatest(m.nw, 1) AS BIGINT)),
+           (5, CAST(m.n_sym * 1000000 // greatest(m.nw, 1) AS BIGINT)),
+           (6, CAST(m.n_alpha * 1000000 // greatest(m.nw, 1) AS BIGINT))) AS t(f, v)),
+       a0 AS (SELECT DISTINCT doc_id, 1 AS node FROM fm),
+       ${(1 to depth).map(level).mkString(",\n       ")},
+       leaves AS (
+         SELECT a.node, count(*) AS c,
+                sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS p
+         FROM a$depth a JOIN lab l USING (doc_id) GROUP BY a.node)"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Per-doc verdicts under the trained tree — pred is the learned
+    // gate (leaf majority vote, tie → reject), label the weak (rule)
+    // verdict it was trained on.
+    Q("doc_quality_classifier",
+      (s, d) => {
+        val (melt, splits) = trained(s, d)
+        val assigned = withNode(melt, splits)
+          .groupBy("doc_id")
+          .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+        val leaves = assigned.groupBy("node")
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
+          .select(col("node"), (col("p") * 2 > col("c")).as("pred"))
+        assigned.join(broadcast(leaves), "node")
+          .select(col("doc_id"), col("node").cast("int").as("node"),
+            col("pred"), (col("y") === 1).as("label"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${chainSql(Depth)}
+             SELECT a.doc_id, CAST(a.node AS INT) AS node,
+                    lv.p * 2 > lv.c AS pred, l.y = 1 AS label
+             FROM a$Depth a
+             JOIN leaves lv USING (node)
+             JOIN lab l USING (doc_id)
+             ORDER BY a.doc_id""")),
+
+    // The learned tree itself — training parity is THE check
+    // (doc_bpe_vocab's discipline): one divergent split at any level
+    // changes these rows and every descendant.
+    Q("doc_quality_clf_model",
+      (s, d) => {
+        val (_, splits) = trained(s, d)
+        import s.implicits._
+        splits.values.toSeq
+          .map(sp => (sp.node, FeatureNames(sp.f), sp.t, sp.err))
+          .sortBy(_._1)
+          .toDF("node", "feature", "threshold", "err")
+      },
+      Some {
+        val names = FeatureNames.zipWithIndex
+          .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+        s"""WITH ${chainSql(Depth)}
+           SELECT node, CASE f $names END AS feature, v AS threshold,
+                  CAST(err AS BIGINT) AS err
+           FROM (${(1 to Depth).map(l => s"SELECT * FROM best$l").mkString(" UNION ALL ")})
+           ORDER BY node"""
+      })
+  )
+}

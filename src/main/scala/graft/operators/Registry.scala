@@ -14,6 +14,8 @@ object Registry {
       IncrementalDedup.all ++
       EmbIncrementalDedup.all ++
       DocSearchIndex.all ++
+      BpeTokenizer.all ++
+      QualityClassifier.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** doc_bpe_vocab / doc_bpe_tokenize: the relational BPE trainer must
+  * learn the SAME merge sequence as an independent plain-Scala greedy
+  * BPE (count-desc, marked-pair-asc ties, left-to-right
+  * non-overlapping merge application), and the token counts must
+  * match a plain tokenizer run under those merges. Also pins the
+  * string-replace subtlety the relational encoding relies on: "a a a"
+  * merges ONCE under left-to-right non-overlap, never twice.
+  */
+class BpeTokenizerSpec extends SparkSpec {
+
+  private val M = BpeTokenizer.M
+  private def mark(sym: String) = sym.split(" ").map(s => s"$M$s$M").mkString(" ")
+
+  /** Independent greedy BPE over symbol LISTS (no string replaces). */
+  private def refTrain(words: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var states: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, f) => f }(_ + _)
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0
+    var continue = true
+    while (i < k && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- states; j <- 0 until syms.size - 1)
+        counts((syms(j), syms(j + 1))) = counts.getOrElse((syms(j), syms(j + 1)), 0L) + f
+      if (counts.isEmpty) continue = false
+      else {
+        // argmax by count desc, then marked-pair string asc — the
+        // exact tie order both engines use
+        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, s"$M$a$M $M$b$M") }._1
+        out += best
+        states = states.groupMapReduce { case (syms, _) =>
+          val r = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              r += best._1 + best._2; j += 2 // left-to-right non-overlap
+            } else { r += syms(j); j += 1 }
+          }
+          r.result()
+        } { case (_, f) => f }(_ + _)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def refTokens(word: String, merges: Seq[(String, String)]): Int = {
+    var syms = word.map(_.toString).toVector
+    for ((a, b) <- merges) {
+      val r = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.size) {
+        if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) { r += a + b; j += 2 }
+        else { r += syms(j); j += 1 }
+      }
+      syms = r.result()
+    }
+    syms.size
+  }
+
+  private val corpus = Seq(
+    "low low low low low", "lower lower newest newest",
+    "newest newest newest newest", "widest widest widest",
+    "a a a low lowest newest")
+
+  test("relational trainer learns the reference greedy merge sequence") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dict = BpeTokenizer.wordDict(docs)
+    val got = BpeTokenizer.trainMerges(dict, k = 8)
+
+    val wordFreq = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = refTrain(wordFreq, 8).map { case (a, b) => mark(s"$a $b") }
+    assert(got == want)
+  }
+
+  test("token counts match the reference tokenizer; 'a a a' merges once") {
+    import spark.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dict = BpeTokenizer.wordDict(docs)
+    val merges = BpeTokenizer.trainMerges(dict, k = 8)
+    val refMerges = merges.map { p =>
+      val Array(a, b) = p.split(' '); (a.replace(M, ""), b.replace(M, ""))
+    }
+    val got = BpeTokenizer.tokenCounts(dict, merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for ((w, n) <- got) assert(n == refTokens(w, refMerges), s"word $w")
+
+    // the left-to-right non-overlap pin: under merge ("a","a"), "aaa"
+    // tokenizes to 2 symbols (aa + a) — a replace that re-scanned its
+    // own output, or matched overlapping, would give 1 or 3
+    val aaa = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val n = BpeTokenizer.tokenCounts(
+        BpeTokenizer.wordDict(aaa), Seq(mark("a a")))
+      .collect().head.getInt(1)
+    assert(n == 2)
+  }
+
+  test("registry entries run green at sf0.001 with stable shapes") {
+    val vocab = Registry.byName("doc_bpe_vocab").run(spark, "/root/testdata/sf0.001").collect()
+    assert(vocab.length == BpeTokenizer.Merges)
+    assert(vocab.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    val tok = Registry.byName("doc_bpe_tokenize").run(spark, "/root/testdata/sf0.001").collect()
+    assert(tok.nonEmpty)
+    // BPE can only compress: learned-vocab tokens never exceed chars,
+    // never undercut words
+    assert(tok.forall(r => r.getLong(1) >= r.getLong(2)))
+  }
+}
