@@ -87,6 +87,11 @@ object Bench {
     }
 
     var shuffleMb = List.empty[(String, Double)]
+    // per-rep walls, emitted as a diagnostics line: rep 0 is the cold
+    // (first-plan) execution, later reps are warm — keeping both
+    // visible is what lets a sweep-vs-solo comparison stay
+    // single-provenance (cold against cold), see BASELINE.md
+    var repSamples = List.empty[(String, Seq[Double])]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (0 until reps).map { rep =>
@@ -161,6 +166,7 @@ object Bench {
       // remedy (what spark.cleaner.periodicGC.interval exists for —
       // too coarse at 15 min for a per-query bench).
       System.gc()
+      repSamples ::= (name -> samples)
       name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else samples.min)
     }
     // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits
@@ -344,6 +350,10 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
+    val sampJson = repSamples.reverse.map { case (n, ss) =>
+      s"${jstr(n)}:[${ss.map(s => f"$s%.3f").mkString(",")}]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"rep_samples","samples":$sampJson,"sf":${jstr(sfDir)}}""")
     println(contractLine)
     spark.stop()
   }
