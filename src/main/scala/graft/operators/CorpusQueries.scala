@@ -474,12 +474,14 @@ object CorpusQueries {
     // End-to-end cleaning-funnel attrition report — the dashboard
     // every production corpus run ships: per SOURCE, how many
     // documents enter and survive each stage of the standard gate
-    // chain (Gopher quality rules → exact keep-first dedup →
-    // benchmark decontamination). Each stage reuses the EXACT
-    // machinery of its standalone registry twin (gopherRuleCols /
-    // md5 keep-first / grams8 + the %7 benchmark split of
-    // doc_decontaminate), so the funnel is the composition proof for
-    // the gates — a drift in any stage fails this oracle too. The
+    // chain (Gopher quality rules → trained quality classifier →
+    // exact keep-first dedup → benchmark decontamination). Each stage
+    // reuses the EXACT machinery of its standalone registry twin
+    // (gopherRuleCols / QualityClassifier.verdicts / md5 keep-first /
+    // grams8 + the %7 benchmark split of doc_decontaminate), so the
+    // funnel is the composition proof for the gates — a drift in any
+    // stage fails this oracle too (the classifier stage replays its
+    // FULL CART training inside this oracle, prefixed qc_). The
     // quality gate is Gopher's four CONTENT rules (word-count,
     // mean-word-length, symbol-ratio, alpha-ratio): the fifth
     // (stopword) rule rejects 100% of the synthetic word-salad corpus
@@ -500,16 +502,23 @@ object CorpusQueries {
       (s, d) => {
         val docsAll = Tables.documents(s, d)
         val corpus = docsAll.filter(col("doc_id") % 7 =!= 0)
+        // stage 1b: the TRAINED gate (QualityClassifier CART, fit on
+        // this corpus's own rule labels) runs after the hand rules —
+        // the FineWeb-shaped funnel; on corpora where the tree cannot
+        // fully absorb the rules this stage drops real documents
+        val preds = QualityClassifier.verdicts(s, corpus)
         val flag1 = TextDedupQueries.gopherRuleCols(corpus)
           .select(col("doc_id"), col("source"), col("text"),
             (col("r_word_count") && col("r_mean_len") &&
               col("r_symbol") && col("r_alpha")).as("s1"),
             md5(col("text")).as("digest"))
+          .join(preds, Seq("doc_id"))
+          .withColumn("s1c", col("s1") && col("pred"))
           .transform(graft.Caching.persistOnce(_))
-        val firsts = flag1.filter(col("s1"))
+        val firsts = flag1.filter(col("s1c"))
           .groupBy("digest").agg(min(col("doc_id")).as("keep_doc"))
         val withS2 = flag1.join(firsts, Seq("digest"), "left")
-          .withColumn("s2", col("s1") && col("doc_id") === col("keep_doc"))
+          .withColumn("s2", col("s1c") && col("doc_id") === col("keep_doc"))
           .transform(graft.Caching.persistOnce(_))
         val bench = TextDedupQueries.grams8d(
             docsAll.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
@@ -524,21 +533,24 @@ object CorpusQueries {
         flags.groupBy("source").agg(
             count(lit(1)).as("n0"),
             sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("s1c"), 1L).otherwise(0L)).as("n1c"),
             sum(when(coalesce(col("s2"), lit(false)), 1L).otherwise(0L)).as("n2"),
             sum(when(coalesce(col("s3"), lit(false)), 1L).otherwise(0L)).as("n3"))
           .select(col("source"), explode(array(
             struct(lit(1).as("stage_ord"), lit("gopher_quality").as("stage"),
               col("n0").as("n_in"), col("n1").as("n_out")),
-            struct(lit(2).as("stage_ord"), lit("exact_dedup").as("stage"),
-              col("n1").as("n_in"), col("n2").as("n_out")),
-            struct(lit(3).as("stage_ord"), lit("decontaminate").as("stage"),
+            struct(lit(2).as("stage_ord"), lit("quality_classifier").as("stage"),
+              col("n1").as("n_in"), col("n1c").as("n_out")),
+            struct(lit(3).as("stage_ord"), lit("exact_dedup").as("stage"),
+              col("n1c").as("n_in"), col("n2").as("n_out")),
+            struct(lit(4).as("stage_ord"), lit("decontaminate").as("stage"),
               col("n2").as("n_in"), col("n3").as("n_out")))).as("r"))
           .select(col("r.stage_ord"), col("r.stage"), col("source"),
             col("r.n_in"), col("r.n_out"),
             (col("r.n_in") - col("r.n_out")).as("n_dropped"))
           .orderBy("stage_ord", "source")
       },
-      Some("""WITH corpus AS (
+      Some(s"""WITH corpus AS (
                SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
              w AS (
                SELECT doc_id, text,
@@ -550,7 +562,7 @@ object CorpusQueries {
                       list_sum(list_transform(words, x -> len(x))) AS sum_len,
                       len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
                       (len(text) - len(replace(text, '#', ''))) +
-                        (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS n_sym
+                        (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_sym
                FROM w),
              keepers AS (
                SELECT doc_id FROM m
@@ -559,9 +571,14 @@ object CorpusQueries {
                  AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
                  AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
                  AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8),
+             ${QualityClassifier.chainSql(QualityClassifier.Depth,
+                "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)", "qc_")},
+             k1c AS (
+               SELECT keepers.doc_id FROM keepers
+               JOIN qc_pred USING (doc_id) WHERE qc_pred.pred),
              k AS (
                SELECT c.doc_id, c.source, md5(c.text) AS digest
-               FROM corpus c JOIN keepers USING (doc_id)),
+               FROM corpus c JOIN k1c USING (doc_id)),
              firsts AS (SELECT digest, min(doc_id) AS keep_doc FROM k GROUP BY digest),
              s2 AS (
                SELECT k.doc_id, k.source FROM k
@@ -583,7 +600,9 @@ object CorpusQueries {
                SELECT doc_id, source FROM s2
                WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
              c0 AS (SELECT source, count(*) AS n FROM corpus GROUP BY source),
-             c1 AS (SELECT source, count(*) AS n FROM k GROUP BY source),
+             c1 AS (SELECT c.source, count(*) AS n FROM corpus c
+                    JOIN keepers USING (doc_id) GROUP BY c.source),
+             c1c AS (SELECT source, count(*) AS n FROM k GROUP BY source),
              c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY source),
              c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY source),
              st AS (
@@ -591,11 +610,15 @@ object CorpusQueries {
                       c0.n AS n_in, COALESCE(c1.n, 0) AS n_out
                FROM c0 LEFT JOIN c1 USING (source)
                UNION ALL
-               SELECT 2, 'exact_dedup', c0.source,
-                      COALESCE(c1.n, 0), COALESCE(c2.n, 0)
-               FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+               SELECT 2, 'quality_classifier', c0.source,
+                      COALESCE(c1.n, 0), COALESCE(c1c.n, 0)
+               FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c1c USING (source)
                UNION ALL
-               SELECT 3, 'decontaminate', c0.source,
+               SELECT 3, 'exact_dedup', c0.source,
+                      COALESCE(c1c.n, 0), COALESCE(c2.n, 0)
+               FROM c0 LEFT JOIN c1c USING (source) LEFT JOIN c2 USING (source)
+               UNION ALL
+               SELECT 4, 'decontaminate', c0.source,
                       COALESCE(c2.n, 0), COALESCE(c3.n, 0)
                FROM c0 LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source))
              SELECT CAST(stage_ord AS INT) AS stage_ord, stage, source,

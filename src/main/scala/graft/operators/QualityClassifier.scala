@@ -72,7 +72,10 @@ object QualityClassifier {
     * n_sym rides as an exact integer (each '...' match removes
     * exactly 3 chars, so the rule's float /3 is integer-valued — the
     * integer feature and the rule's double agree bit-for-bit). */
-  private[operators] def melted(docs: DataFrame): DataFrame =
+  /** Input + per-row feature columns fv0..fv6 and the weak label `y` —
+    * a pure projection (streaming-legal); melted() stacks it, the
+    * serving gate walks the tree over it directly. */
+  private[operators] def withFeatureCols(docs: DataFrame): DataFrame =
     TextDedupQueries.gopherRuleCols(docs)
       .withColumn("y",
         when(col("r_word_count") && col("r_mean_len") &&
@@ -81,23 +84,28 @@ object QualityClassifier {
       .withColumn("nw", col("n_words").cast("long"))
       .withColumn("sum_len", aggregate(col("words"), lit(0L),
         (acc, w) => acc + length(w)))
-      .withColumn("n_alpha",
+      .withColumn("n_alphaw",
         size(expr("filter(words, w -> w rlike '[a-z]')")).cast("long"))
-      .withColumn("n_sym",
+      .withColumn("n_symi",
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
           .cast("long") +
           expr("""CAST(length(text) -
                        length(regexp_replace(text, '\\.\\.\\.', '')) AS BIGINT)
                   div 3"""))
+      .withColumn("fv0", col("nw"))
+      .withColumn("fv1", col("sum_len"))
+      .withColumn("fv2", col("n_alphaw"))
+      .withColumn("fv3", col("n_symi"))
+      .withColumn("fv4", expr("sum_len * 1000 div greatest(nw, 1)"))
+      .withColumn("fv5", expr("n_symi * 1000000 div greatest(nw, 1)"))
+      .withColumn("fv6", expr("n_alphaw * 1000000 div greatest(nw, 1)"))
+
+  private[operators] def melted(docs: DataFrame): DataFrame =
+    withFeatureCols(docs)
       .select(col("doc_id"), col("y"),
         expr("""stack(7,
-          0, nw,
-          1, sum_len,
-          2, n_alpha,
-          3, n_sym,
-          4, sum_len * 1000 div greatest(nw, 1),
-          5, n_sym * 1000000 div greatest(nw, 1),
-          6, n_alpha * 1000000 div greatest(nw, 1)) AS (f, v)"""))
+          0, fv0, 1, fv1, 2, fv2, 3, fv3,
+          4, fv4, 5, fv5, 6, fv6) AS (f, v)"""))
 
   /** One learned split: docs at `node` with feature `f` value ≤ `t`
     * go to node 2n, the rest to 2n+1. */
@@ -175,19 +183,84 @@ object QualityClassifier {
     (melt, train(s, melt))
   }
 
+  /** Train on `docs` and return every document's learned verdict:
+    * (doc_id, pred) — the composable form other pipeline stages (the
+    * attrition funnel) gate on. */
+  def verdicts(s: SparkSession, docs: DataFrame): DataFrame = {
+    val melt = graft.Caching.persistOnce(melted(docs))
+    val splits = train(s, melt)
+    val assigned = withNode(melt, splits)
+      .groupBy("doc_id")
+      .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+    val leaves = assigned.groupBy("node")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
+      .select(col("node"), (col("p") * 2 > col("c")).as("pred"))
+    assigned.join(broadcast(leaves), "node").select("doc_id", "pred")
+  }
+
+  /** The deployable model: the learned splits plus each leaf's
+    * majority verdict — everything serving needs, bounded by 2^D. */
+  final case class TreeModel(splits: Map[Int, Split], leafPred: Map[Int, Boolean])
+
+  /** Train on `docs` and package the model for serving. */
+  def fit(s: SparkSession, docs: DataFrame): TreeModel = {
+    val melt = graft.Caching.persistOnce(melted(docs))
+    val splits = train(s, melt)
+    val leaves = withNode(melt, splits)
+      .groupBy("doc_id")
+      .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
+      .collect() // ≤ 2^D rows
+      .map(r => r.getInt(0) -> (r.getLong(2) * 2 > r.getLong(1))).toMap
+    TreeModel(splits, leaves)
+  }
+
+  /** Score `docs` under a pre-trained model — a PURE PROJECTION (the
+    * features are per-row columns, the tree a nested CASE, the leaf
+    * verdict a literal map), so it is streaming-legal verbatim: the
+    * train-offline / serve-online shape. Adds a `pred` column. */
+  def scored(docs: DataFrame, m: TreeModel): DataFrame = {
+    val node = (1 to Depth).foldLeft(lit(1): Column) { (n, _) =>
+      m.splits.values.foldLeft(n) { (acc, sp) =>
+        when(acc === sp.node,
+          when(col(s"fv${sp.f}") <= sp.t, lit(sp.node * 2))
+            .otherwise(lit(sp.node * 2 + 1)))
+          .otherwise(acc)
+      }
+    }
+    val pred = m.leafPred.foldLeft(lit(false): Column) { case (acc, (n, p)) =>
+      when(col("__node") === n, lit(p)).otherwise(acc)
+    }
+    withFeatureCols(docs)
+      .withColumn("__node", node)
+      .withColumn("pred", pred)
+      .drop((Seq("__node", "words", "nw", "sum_len", "n_alphaw", "n_symi",
+        "y", "n_words", "r_word_count", "r_mean_len", "r_symbol", "r_alpha",
+        "r_stopwords", "keep") ++ (0 to 6).map(i => s"fv$i")): _*)
+  }
+
   // ------------------------------------------------------------------
   // Oracle: the D-level unrolled training chain. a{l} assigns every
   // doc its node after l split levels; g/cum/best replicate the split
   // scoring; the leaves vote at the end.
 
-  private def chainSql(depth: Int): String = {
+  /** The D-level unrolled training chain as a WITH-clause fragment.
+    * `src` is the relation the corpus comes from (needs doc_id, text);
+    * `P` prefixes every CTE name so the chain composes into host
+    * queries (the attrition oracle) without clashes. The final
+    * `${P}pred` CTE is (doc_id, pred) — the verdicts relation. */
+  private[operators] def chainSql(depth: Int, src: String = "documents",
+                                  P: String = ""): String = {
     def level(l: Int): String =
-      s"""g$l AS (
+      s"""${P}g$l AS (
            SELECT a.node, f.f, f.v, count(*) AS c,
                   sum(CASE WHEN f.y = 1 THEN 1 ELSE 0 END) AS p
-           FROM fm f JOIN a${l - 1} a USING (doc_id)
+           FROM ${P}fm f JOIN ${P}a${l - 1} a USING (doc_id)
            GROUP BY a.node, f.f, f.v),
-         cum$l AS (
+         ${P}cum$l AS (
            SELECT node, f, v,
                   sum(c) OVER (PARTITION BY node, f ORDER BY v
                                ROWS UNBOUNDED PRECEDING) AS lc,
@@ -195,8 +268,8 @@ object QualityClassifier {
                                ROWS UNBOUNDED PRECEDING) AS lp,
                   sum(c) OVER (PARTITION BY node, f) AS tc,
                   sum(p) OVER (PARTITION BY node, f) AS tp
-           FROM g$l),
-         best$l AS MATERIALIZED (
+           FROM ${P}g$l),
+         ${P}best$l AS MATERIALIZED (
            SELECT node, f, v, err FROM (
              SELECT node, f, v, err,
                     row_number() OVER (PARTITION BY node
@@ -205,28 +278,28 @@ object QualityClassifier {
                SELECT node, f, v,
                       least(lp, lc - lp) + least(tp - lp, (tc - lc) - (tp - lp)) AS err,
                       least(tp, tc - tp) AS base_err
-               FROM cum$l WHERE lc < tc)
+               FROM ${P}cum$l WHERE lc < tc)
              WHERE err < base_err)
            WHERE rn = 1),
-         a$l AS MATERIALIZED (
+         ${P}a$l AS MATERIALIZED (
            SELECT a.doc_id,
                   CASE WHEN b.node IS NULL THEN a.node
                        WHEN fv.v <= b.v THEN a.node * 2
                        ELSE a.node * 2 + 1 END AS node
-           FROM a${l - 1} a
-           LEFT JOIN best$l b ON a.node = b.node
-           LEFT JOIN fm fv ON fv.doc_id = a.doc_id AND fv.f = b.f)"""
-    s"""w AS (
+           FROM ${P}a${l - 1} a
+           LEFT JOIN ${P}best$l b ON a.node = b.node
+           LEFT JOIN ${P}fm fv ON fv.doc_id = a.doc_id AND fv.f = b.f)"""
+    s"""${P}w AS (
          SELECT doc_id, text, regexp_extract_all(lower(text), '[^ ]+') AS words
-         FROM documents),
-       m AS (
+         FROM $src),
+       ${P}m AS (
          SELECT doc_id, len(words) AS nw,
                 coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sum_len,
                 len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
                 (len(text) - len(replace(text, '#', ''))) +
                   (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_sym
-         FROM w),
-       lab AS (
+         FROM ${P}w),
+       ${P}lab AS (
          SELECT doc_id,
                 CASE WHEN nw >= 50 AND nw <= 100000 AND
                           CAST(sum_len AS DOUBLE) / nw >= 3.0 AND
@@ -234,10 +307,10 @@ object QualityClassifier {
                           CAST(n_sym AS DOUBLE) / nw <= 0.1 AND
                           CAST(n_alpha AS DOUBLE) / nw >= 0.8
                      THEN 1 ELSE -1 END AS y
-         FROM m),
-       fm AS MATERIALIZED (
+         FROM ${P}m),
+       ${P}fm AS MATERIALIZED (
          SELECT m.doc_id, l.y, t.f, t.v
-         FROM m JOIN lab l USING (doc_id),
+         FROM ${P}m m JOIN ${P}lab l USING (doc_id),
          LATERAL (VALUES
            (0, CAST(m.nw AS BIGINT)),
            (1, CAST(m.sum_len AS BIGINT)),
@@ -246,12 +319,15 @@ object QualityClassifier {
            (4, CAST(m.sum_len * 1000 // greatest(m.nw, 1) AS BIGINT)),
            (5, CAST(m.n_sym * 1000000 // greatest(m.nw, 1) AS BIGINT)),
            (6, CAST(m.n_alpha * 1000000 // greatest(m.nw, 1) AS BIGINT))) AS t(f, v)),
-       a0 AS (SELECT DISTINCT doc_id, 1 AS node FROM fm),
+       ${P}a0 AS (SELECT DISTINCT doc_id, 1 AS node FROM ${P}fm),
        ${(1 to depth).map(level).mkString(",\n       ")},
-       leaves AS (
+       ${P}leaves AS (
          SELECT a.node, count(*) AS c,
                 sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS p
-         FROM a$depth a JOIN lab l USING (doc_id) GROUP BY a.node)"""
+         FROM ${P}a$depth a JOIN ${P}lab l USING (doc_id) GROUP BY a.node),
+       ${P}pred AS (
+         SELECT a.doc_id, lv.p * 2 > lv.c AS pred
+         FROM ${P}a$depth a JOIN ${P}leaves lv USING (node))"""
   }
 
   val all: Seq[Q] = Seq(
