@@ -195,6 +195,62 @@ object BpeTokenizer {
              SELECT dw.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
                     count(*) AS n_words
              FROM dw JOIN tok t USING (word)
-             GROUP BY dw.doc_id ORDER BY dw.doc_id"""))
+             GROUP BY dw.doc_id ORDER BY dw.doc_id""")),
+
+    // Sequence packing under the LEARNED vocabulary — the budgets a
+    // training run actually fills are token budgets, not whitespace
+    // word counts (doc_pack_sequences is the word-count twin, same
+    // 256-unit SeqLen). Offsets ride GlobalIndex's parallel
+    // range-sort prefix sum — no single-task window at any scale; the
+    // BPE model pass stays vocabulary-sized. greatest(n_tokens, 1)
+    // keeps last_seq's division non-negative for a zero-token doc in
+    // BOTH engines (floor vs truncate differ below zero).
+    Q("doc_pack_sequences_bpe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dict = graft.Caching.persistOnce(wordDict(docs))
+        val merges = trainMerges(dict)
+        val counts = tokenCounts(dict, merges)
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(counts, "word")
+          .groupBy("doc_id").agg(sum(col("n_tok")).cast("long").as("n_tokens"))
+        val allDocs = docs.select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        graft.store.GlobalIndex
+          .withOrderedPrefixSum(allDocs, Seq(col("doc_id").asc),
+            "n_tokens", "start_offset")
+          .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+            expr("start_offset div 256").as("first_seq"),
+            expr("(start_offset + greatest(n_tokens, 1) - 1) div 256").as("last_seq"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${chainSql(Merges)},
+             tok AS (
+               SELECT word, len(string_split(st, ' ')) AS n_tok FROM s$Merges),
+             dw AS (
+               SELECT doc_id, word FROM (
+                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+               WHERE word <> ''),
+             pd AS (
+               SELECT dw.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+               FROM dw JOIN tok t USING (word) GROUP BY dw.doc_id),
+             alln AS (
+               SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens
+               FROM documents d LEFT JOIN pd USING (doc_id)),
+             c AS (
+               SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start_offset
+               FROM alln)
+             SELECT doc_id, n_tokens, start_offset,
+                    start_offset // 256 AS first_seq,
+                    (start_offset + greatest(n_tokens, 1) - 1) // 256 AS last_seq
+             FROM c ORDER BY doc_id"""))
   )
 }

@@ -101,6 +101,28 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("doc_pack_sequences_bpe: offsets are the contiguous token prefix sum") {
+    val rows = Registry.byName("doc_pack_sequences_bpe")
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // doc_id-ordered, offsets dense: each start = previous start + n
+    var expect = 0L
+    for ((_, n, start, first, last) <- rows) {
+      assert(start == expect, s"offset gap at start=$start expect=$expect")
+      assert(first == start / 256 && last == (start + math.max(n, 1) - 1) / 256)
+      expect += n
+    }
+    // and the packing really differs from the word-count twin: learned
+    // subword merges compress, so total tokens < total chars but can
+    // exceed whitespace words
+    val words = Registry.byName("doc_pack_sequences")
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(1)).sum
+    val toks = rows.map(_._2).sum
+    assert(toks != words, "token packing must be a different budget than word packing")
+  }
+
   test("registry entries run green at sf0.001 with stable shapes") {
     val vocab = Registry.byName("doc_bpe_vocab").run(spark, "/root/testdata/sf0.001").collect()
     assert(vocab.length == BpeTokenizer.Merges)
