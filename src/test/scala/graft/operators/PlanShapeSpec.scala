@@ -158,4 +158,26 @@ class PlanShapeSpec extends SparkSpec {
         s"$q grew a second data shuffle:\n$p")
     }
   }
+
+  test("round-12 operators: model tables broadcast, serving path is a pure projection") {
+    // BPE token counting: the (word → n_tok) model join must broadcast
+    // (the model is vocabulary-sized by construction) — an SMJ means
+    // the corpus word stream started sorting against the model
+    val pTok = plan("doc_bpe_tokenize")
+    assert(pTok.contains("BroadcastHashJoin") && !pTok.contains("SortMergeJoin"),
+      s"doc_bpe_tokenize lost its vocabulary broadcast:\n$pTok")
+    // classifier verdicts: the ≤2^D leaf relation broadcasts
+    val pClf = plan("doc_quality_classifier")
+    assert(pClf.contains("BroadcastHashJoin") && !pClf.contains("SortMergeJoin"),
+      s"doc_quality_classifier lost its leaf broadcast:\n$pClf")
+    // the SERVING path (train offline, score online) is a zero-shuffle
+    // projection — what the streaming funnel deploys per row
+    val docs = graft.Tables.documents(spark, sf)
+    val model = QualityClassifier.fit(spark, docs)
+    val pServe = QualityClassifier.scored(docs, model)
+      .queryExecution.executedPlan.toString()
+    assert(!pServe.contains("Exchange"),
+      s"scored() must stay a pure projection:\n$pServe")
+    assert(!pServe.contains("Join"), s"scored() grew a join:\n$pServe")
+  }
 }
