@@ -16,6 +16,7 @@ object Registry {
       DocSearchIndex.all ++
       BpeTokenizer.all ++
       QualityClassifier.all ++
+      LayoutQueries.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 
