@@ -116,6 +116,13 @@ object EmbeddingQueries {
   /** Neighbors returned per query by emb_ann_ivf_topk. */
   private val AnnTopK = 5
 
+  /** Pool size emb_hard_negatives mines from — large enough that a
+    * 10-label corpus almost never fills a whole pool with the query's
+    * own label. Declared BEFORE `val all` (the oracle-SQL string
+    * interpolates it at object init — the CorpusQueries init-order
+    * trap: a later declaration reads as 0 there). */
+  private val HardNegPool = 16
+
   /** Prototypes kept per cluster by emb_cluster_sample. */
   private val ProtoK = 4
 
@@ -177,13 +184,25 @@ object EmbeddingQueries {
   }
 
   private def annIvfOracleSql(k: Int, iters: Int, nProbe: Int,
-                              topK: Int = 1): String = {
+                              topK: Int = 1,
+                              hardNeg: Boolean = false): String = {
     def dist(emb: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> (CAST($emb[i] AS DOUBLE) - $c[i]) * (CAST($emb[i] AS DOUBLE) - $c[i])))"
     // top-1 keeps the historical (qid, cid, sim) shape; top-k > 1 emits
-    // the rank so the result order (qid, rnk) is a unique total order
+    // the rank so the result order (qid, rnk) is a unique total order;
+    // hardNeg picks per query the best DIFFERENT-label row of the
+    // topK pool (emb_hard_negatives' documented pool semantics)
     val finalSelect =
-      if (topK == 1) "SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"
+      if (hardNeg)
+        s"""SELECT qid, cid, sim, c_label FROM (
+             SELECT r.qid, r.cid, r.sim, lb.label AS c_label,
+                    row_number() OVER (PARTITION BY r.qid ORDER BY r.rnk) AS hrn
+             FROM ranked r
+             JOIN embeddings la ON r.qid = la.vec_id
+             JOIN embeddings lb ON r.cid = lb.vec_id
+             WHERE r.rnk <= $topK AND la.label <> lb.label)
+           WHERE hrn = 1 ORDER BY qid"""
+      else if (topK == 1) "SELECT qid, cid, sim FROM ranked WHERE rnk = 1 ORDER BY qid"
       else s"""SELECT qid, CAST(rnk AS INT) AS rnk, cid, sim
                FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
     s"""WITH samp AS (
@@ -1371,6 +1390,25 @@ object EmbeddingQueries {
         topK = AnnTopK))),
 
     // ----------------------------------------------------------------
+    // Hard-negative mining (contrastive-training data prep): per
+    // query, the most similar DIFFERENT-label vector among its
+    // top-16 probed neighbors — the "ANN top-k, drop positives"
+    // recipe every embedding-training pipeline runs. Pool semantics,
+    // sizing, and the kernel scale path documented at
+    // [[hardNegatives]]; the oracle replays the full IVF top-k
+    // construction then applies the identical label filter + rank-1.
+    Q("emb_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val cells = ivfCellsFor(n)
+        hardNegatives(s, e, pool = HardNegPool, cells = cells,
+          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells))
+      },
+      Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
+        topK = HardNegPool, hardNeg = true))),
+
+    // ----------------------------------------------------------------
     // IVF-PQ ANN (the third scale path — the memory/shuffle-compressed
     // form a 100 TB vector corpus actually ships): coarse IVF cells as
     // above, but the CANDIDATE JOIN carries each database vector as
@@ -1643,6 +1681,38 @@ object EmbeddingQueries {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
         col("sc.id").as("cid"), col("sc.score").as("sim"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Hard-negative mining for contrastive training — per query the
+    * most similar candidate with a DIFFERENT label among its top-`pool`
+    * probed neighbors (the standard "ANN top-k, drop the positives"
+    * recipe). Deliberately defined over the top-k POOL, not over all
+    * probed pairs: the pool comes from the per-cell blocked kernel
+    * (pairs never materialize as rows — the declarative pair matrix
+    * measured 116 s vs 20 s at the 100× slice), and the label filter
+    * + rank-1 run on O(queries · pool) rows. A query whose entire
+    * pool shares its label emits no row (mined negatives are a
+    * best-effort sample by construction). The label relation is
+    * narrow (12 B/row) — broadcast under a generous row guard.
+    */
+  def hardNegatives(s: SparkSession, e: DataFrame, pool: Int = HardNegPool,
+                    cells: Int = IvfCells, nProbes: Int = IvfProbes,
+                    sampleN: Int = IvfSampleN): DataFrame = {
+    val topk = annIvfTopK(s, e, k = pool, cells = cells,
+      nProbes = nProbes, sampleN = sampleN)
+    val lab = e.select(col("vec_id"), col("label"))
+    def side(df: DataFrame, n: Long) =
+      if (n <= 64000000L) broadcast(df) else df
+    val n = e.count()
+    topk
+      .join(side(lab.toDF("qid", "q_label"), n), "qid")
+      .join(side(lab.toDF("cid", "c_label"), n), "cid")
+      .filter(col("q_label") =!= col("c_label"))
+      .groupBy("qid")
+      .agg(min(struct(col("rnk"), col("cid"), col("sim"), col("c_label"))).as("b"))
+      .select(col("qid"), col("b.cid").as("cid"), col("b.sim").as("sim"),
+        col("b.c_label").as("c_label"))
+      .orderBy("qid")
   }
 
   /** The IVF candidate stage (everything before the exact-cosine
