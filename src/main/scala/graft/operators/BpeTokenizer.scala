@@ -197,6 +197,46 @@ object BpeTokenizer {
              FROM dw JOIN tok t USING (word)
              GROUP BY dw.doc_id ORDER BY dw.doc_id""")),
 
+    // Tokenizer fertility (tokens per word) by language — the
+    // standard tokenizer-evaluation cut: a vocabulary trained on a
+    // mixed corpus over-fragments under-represented languages, and
+    // this is the table that shows it (mixture weights and packing
+    // budgets then correct with it). One corpus pass after the
+    // vocabulary-sized model pass; the per-lang aggregate is
+    // map-side-combined to |langs| rows.
+    Q("doc_bpe_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dict = graft.Caching.persistOnce(wordDict(docs))
+        val merges = trainMerges(dict)
+        val counts = tokenCounts(dict, merges)
+        docs
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(counts, "word")
+          .groupBy("lang")
+          .agg(sum(col("n_tok")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_words"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${chainSql(Merges)},
+             tok AS (
+               SELECT word, len(string_split(st, ' ')) AS n_tok FROM s$Merges),
+             lw AS (
+               SELECT lang, word FROM (
+                 SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+               WHERE word <> '')
+             SELECT lang, count(*) AS n_words,
+                    CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+                    round(CAST(sum(t.n_tok) AS DOUBLE) / count(*), 6) AS fertility
+             FROM lw JOIN tok t USING (word)
+             GROUP BY lang ORDER BY lang""")),
+
     // Sequence packing under the LEARNED vocabulary — the budgets a
     // training run actually fills are token budgets, not whitespace
     // word counts (doc_pack_sequences is the word-count twin, same

@@ -105,6 +105,20 @@ object DocSearchIndex {
     statsOf(shard).write.mode("append").parquet(statsPath(s, dir))
   }
 
+  /** [[appendIncrement]] plus the bounded-maintenance loop (see
+    * [[IncrementalDedup.appendAndMaybeCompact]]): compact when either
+    * live component exceeds `fileThreshold` parquet files. Returns
+    * true when this call compacted. */
+  def appendAndMaybeCompact(s: SparkSession, shard: DataFrame, dir: String,
+                            fileThreshold: Int = 64,
+                            retainDepth: Int = 1): Boolean = {
+    appendIncrement(s, shard, dir)
+    val due = graft.store.IndexMaintenance.compactionDue(
+      dir, Seq("postings", "stats"), fileThreshold, conf(s))
+    if (due) compact(s, dir, retainDepth)
+    due
+  }
+
   /** Compact the index: live postings rewritten as ONE file per
     * bucket sorted by (term, doc_id) — a query's term filter then
     * prunes row groups WITHIN its bucket partitions via min/max stats

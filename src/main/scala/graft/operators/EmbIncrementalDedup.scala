@@ -100,6 +100,21 @@ object EmbIncrementalDedup {
       .write.mode("append").parquet(vecPath(s, dir))
   }
 
+  /** [[appendIncrement]] plus the bounded-maintenance loop (see
+    * [[IncrementalDedup.appendAndMaybeCompact]]): compact when either
+    * live component exceeds `fileThreshold` parquet files. Returns
+    * true when this call compacted. */
+  def appendAndMaybeCompact(s: SparkSession, shard: DataFrame, dir: String,
+                            nBands: Int = Bands, bits: Int = Bits,
+                            fileThreshold: Int = 64,
+                            retainDepth: Int = 1): Boolean = {
+    appendIncrement(s, shard, dir, nBands, bits)
+    val due = graft.store.IndexMaintenance.compactionDue(
+      dir, Seq("signatures", "vectors"), fileThreshold, conf(s))
+    if (due) compact(s, dir, retainDepth)
+    due
+  }
+
   /** Dedup `shard` against the PERSISTED index at `dir` — touches the
     * index parquet and the shard only (EmbIncrementalDedupSpec asserts
     * the executed plan's input files all live under `dir`). */

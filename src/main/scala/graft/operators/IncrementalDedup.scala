@@ -124,6 +124,23 @@ object IncrementalDedup {
       .write.mode("append").parquet(setsPath(s, dir))
   }
 
+  /** [[appendIncrement]] plus the bounded-maintenance loop: compact
+    * when either live component has accumulated more than
+    * `fileThreshold` parquet files (one listing, no job — see
+    * [[graft.store.IndexMaintenance.compactionDue]]). The shape an
+    * ingest pipeline actually runs per shard; steady-state read cost
+    * stays O(fileThreshold) files regardless of shard count. Returns
+    * true when this call compacted. */
+  def appendAndMaybeCompact(s: SparkSession, shard: DataFrame, dir: String,
+                            fileThreshold: Int = 64,
+                            retainDepth: Int = 1): Boolean = {
+    appendIncrement(s, shard, dir)
+    val due = graft.store.IndexMaintenance.compactionDue(
+      dir, Seq("signatures", "sets"), fileThreshold, conf(s))
+    if (due) compact(s, dir, retainDepth)
+    due
+  }
+
   /** Dedup `shard` against the PERSISTED index at `dir` — touches the
     * index parquet and the shard only (IncrementalDedupSpec asserts
     * the executed plan's input files all live under `dir`). */

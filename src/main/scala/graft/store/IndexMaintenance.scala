@@ -224,6 +224,17 @@ object IndexMaintenance {
     }
   }
 
+  /** True when any listed component's live version has accumulated
+    * more parquet files than `threshold` — the ingest-loop
+    * compaction-due check (the EventStore saveIncrement discipline):
+    * an append pipeline calls it after each increment and compacts
+    * only when due, so steady-state read cost stays bounded without
+    * paying a rewrite per shard. The check is one file LISTING per
+    * component — no data read, no job. */
+  def compactionDue(dir: String, components: Seq[String], threshold: Int,
+                    conf: Configuration): Boolean =
+    components.exists(c => liveFileCount(dir, c, conf) > threshold)
+
   /** Parquet file count under the live version of `component` — the
     * number compaction exists to bound (spec + monitoring hook). */
   def liveFileCount(dir: String, component: String, conf: Configuration): Int = {

@@ -201,4 +201,36 @@ class IndexCompactionSpec extends SparkSpec {
       "legacy version should be retired after falling past retainDepth")
     assert(fs.exists(new org.apache.hadoop.fs.Path(v1)))
   }
+
+  test("appendAndMaybeCompact: compacts only past the file threshold, output unchanged") {
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val dir = tmp("dedup-auto")
+    IncrementalDedup.build(spark, corpus, dir)
+    val im = graft.store.IndexMaintenance
+    def sigFiles = im.liveFileCount(dir, "signatures", conf)
+    val base = sigFiles
+    // a generous threshold: the first increments append without paying
+    // a rewrite
+    val shard0 = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    assert(!IncrementalDedup.appendAndMaybeCompact(spark, shard0, dir,
+      fileThreshold = base * 4))
+    assert(sigFiles > base, "append must land new files when not due")
+    // a tight threshold: the next increment triggers the rewrite and
+    // the live count collapses to <= 1 file per band
+    val shard1 = docs.filter(pmod(col("doc_id"), lit(50)) === 1)
+    assert(IncrementalDedup.appendAndMaybeCompact(spark, shard1, dir,
+      fileThreshold = 1))
+    assert(sigFiles <= IncrementalDedup.Bands, s"live count $sigFiles after auto-compact")
+    // and the compacted index still answers exactly: a copy of an
+    // indexed doc is flagged against its original
+    val probe = shard1.limit(1).collect().head
+    val copy = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        9999999L, probe.getString(1), "en", "probe",
+        probe.getString(1).length.toLong)),
+      docs.schema)
+    val out = IncrementalDedup.dedupIncrement(spark, copy, dir).collect()
+    assert(out.head.getBoolean(1) && out.head.getLong(2) === probe.getLong(0))
+  }
 }
