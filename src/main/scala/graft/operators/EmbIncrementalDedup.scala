@@ -353,6 +353,103 @@ object EmbIncrementalDedup {
     * nrm). Shared by the file-backed [[searchIndex]] and the
     * oracle-verified registry twin below.
     */
+  /** Hard-negative mining against the persisted index (the
+    * file-backed sibling of
+    * [[EmbeddingQueries.hardNegatives]]): each query keeps its most
+    * similar INDEX collision whose label differs from its own — the
+    * contrastive-data shape when the candidate corpus is already
+    * indexed (mine every new shard at shard cost, never re-scan the
+    * corpus). Collisions come from the band join; the label filter
+    * runs BEFORE the top-1 aggregate, so the winner is the best
+    * different-label collision, not "best overall if it happens to
+    * differ". `idxLabels` is the narrow (vec_id, label) side relation
+    * — broadcast (12 B/row); queries carry their own `label` column.
+    * A query with no different-label collision emits no row.
+    */
+  def mineAgainst(s: SparkSession, idxSigs: DataFrame, idxVecs: DataFrame,
+                  idxLabels: DataFrame, queries: DataFrame,
+                  nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val iv = idxVecs.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val qn = EmbeddingQueries.withNorm(queries)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("nrm").as("ns"))
+    val cands = signatures(qn, nBands, bits).as("s")
+      .join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("i.vec_id").as("cand_id"))
+      .distinct()
+    cands
+      .join(EmbeddingQueries.maybeBroadcastVectors(qn, qn.count()), "vec_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(iv, idxVecs.count()), "cand_id")
+      .join(broadcast(idxLabels.toDF("cand_id", "c_label")), "cand_id")
+      .filter(col("label") =!= col("c_label"))
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("embedding"), col("ec"), col("ns"), col("nc")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (lit(Long.MaxValue) - col("cand_id")).as("inv"),
+        col("cand_id"), col("c_label"))).as("b"))
+      .select(col("vec_id"), col("b.cand_id").as("match_id"),
+        col("b.sim").as("sim"), col("b.c_label").as("c_label"))
+      .orderBy("vec_id")
+  }
+
+  /** [[mineAgainst]] on the file-backed index. */
+  def mineHardNegatives(s: SparkSession, queries: DataFrame, dir: String,
+                        idxLabels: DataFrame,
+                        nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+    checkFormat(s, dir, nBands, bits)
+    mineAgainst(s, s.read.parquet(sigPath(s, dir)),
+      s.read.parquet(vecPath(s, dir)), idxLabels, queries, nBands, bits)
+  }
+
+  /** Streaming twin of [[mineHardNegatives]]: arriving (vec_id,
+    * embedding, label, ingest_ts) mine their best different-label
+    * index collision as they land — stream-static band join and
+    * vector join, the label filter a per-row map, and ONE stateful
+    * operator: the windowed packed-max (multi-band collision
+    * duplicates cannot change a max — the dedupStream discipline, no
+    * dropDuplicates state needed). Emits (vec_id, match_id, sim,
+    * c_label) when the watermark closes the window.
+    */
+  def mineStream(s: SparkSession, queries: DataFrame, dir: String,
+                 idxLabels: DataFrame,
+                 nBands: Int = Bands, bits: Int = Bits,
+                 watermarkDelay: String = "1 hour",
+                 windowDuration: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(s)
+    checkFormat(s, dir, nBands, bits)
+    val idxSigs = s.read.parquet(sigPath(s, dir))
+    val idxVecs = s.read.parquet(vecPath(s, dir))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val vn = queries.withColumn("ns", sqrt(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+      .withWatermark("ingest_ts", watermarkDelay)
+    val sigs = vn.select(col("vec_id"), col("ingest_ts"), col("embedding"),
+      col("label"), col("ns"),
+      posexplode(call_function("band_sigs", col("embedding"),
+        typedlit(EmbeddingQueries.planes(nBands * bits)), lit(bits)))
+        .as(Seq("band", "sig")))
+    sigs.as("s")
+      .join(idxSigs.as("i"), Seq("band", "sig"))
+      .select(col("s.vec_id").as("vec_id"), col("s.ingest_ts").as("ingest_ts"),
+        col("s.embedding").as("embedding"), col("s.label").as("label"),
+        col("s.ns").as("ns"), col("i.vec_id").as("cand_id"))
+      .join(idxVecs, "cand_id")
+      .join(broadcast(idxLabels.toDF("cand_id", "c_label")), "cand_id")
+      .filter(col("label") =!= col("c_label"))
+      .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
+        col("embedding"), col("ec"), col("ns"), col("nc")), 6))
+      .groupBy(window(col("ingest_ts"), windowDuration), col("vec_id"))
+      .agg(max(struct(col("sim"), (lit(Long.MaxValue) - col("cand_id")).as("inv"),
+        col("cand_id"), col("c_label"))).as("b"))
+      .select(col("vec_id"), col("b.cand_id").as("match_id"),
+        col("b.sim").as("sim"), col("b.c_label").as("c_label"))
+  }
+
   def searchAgainst(s: SparkSession, idxSigs: DataFrame, idxVecs: DataFrame,
                     queries: DataFrame, k: Int,
                     nBands: Int = Bands, bits: Int = Bits): DataFrame = {

@@ -131,6 +131,71 @@ class EmbIngestSpec extends SparkSpec {
         "planted near-copy must rank its source first")
     } finally q.stop()
   }
+
+  test("streaming hard-negative mining equals the batch miner; positives are skipped") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-mine-idx").toString
+    EmbIncrementalDedup.build(spark, corpus, dir)
+    val idxLabels = corpus.select("vec_id", "label")
+    val corp = corpus.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+
+    // a planted arrival NEAR-IDENTICAL to corpus vector c0 but carrying
+    // c0's OWN label: the miner must skip that positive and return a
+    // different-label collision (or nothing), never c0 itself
+    val (c0id, c0v, c0lab) = corp(0)
+    val jitter = c0v.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) 0.0005f else 0f) }
+    val queries = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+      .take(10) ++ Seq((700000L, jitter, c0lab))
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[LabeledVecArrival]
+    val out = EmbIncrementalDedup.mineStream(spark, source.toDF()
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label"), col("ingest_ts")),
+      dir, idxLabels, watermarkDelay = "1 minute", windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("emb_stream_mine")
+      .outputMode("append").start()
+    try {
+      val T = 1700000000000L
+      source.addData(queries.map { case (id, v, lab) =>
+        LabeledVecArrival(id, v.toSeq, lab, new Timestamp(T)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      source.addData(LabeledVecArrival(999999L, corp.head._2.toSeq, corp.head._3,
+        new Timestamp(T + 3600L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("emb_stream_mine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .filterNot(_._1 == 999999L).toSet
+
+      val qdf = queries.toSeq.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      val batch = EmbIncrementalDedup.mineHardNegatives(spark, qdf, dir, idxLabels)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${(streamed -- batch).take(3)}, " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+      // the planted positive is never mined; any mined row for the
+      // plant is cross-label
+      for ((qid, mid, _, clab) <- streamed if qid == 700000L) {
+        assert(mid != c0id, "mined the same-label near-dup — positives must be skipped")
+        assert(clab != c0lab)
+      }
+      // and mined labels always differ from the query's own
+      val qLab = queries.map(t => t._1 -> t._3).toMap
+      for ((qid, _, _, clab) <- streamed) assert(qLab(qid) != clab)
+    } finally q.stop()
+  }
 }
 
 case class VecArrival(vec_id: Long, embedding: Seq[Float], ingest_ts: Timestamp)
+
+case class LabeledVecArrival(vec_id: Long, embedding: Seq[Float], label: Int,
+                             ingest_ts: Timestamp)
