@@ -95,4 +95,35 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(box(s"$dir/zorder") == box(s"$dir/naive"))
     assert(box(s"$dir/zorder").nonEmpty)
   }
+
+  test("N-dimensional form: 3-d keys stay in range and round-robin the bits") {
+    // bit widths shrink with arity so the key stays a non-negative long
+    assert(ZOrderLayout.bitsFor(2) == 16 && ZOrderLayout.bitsFor(3) == 16 &&
+      ZOrderLayout.bitsFor(4) == 15)
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    val rows = ZOrderLayout.withMortonN(events, Seq("user_id", "value", "event_id"))
+      .select("q0", "q1", "q2", "morton").collect()
+    assert(rows.nonEmpty)
+    val bits = ZOrderLayout.bitsFor(3)
+    for (r <- rows) {
+      val (q0, q1, q2, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      var want = 0L
+      for (j <- 0 until bits; (q, d) <- Seq(q0, q1, q2).zipWithIndex)
+        want |= ((q >> j) & 1L) << (j * 3 + d)
+      assert(m == want && m >= 0L)
+    }
+    // the 2-d path must be bit-identical to the pre-generalization
+    // layout: x on even positions, y on odd
+    val two = ZOrderLayout.withMorton(events, "user_id", "value")
+      .select("xq", "yq", "morton").collect()
+    for (r <- two) {
+      var want = 0L
+      for (i <- 0 until ZOrderLayout.Bits) {
+        want |= ((r.getLong(0) >> i) & 1L) << (2 * i)
+        want |= ((r.getLong(1) >> i) & 1L) << (2 * i + 1)
+      }
+      assert(r.getLong(2) == want)
+    }
+  }
 }
