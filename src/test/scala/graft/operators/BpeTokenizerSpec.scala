@@ -101,6 +101,27 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("fuzz: random corpora train the reference merge sequence (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabLetters = "abcdef"
+      def randWord() = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => vocabLetters(rnd.nextInt(vocabLetters.length))).mkString
+      val words = Seq.fill(30)(randWord())
+      val corpus = Seq.fill(40)(
+        Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" "))
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val dict = BpeTokenizer.wordDict(docs)
+      val got = BpeTokenizer.trainMerges(dict, k = 6)
+      val wordFreq = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val want = refTrain(wordFreq, 6).map { case (a, b) => mark(s"$a $b") }
+      assert(got == want, s"seed $seed diverged")
+    }
+  }
+
   test("doc_pack_sequences_bpe: offsets are the contiguous token prefix sum") {
     val rows = Registry.byName("doc_pack_sequences_bpe")
       .run(spark, "/root/testdata/sf0.001").collect()

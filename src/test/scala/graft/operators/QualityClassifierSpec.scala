@@ -66,6 +66,33 @@ class QualityClassifierSpec extends SparkSpec {
     assert(got.nonEmpty, "the corpus must yield at least one split")
   }
 
+  test("fuzz: random synthetic corpora train the reference tree (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      // word-salad docs spanning the gate boundaries: lengths straddle
+      // 50 words, a few symbol-heavy and short-word docs mix in
+      val docs = (0 until 60).map { i =>
+        val n = 10 + rnd.nextInt(120)
+        val words = Seq.fill(n) {
+          rnd.nextInt(10) match {
+            case 0 => "##"
+            case 1 => "a"
+            case _ => ('a' + rnd.nextInt(26)).toChar.toString * (2 + rnd.nextInt(8))
+          }
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val melt = QualityClassifier.melted(docs)
+      val got = QualityClassifier.train(spark, melt)
+        .map { case (n, s) => n -> (s.f, s.t, s.err) }
+      val rows = melt.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val want = refTrain(rows, QualityClassifier.Depth)
+      assert(got == want, s"seed $seed: got=$got want=$want")
+    }
+  }
+
   test("trained gate absorbs its weak labels at sf0.001") {
     val out = Registry.byName("doc_quality_classifier").run(spark, sf).collect()
     assert(out.nonEmpty)
