@@ -17,6 +17,7 @@ object Registry {
       BpeTokenizer.all ++
       QualityClassifier.all ++
       LayoutQueries.all ++
+      TrigramIndex.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all
 

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted character-TRIGRAM postings index — exact substring
+  * search ("grep the corpus") at index cost, the Google-Code-Search
+  * construction: a literal pattern match must contain every character
+  * trigram of the pattern, so candidates = docs whose trigram set
+  * covers the pattern's trigrams (bucket-pruned postings, AND of k
+  * small posting lists), then ONE exact contains() verification over
+  * the candidates only. BM25 ([[DocSearchIndex]]) answers term
+  * queries; this answers the literal-substring shape term postings
+  * cannot (phrases crossing token boundaries, punctuation, partial
+  * words).
+  *
+  * Index layout mirrors the family ([[DocSearchIndex]]'s discipline):
+  * `postings.parquet` = (bucket, tri, doc_id) DISTINCT rows
+  * partitioned by bucket = crc32(tri) mod [[NBuckets]] — a query
+  * prunes the scan to ITS trigrams' buckets (spec-asserted on the
+  * executed scan's input files); `_format.json` marker; append-only
+  * increments; MVCC compaction + the [[appendAndMaybeCompact]]
+  * trigger.
+  *
+  * Scale: postings are ≤ (doc length) rows per doc (distinct
+  * trigrams), the candidate intersection groups by doc_id over the
+  * pattern's posting lists only, and verification joins candidates —
+  * never the corpus — back to text. At 100 TB the pattern's
+  * selectivity, not the corpus size, prices the query.
+  */
+object TrigramIndex {
+
+  /** Fixed bucket count — a property of the index layout (readers and
+    * writers must agree). */
+  val NBuckets = 64
+
+  val FormatKind = "graft-trigram-postings-index"
+  val FormatVersion = 1
+
+  private def conf(s: SparkSession) = s.sparkContext.hadoopConfiguration
+  private def postPath(s: SparkSession, dir: String): String =
+    graft.store.IndexMaintenance.resolve(dir, "postings", conf(s))
+  private def checkFormat(s: SparkSession, dir: String): Unit =
+    graft.store.IndexMaintenance.checkMarker(dir, FormatKind, FormatVersion,
+      Map("n_buckets" -> NBuckets.toString), conf(s))
+
+  /** Driver-side twin of the Spark `crc32` builtin — the bucket list
+    * for partition pruning without a Spark job. */
+  def bucketOf(tri: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(tri.getBytes("UTF-8"))
+    (c.getValue % NBuckets).toInt
+  }
+
+  /** (bucket, tri, doc_id) DISTINCT trigram postings of the RAW text
+    * (case-preserving — grep semantics). */
+  private[operators] def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, length(text) - 2),
+               i -> substring(text, i, 3)))""")).as("tri"))
+      .withColumn("bucket", pmod(crc32(col("tri")), lit(NBuckets)).cast("int"))
+
+  def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    postingsOf(docs).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/postings.parquet")
+    graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
+      Map("n_buckets" -> NBuckets.toString), conf(s))
+  }
+
+  /** Append a shard's postings (append-only; lands in the live
+    * compacted version when one exists). */
+  def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
+    checkFormat(s, dir)
+    postingsOf(shard).write.mode("append")
+      .partitionBy("bucket").parquet(postPath(s, dir))
+  }
+
+  /** [[appendIncrement]] plus the bounded-maintenance loop (the
+    * family's [[IncrementalDedup.appendAndMaybeCompact]] shape). */
+  def appendAndMaybeCompact(s: SparkSession, shard: DataFrame, dir: String,
+                            fileThreshold: Int = 64,
+                            retainDepth: Int = 1): Boolean = {
+    appendIncrement(s, shard, dir)
+    val due = graft.store.IndexMaintenance.compactionDue(
+      dir, Seq("postings"), fileThreshold, conf(s))
+    if (due) compact(s, dir, retainDepth)
+    due
+  }
+
+  /** Compact: one file per bucket sorted by (tri, doc_id) — row-group
+    * min/max stats prune a query's trigrams WITHIN its bucket
+    * partitions too. MVCC-published (in-flight searches finish on the
+    * version they resolved). */
+  def compact(s: SparkSession, dir: String, retainDepth: Int = 1): Unit = {
+    checkFormat(s, dir)
+    val c = conf(s)
+    val im = graft.store.IndexMaintenance
+    val postV = im.nextVersionName(dir, "postings", c)
+    s.read.parquet(postPath(s, dir))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "tri", "doc_id")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")
+    im.publish(dir, "postings", postV, c, retainDepth)
+  }
+
+  /** The pattern's distinct trigrams — the SAME derivation the
+    * postings use, in plain Scala. */
+  def trigramsOf(pattern: String): Seq[String] = {
+    require(pattern.length >= 3,
+      s"substring search needs a pattern of >= 3 chars, got '$pattern'")
+    pattern.sliding(3).toSeq.distinct
+  }
+
+  /** Exact substring search against the persisted index: reads only
+    * the pattern trigrams' bucket partitions, intersects their
+    * posting lists (a doc must carry ALL pattern trigrams), verifies
+    * the candidates — and only the candidates — against `corpus` with
+    * one contains(). */
+  def search(s: SparkSession, dir: String, corpus: DataFrame,
+             pattern: String): DataFrame = {
+    checkFormat(s, dir)
+    val tris = trigramsOf(pattern)
+    val bks = tris.map(bucketOf).distinct
+    searchRelations(s,
+      s.read.parquet(postPath(s, dir))
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*)),
+      corpus, pattern)
+  }
+
+  /** The relation-level core shared by the file-backed [[search]] and
+    * the oracle-verified registry entry. */
+  def searchRelations(s: SparkSession, postings: DataFrame,
+                      corpus: DataFrame, pattern: String): DataFrame = {
+    val tris = trigramsOf(pattern)
+    val candidates = postings
+      .filter(col("tri").isin(tris: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri")) // postings are distinct per (doc, tri)
+      .filter(col("n_tri") === tris.size)
+      .select("doc_id")
+    corpus.join(candidates, "doc_id")
+      .filter(col("text").contains(pattern))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Pattern for the registry entry — crosses a token boundary (the
+    * shape BM25 term postings cannot answer) and hits a nontrivial
+    * slice of the corpus. */
+  val SearchPattern = "window merge"
+
+  val all: Seq[Q] = Seq(
+    Q("doc_substr_search",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        searchRelations(s, postingsOf(docs), docs, SearchPattern)
+      },
+      // the oracle is deliberately the DIRECT definition (one
+      // contains() scan): the trigram construction is an INDEX, not a
+      // semantics change — candidates ⊇ matches by the substring-
+      // trigram containment theorem, and verification restores
+      // equality exactly
+      Some(s"""SELECT doc_id FROM documents
+             WHERE contains(text, '$SearchPattern')
+             ORDER BY doc_id"""))
+  )
+}
