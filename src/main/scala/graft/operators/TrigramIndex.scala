@@ -132,20 +132,64 @@ object TrigramIndex {
   }
 
   /** The relation-level core shared by the file-backed [[search]] and
-    * the oracle-verified registry entry. */
+    * the oracle-verified registry entry. countDistinct, not count:
+    * re-appending a shard that contains an already-indexed doc_id
+    * duplicates its postings, and a plain count would then overshoot
+    * the required k and silently MISS matches. */
   def searchRelations(s: SparkSession, postings: DataFrame,
                       corpus: DataFrame, pattern: String): DataFrame = {
     val tris = trigramsOf(pattern)
     val candidates = postings
       .filter(col("tri").isin(tris: _*))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri")) // postings are distinct per (doc, tri)
+      .agg(countDistinct(col("tri")).as("n_tri"))
       .filter(col("n_tri") === tris.size)
       .select("doc_id")
     corpus.join(candidates, "doc_id")
       .filter(col("text").contains(pattern))
       .select(col("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** Streaming twin of [[search]]: PATTERNS arrive as (query_id,
+    * pattern, ingest_ts) and grep the indexed corpus as they land —
+    * the interactive-search serving shape. The pattern's trigram set
+    * is a per-row map (streaming-legal); candidate coverage is a
+    * stream-static join against the persisted postings plus ONE
+    * stateful windowed count over watermark-deduped (query, doc, tri)
+    * matches (dedup for the same reason searchRelations counts
+    * distinct); verification joins the static corpus AFTER the
+    * aggregate — stateless, append-legal. Emits (query_id, doc_id)
+    * when the watermark closes the window; patterns shorter than a
+    * trigram are dropped (no index can cover them).
+    */
+  def searchStream(s: SparkSession, queries: DataFrame, dir: String,
+                   corpus: DataFrame,
+                   watermarkDelay: String = "1 hour",
+                   windowDuration: String = "10 minutes"): DataFrame = {
+    checkFormat(s, dir)
+    val postings = s.read.parquet(postPath(s, dir))
+    val q = queries
+      .filter(length(col("pattern")) >= 3)
+      .withColumn("tris", expr(
+        """array_distinct(transform(sequence(1, length(pattern) - 2),
+             i -> substring(pattern, i, 3)))"""))
+      .withColumn("k", size(col("tris")))
+      .withWatermark("ingest_ts", watermarkDelay)
+    val hits = q
+      .select(col("query_id"), col("ingest_ts"), col("pattern"), col("k"),
+        explode(col("tris")).as("tri"))
+      .withColumn("bucket", pmod(crc32(col("tri")), lit(NBuckets)).cast("int"))
+      .join(postings, Seq("bucket", "tri"))
+      .dropDuplicatesWithinWatermark("query_id", "doc_id", "tri")
+    hits
+      .groupBy(window(col("ingest_ts"), windowDuration),
+        col("query_id"), col("pattern"), col("k"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === col("k"))
+      .join(corpus.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("text").contains(col("pattern")))
+      .select(col("query_id"), col("doc_id"))
   }
 
   /** Pattern for the registry entry — crosses a token boundary (the

@@ -80,9 +80,49 @@ class TrigramIndexSpec extends SparkSpec {
       s"scan read outside the pattern's buckets: ${files.take(3)}")
   }
 
+  test("streaming pattern search equals the batch grep; short patterns drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri-stream").toString
+    TrigramIndex.build(spark, docs, dir)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[PatternArrival]
+    val out = TrigramIndex.searchStream(spark, source.toDF(), dir, docs,
+      watermarkDelay = "1 minute", windowDuration = "1 minute")
+    val q = out.writeStream.format("memory").queryName("tri_stream")
+      .outputMode("append").start()
+    try {
+      val T = 1700000000000L
+      val pats = Seq((1L, TrigramIndex.SearchPattern),
+        (2L, "merge spark"), (3L, "zz"), // too short: dropped, not wrong
+        (4L, docs.select("text").as[String].head().take(9)))
+      source.addData(pats.map { case (id, p) =>
+        PatternArrival(id, p, new java.sql.Timestamp(T)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // late flush pattern advances the watermark (must be >= 3 chars
+      // so the length gate does not drop it before the watermark node)
+      source.addData(PatternArrival(99L, "flushpat",
+        new java.sql.Timestamp(T + 3600L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("tri_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filterNot(_._1 == 99L)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      for ((qid, pat) <- pats if pat.length >= 3) {
+        val want = TrigramIndex.search(spark, dir, docs, pat)
+          .as[Long].collect().toSeq
+        assert(streamed.getOrElse(qid, Seq.empty) == want,
+          s"pattern '$pat' diverged from the batch grep")
+      }
+      assert(!streamed.contains(3L), "a 2-char pattern must emit nothing")
+    } finally q.stop()
+  }
+
   test("patterns shorter than a trigram are rejected") {
     intercept[IllegalArgumentException] {
       TrigramIndex.trigramsOf("ab")
     }
   }
 }
+
+case class PatternArrival(query_id: Long, pattern: String, ingest_ts: java.sql.Timestamp)
