@@ -188,8 +188,16 @@ object TopKByScore {
     * never-tuned session (no-op). Callers embedding these operators
     * in a long-lived session should call this after materializing the
     * returned DataFrames.
+    *
+    * Deliberately a no-op while STREAMING queries are active: a tuned
+    * caller's stream (searchStream's windowed top-k) reads the
+    * session conf on every microbatch, so un-tuning under it would
+    * silently re-degrade its partial aggregates to sort-based — the
+    * exact pathology the tune exists to prevent. The snapshot stays
+    * in `saved`; the next restore after the streams stop applies it.
     */
   def restoreTuning(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (!s.streams.active.isEmpty) return
     val prior = saved.remove(s)
     if (prior != null) prior match {
       case Some(v) => s.conf.set(FallbackKey, v)

@@ -125,8 +125,10 @@ object BpeTokenizer {
              GROUP BY t.pair ORDER BY f DESC, t.pair ASC LIMIT 1)),
          s$i AS MATERIALIZED (
            SELECT word, freq,
-                  replace(st, (SELECT pair FROM p$i),
-                          replace((SELECT pair FROM p$i), $m || ' ' || $m, '')) AS st
+                  CASE WHEN (SELECT count(*) FROM p$i) = 0 THEN st
+                       ELSE replace(st, (SELECT pair FROM p$i),
+                              replace((SELECT pair FROM p$i), $m || ' ' || $m, ''))
+                  END AS st
            FROM $prev)"""
     }
     s"""w AS MATERIALIZED (
@@ -155,11 +157,16 @@ object BpeTokenizer {
         }.toDF("step", "lhs", "rhs", "merged")
       },
       Some {
+        // each step row is guarded on its p_i being non-empty: Spark's
+        // trainMerges stops early when the corpus runs out of repeated
+        // pairs, and the unrolled chain must emit the SAME k' rows
+        // (the CASE in s_i already makes exhausted levels no-ops)
         val rows = (1 to Merges).map { i =>
           s"""SELECT $i AS step,
                 replace(string_split((SELECT pair FROM p$i), ' ')[1], chr(31), '') AS lhs,
                 replace(string_split((SELECT pair FROM p$i), ' ')[2], chr(31), '') AS rhs,
-                replace(replace((SELECT pair FROM p$i), chr(31), ''), ' ', '') AS merged"""
+                replace(replace((SELECT pair FROM p$i), chr(31), ''), ' ', '') AS merged
+              WHERE EXISTS (SELECT 1 FROM p$i)"""
         }.mkString("\n           UNION ALL\n           ")
         s"""WITH ${chainSql(Merges)}
            SELECT * FROM ($rows) ORDER BY step"""

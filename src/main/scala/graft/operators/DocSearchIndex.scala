@@ -86,6 +86,10 @@ object DocSearchIndex {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // retire compacted-version pointers first (IncrementalDedup.build's
+    // rationale)
+    graft.store.IndexMaintenance.resetComponents(
+      dir, Seq("postings", "stats"), conf(s))
     postingsOf(docs).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings.parquet")
     statsOf(docs).write.mode("overwrite").parquet(s"$dir/stats.parquet")

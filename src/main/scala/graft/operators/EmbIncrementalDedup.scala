@@ -77,6 +77,11 @@ object EmbIncrementalDedup {
   def build(s: SparkSession, emb: DataFrame, dir: String,
             nBands: Int = Bands, bits: Int = Bits): Unit = {
     graft.GraftExtensions.register(s)
+    // retire compacted-version pointers first (IncrementalDedup.build's
+    // rationale: a surviving _current keeps readers on the pre-rebuild
+    // version)
+    graft.store.IndexMaintenance.resetComponents(
+      dir, Seq("signatures", "vectors"), conf(s))
     signatures(emb, nBands, bits).write.mode("overwrite")
       .partitionBy("band").parquet(s"$dir/signatures.parquet")
     EmbeddingQueries.withNorm(emb)
@@ -379,10 +384,17 @@ object EmbIncrementalDedup {
       .join(idxSigs.as("i"), Seq("band", "sig"))
       .select(col("s.vec_id").as("vec_id"), col("i.vec_id").as("cand_id"))
       .distinct()
+    val nIdx = idxVecs.count()
+    // the label relation is narrow (12 B/row) but still index-sized:
+    // guard the broadcast like the vector sides (a billion-vector
+    // index would otherwise ship a multi-GB broadcast)
+    val labSide = if (nIdx <= 64000000L)
+      broadcast(idxLabels.toDF("cand_id", "c_label"))
+    else idxLabels.toDF("cand_id", "c_label")
     cands
       .join(EmbeddingQueries.maybeBroadcastVectors(qn, qn.count()), "vec_id")
-      .join(EmbeddingQueries.maybeBroadcastVectors(iv, idxVecs.count()), "cand_id")
-      .join(broadcast(idxLabels.toDF("cand_id", "c_label")), "cand_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(iv, nIdx), "cand_id")
+      .join(labSide, "cand_id")
       .filter(col("label") =!= col("c_label"))
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
@@ -439,7 +451,11 @@ object EmbIncrementalDedup {
         col("s.embedding").as("embedding"), col("s.label").as("label"),
         col("s.ns").as("ns"), col("i.vec_id").as("cand_id"))
       .join(idxVecs, "cand_id")
-      .join(broadcast(idxLabels.toDF("cand_id", "c_label")), "cand_id")
+      .join( // mineAgainst's guarded label side (counted once, at plan time)
+        if (s.read.parquet(vecPath(s, dir)).count() <= 64000000L)
+          broadcast(idxLabels.toDF("cand_id", "c_label"))
+        else idxLabels.toDF("cand_id", "c_label"),
+        "cand_id")
       .filter(col("label") =!= col("c_label"))
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))

@@ -102,6 +102,12 @@ object IncrementalDedup {
     */
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     graft.GraftExtensions.register(s)
+    // retire any compacted-version pointers first: build writes the
+    // legacy paths, and a surviving _current would keep readers (and
+    // appends) on the PRE-rebuild version — silently stale under a
+    // fresh marker (the documented migration path would never migrate)
+    graft.store.IndexMaintenance.resetComponents(
+      dir, Seq("signatures", "sets"), conf(s))
     signatures(docs).write.mode("overwrite")
       .partitionBy("band").parquet(s"$dir/signatures.parquet")
     shingleSets(docs).transform(shToBinary)

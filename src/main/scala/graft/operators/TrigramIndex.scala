@@ -65,6 +65,10 @@ object TrigramIndex {
       .withColumn("bucket", pmod(crc32(col("tri")), lit(NBuckets)).cast("int"))
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // retire compacted-version pointers first (IncrementalDedup.build's
+    // rationale)
+    graft.store.IndexMaintenance.resetComponents(
+      dir, Seq("postings"), conf(s))
     postingsOf(docs).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings.parquet")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,

@@ -140,11 +140,15 @@ object IndexMaintenance {
     (java.util.regex.Pattern.quote(component) + """_v(\d+)\.parquet""").r
 
   /** The live directory for `component` under `dir`: the version the
-    * `_current.<component>` pointer names; with no pointer, the
-    * highest on-disk `<component>_v<N>.parquet` (covers a crash that
-    * lost the pointer mid-flip); else the legacy unversioned
-    * `<component>.parquet` every pre-compaction index uses.
-    */
+    * `_current.<component>` pointer names, else the legacy unversioned
+    * `<component>.parquet` every pre-compaction index uses. A
+    * versioned directory WITHOUT a pointer is deliberately ignored:
+    * the pointer write is atomic, so a pointerless `_vN` can only be
+    * a compaction that crashed BEFORE publishing — a partial Spark
+    * output whose adoption would silently drop the intact legacy data
+    * (the orphan is garbage-collected by the next successful
+    * publish's retention pass, and nextVersionName still numbers
+    * above it so a retry never collides). */
   def resolve(dir: String, component: String, conf: Configuration): String = {
     val fs = fsOf(dir, conf)
     val ptr = new HPath(s"$dir/${pointerFile(component)}")
@@ -159,8 +163,31 @@ object IndexMaintenance {
         } finally in.close()
       }
     fromPtr.map(v => s"$dir/$v")
-      .orElse(latestOnDisk(dir, component, conf).map(v => s"$dir/$v"))
       .getOrElse(s"$dir/$component.parquet")
+  }
+
+  /** Retire a component's versioned state so a REBUILD into the
+    * legacy `<component>.parquet` becomes the live version again:
+    * delete the `_current` pointer and every `<component>_v<N>`
+    * directory. Without this, build() over a previously COMPACTED
+    * index writes data no reader resolves — the pointer still names
+    * the pre-rebuild version and the rebuild is silently invisible
+    * (stale reads under a fresh, valid format marker). Every index's
+    * build() calls it. */
+  def resetComponents(dir: String, components: Seq[String],
+                      conf: Configuration): Unit = {
+    val fs = fsOf(dir, conf)
+    val d = new HPath(dir)
+    if (!fs.exists(d)) return
+    for (component <- components) {
+      val ptr = new HPath(s"$dir/${pointerFile(component)}")
+      if (fs.exists(ptr)) fs.delete(ptr, false)
+      val re = versionRe(component)
+      fs.listStatus(d).toSeq.map(_.getPath.getName).foreach {
+        case v @ re(_) => fs.delete(new HPath(s"$dir/$v"), true)
+        case _ => ()
+      }
+    }
   }
 
   private def latestOnDisk(dir: String, component: String,

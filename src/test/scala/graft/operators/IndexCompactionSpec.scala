@@ -233,4 +233,60 @@ class IndexCompactionSpec extends SparkSpec {
     val out = IncrementalDedup.dedupIncrement(spark, copy, dir).collect()
     assert(out.head.getBoolean(1) && out.head.getLong(2) === probe.getLong(0))
   }
+
+  test("rebuild over a compacted index retires the old version pointers") {
+    val docs = graft.Tables.documents(spark, sf)
+    val corpusA = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+    val corpusB = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+    val dir = tmp("dedup-rebuild")
+    IncrementalDedup.build(spark, corpusA, dir)
+    IncrementalDedup.appendIncrement(spark,
+      docs.filter(pmod(col("doc_id"), lit(50)) === 11), dir)
+    IncrementalDedup.compact(spark, dir, setsPartitions = 4)
+    // REBUILD with a disjoint corpus: the live version must become the
+    // new legacy data, not the stale compacted v1
+    IncrementalDedup.build(spark, corpusB, dir)
+    assert(graft.store.IndexMaintenance.resolve(dir, "signatures", conf)
+      == s"$dir/signatures.parquet", "rebuild did not retire the version pointer")
+    def copyOf(src: org.apache.spark.sql.DataFrame) = {
+      val probe = src.limit(1).collect().head
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          9999999L, probe.getString(1), "en", "probe",
+          probe.getString(1).length.toLong)),
+        docs.schema) -> probe.getLong(0)
+    }
+    // a copy of a B doc matches its B original...
+    val (bCopy, bId) = copyOf(corpusB)
+    val bOut = IncrementalDedup.dedupIncrement(spark, bCopy, dir).collect()
+    assert(bOut.head.getBoolean(1) && bOut.head.getLong(2) == bId)
+    // ...and a copy of an A doc does NOT match (A is gone) — under the
+    // stale pointer it would silently match the pre-rebuild corpus
+    val (aCopy, _) = copyOf(corpusA)
+    val aOut = IncrementalDedup.dedupIncrement(spark, aCopy, dir).collect()
+    assert(!aOut.head.getBoolean(1),
+      "rebuild is invisible: reader still answers from the pre-rebuild index")
+  }
+
+  test("a pointerless orphan version (crashed compaction) is ignored by resolve") {
+    val docs = graft.Tables.documents(spark, sf).limit(40)
+    val dir = tmp("dedup-orphan")
+    IncrementalDedup.build(spark, docs, dir)
+    // simulate a compaction that crashed before publish(): a versioned
+    // directory exists, the pointer does not
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/signatures_v7.parquet"))
+    assert(graft.store.IndexMaintenance.resolve(dir, "signatures", conf)
+      == s"$dir/signatures.parquet",
+      "resolve adopted a never-published partial compaction")
+    // and the index still answers from the intact legacy data
+    val probe = docs.limit(1).collect().head
+    val copy = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        9999999L, probe.getString(1), "en", "probe",
+        probe.getString(1).length.toLong)),
+      graft.Tables.documents(spark, sf).schema)
+    val out = IncrementalDedup.dedupIncrement(spark, copy, dir).collect()
+    assert(out.head.getBoolean(1) && out.head.getLong(2) == probe.getLong(0))
+  }
 }
