@@ -76,16 +76,17 @@ object QualityClassifier {
     * a pure projection (streaming-legal); melted() stacks it, the
     * serving gate walks the tree over it directly. */
   private[operators] def withFeatureCols(docs: DataFrame): DataFrame =
-    TextDedupQueries.gopherRuleCols(docs)
+    // the Keep variant: words / sum_len / n_alpha come straight from
+    // the rule derivation instead of paying the regex tokenization a
+    // second time per document (the melt that every CART depth
+    // re-reads is built from this)
+    TextDedupQueries.gopherRuleColsKeep(docs)
       .withColumn("y",
         when(col("r_word_count") && col("r_mean_len") &&
           col("r_symbol") && col("r_alpha"), 1).otherwise(-1))
-      .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
       .withColumn("nw", col("n_words").cast("long"))
-      .withColumn("sum_len", aggregate(col("words"), lit(0L),
-        (acc, w) => acc + length(w)))
-      .withColumn("n_alphaw",
-        size(expr("filter(words, w -> w rlike '[a-z]')")).cast("long"))
+      .withColumn("sum_len", col("sum_len").cast("long"))
+      .withColumn("n_alphaw", col("n_alpha").cast("long"))
       .withColumn("n_symi",
         (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
           .cast("long") +
@@ -239,7 +240,10 @@ object QualityClassifier {
       .withColumn("pred", pred)
       .drop((Seq("__node", "words", "nw", "sum_len", "n_alphaw", "n_symi",
         "y", "n_words", "r_word_count", "r_mean_len", "r_symbol", "r_alpha",
-        "r_stopwords", "keep") ++ (0 to 6).map(i => s"fv$i")): _*)
+        "r_stopwords", "keep",
+        // the Keep-variant helpers the rule derivation leaves behind
+        "n_alpha", "n_sym", "n_stop_distinct", "mean_wlen", "sym_ratio",
+        "alpha_ratio") ++ (0 to 6).map(i => s"fv$i")): _*)
   }
 
   // ------------------------------------------------------------------

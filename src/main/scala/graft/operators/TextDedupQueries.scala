@@ -186,6 +186,15 @@ object TextDedupQueries {
   }
 
   private[graft] def gopherRuleCols(docs: DataFrame): DataFrame =
+    gopherRuleColsKeep(docs)
+      .drop("words", "sum_len", "n_alpha", "n_sym", "n_stop_distinct",
+        "mean_wlen", "sym_ratio", "alpha_ratio")
+
+  /** [[gopherRuleCols]] WITHOUT the final helper-column drop — for
+    * callers (QualityClassifier's feature melt) that reuse the word
+    * list and length sums instead of paying the regex tokenization a
+    * second time per document. */
+  private[operators] def gopherRuleColsKeep(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", expr("regexp_extract_all(lower(text), '[^ ]+', 0)"))
       .withColumn("n_words", size(col("words")))
@@ -222,8 +231,6 @@ object TextDedupQueries {
       .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
       .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
         col("r_symbol") && col("r_alpha") && col("r_stopwords"))
-      .drop("words", "sum_len", "n_alpha", "n_sym", "n_stop_distinct",
-        "mean_wlen", "sym_ratio", "alpha_ratio")
 
   /** (input minus text, plus g8) — each doc's DISTINCT 8-word-gram
     * array, the decontamination unit. Shared by the batch bloom/exact
