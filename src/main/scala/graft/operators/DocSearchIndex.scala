@@ -92,7 +92,9 @@ object DocSearchIndex {
       dir, Seq("postings", "stats"), conf(s))
     postingsOf(docs).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings.parquet")
+    graft.store.IndexMaintenance.failPoint("bm25-build:postings-written")
     statsOf(docs).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    graft.store.IndexMaintenance.failPoint("bm25-build:stats-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("n_buckets" -> NBuckets.toString), conf(s))
   }
@@ -104,9 +106,13 @@ object DocSearchIndex {
     */
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
     checkFormat(s, dir)
-    postingsOf(shard).write.mode("append")
-      .partitionBy("bucket").parquet(postPath(s, dir))
-    statsOf(shard).write.mode("append").parquet(statsPath(s, dir))
+    graft.store.IndexMaintenance.guardedAppend(
+      dir, Seq("postings", "stats"), conf(s)) {
+      postingsOf(shard).write.mode("append")
+        .partitionBy("bucket").parquet(postPath(s, dir))
+      graft.store.IndexMaintenance.failPoint("bm25-append:postings-written")
+      statsOf(shard).write.mode("append").parquet(statsPath(s, dir))
+    }
   }
 
   /** [[appendIncrement]] plus the bounded-maintenance loop (see
@@ -148,8 +154,17 @@ object DocSearchIndex {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/$statsV")
+    im.failPoint("bm25-compact:data-written")
     im.publish(dir, "postings", postV, c, retainDepth)
+    im.failPoint("bm25-compact:postings-published")
     im.publish(dir, "stats", statsV, c, retainDepth)
+  }
+
+  /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]
+    * — see its reader-lifetime contract). */
+  def vacuum(s: SparkSession, dir: String): Seq[String] = {
+    checkFormat(s, dir)
+    graft.store.IndexMaintenance.vacuum(dir, Seq("postings", "stats"), conf(s))
   }
 
   /** Top-k BM25 against the persisted index — reads only the query

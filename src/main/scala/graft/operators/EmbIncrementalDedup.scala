@@ -84,9 +84,11 @@ object EmbIncrementalDedup {
       dir, Seq("signatures", "vectors"), conf(s))
     signatures(emb, nBands, bits).write.mode("overwrite")
       .partitionBy("band").parquet(s"$dir/signatures.parquet")
+    graft.store.IndexMaintenance.failPoint("emb-build:sigs-written")
     EmbeddingQueries.withNorm(emb)
       .select("vec_id", "embedding", "nrm")
       .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+    graft.store.IndexMaintenance.failPoint("emb-build:vectors-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("bands" -> nBands.toString, "bits" -> bits.toString), conf(s))
   }
@@ -98,11 +100,15 @@ object EmbIncrementalDedup {
                       nBands: Int = Bands, bits: Int = Bits): Unit = {
     graft.GraftExtensions.register(s)
     checkFormat(s, dir, nBands, bits)
-    signatures(shard, nBands, bits).write.mode("append")
-      .partitionBy("band").parquet(sigPath(s, dir))
-    EmbeddingQueries.withNorm(shard)
-      .select("vec_id", "embedding", "nrm")
-      .write.mode("append").parquet(vecPath(s, dir))
+    graft.store.IndexMaintenance.guardedAppend(
+      dir, Seq("signatures", "vectors"), conf(s)) {
+      signatures(shard, nBands, bits).write.mode("append")
+        .partitionBy("band").parquet(sigPath(s, dir))
+      graft.store.IndexMaintenance.failPoint("emb-append:sigs-written")
+      EmbeddingQueries.withNorm(shard)
+        .select("vec_id", "embedding", "nrm")
+        .write.mode("append").parquet(vecPath(s, dir))
+    }
   }
 
   /** [[appendIncrement]] plus the bounded-maintenance loop (see
@@ -159,8 +165,18 @@ object EmbIncrementalDedup {
       .repartitionByRange(nVec, col("vec_id"))
       .sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$dir/$vecV")
+    im.failPoint("emb-compact:data-written")
     im.publish(dir, "signatures", sigV, c, retainDepth)
+    im.failPoint("emb-compact:sigs-published")
     im.publish(dir, "vectors", vecV, c, retainDepth)
+  }
+
+  /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]
+    * — see its reader-lifetime contract). */
+  def vacuum(s: SparkSession, dir: String): Seq[String] = {
+    graft.store.IndexMaintenance.checkMarker(
+      dir, FormatKind, FormatVersion, Map.empty, conf(s))
+    graft.store.IndexMaintenance.vacuum(dir, Seq("signatures", "vectors"), conf(s))
   }
 
   /** The shared core: flag each shard vector whose best exact-verified
@@ -451,8 +467,10 @@ object EmbIncrementalDedup {
         col("s.embedding").as("embedding"), col("s.label").as("label"),
         col("s.ns").as("ns"), col("i.vec_id").as("cand_id"))
       .join(idxVecs, "cand_id")
-      .join( // mineAgainst's guarded label side (counted once, at plan time)
-        if (s.read.parquet(vecPath(s, dir)).count() <= 64000000L)
+      .join( // mineAgainst's guarded label side — sized by counting the
+        // NARROW relation actually broadcast, not by re-scanning the
+        // full vectors component a second time at plan time
+        if (idxLabels.count() <= 64000000L)
           broadcast(idxLabels.toDF("cand_id", "c_label"))
         else idxLabels.toDF("cand_id", "c_label"),
         "cand_id")

@@ -123,6 +123,32 @@ object EmbeddingQueries {
     * trap: a later declaration reads as 0 there). */
   private val HardNegPool = 16
 
+  /** Fail-fast input ceiling for the seven quadratic-by-design /
+    * pinned-constant exact twins (emb_cosine_topk, emb_near_dup,
+    * emb_near_dup_lsh, emb_ann_lsh/ivf/ivfpq, emb_semdedup). These
+    * exist as oracle-replayable baselines; their banding/cell
+    * constants are pinned for the DuckDB replay and their pair space
+    * grows ~n², so a 100 TB caller reaching one by accident should
+    * get an error naming the `_auto` scale path, not a runaway job.
+    * Sized far above oracle/bench scale (sf0.1 = 2 k vectors) and at
+    * the point where 1 M² candidate pairs stop being a sane plan. */
+  val PinnedTwinMaxRows: Long = 1L << 20
+
+  /** Count-and-require gate the pinned registry twins pass their
+    * input through (the [[graft.functions.BruteForceCosine]]
+    * collectBlock `require` discipline, moved BEFORE any collect or
+    * pair join). Returns the input unchanged under the ceiling. */
+  def requirePinnedScale(e: DataFrame, op: String,
+                         scalePath: String): DataFrame = {
+    val n = e.count()
+    require(n <= PinnedTwinMaxRows,
+      s"$op is an exact/pinned-constant twin — quadratic by design — " +
+        s"and its input has $n rows (ceiling $PinnedTwinMaxRows). Use " +
+        s"$scalePath: corpus-sized banding keeps candidate volume " +
+        "~linear in n.")
+    e
+  }
+
   /** Prototypes kept per cluster by emb_cluster_sample. */
   private val ProtoK = 4
 
@@ -1240,7 +1266,9 @@ object EmbeddingQueries {
     // blocked broadcast kernel; CosineTopKSpec asserts row-for-row
     // equality with the declarative twin [[cosineTopKPlan]].
     Q("emb_cosine_topk",
-      (s, d) => graft.functions.BruteForceCosine.topK(s, Tables.embeddings(s, d), 5),
+      (s, d) => graft.functions.BruteForceCosine.topK(s,
+        requirePinnedScale(Tables.embeddings(s, d), "emb_cosine_topk",
+          "emb_ann_ivf_topk / emb_ann_ivfpq_topk"), 5),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1260,7 +1288,8 @@ object EmbeddingQueries {
     // Embedding near-dup: pairs above a high cosine threshold —
     // the "semantic dedup" filter of LLM-corpus pipelines.
     Q("emb_near_dup",
-      (s, d) => nearDupExact(s, Tables.embeddings(s, d), 0.95),
+      (s, d) => nearDupExact(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_near_dup", "emb_near_dup_lsh_auto"), 0.95),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1281,7 +1310,8 @@ object EmbeddingQueries {
     // EmbeddingNearDupSpec — the driver testdata has no cos ≥ 0.95
     // pairs, so this oracle checks schema/emptiness only.
     Q("emb_near_dup_lsh",
-      (s, d) => nearDupLsh(s, Tables.embeddings(s, d), 0.95),
+      (s, d) => nearDupLsh(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_near_dup_lsh", "emb_near_dup_lsh_auto"), 0.95),
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
                       sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1319,7 +1349,8 @@ object EmbeddingQueries {
     // re-rank pipeline is mirrored CTE by CTE — so the approximate
     // operator is hash-verified end to end, not just floor-pinned.
     Q("emb_ann_lsh",
-      (s, d) => annLshTop1(s, Tables.embeddings(s, d)),
+      (s, d) => annLshTop1(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_ann_lsh", "emb_ann_lsh_auto")),
       Some(annLshOracleSql(AnnLshBands, AnnLshBits, AnnLshProbes))),
 
     // Corpus-sized twin: hash width AND recall budget derived from the
@@ -1349,7 +1380,8 @@ object EmbeddingQueries {
     // boundary. The candidate join stays per-cell (O(n²·nProbe/k)),
     // re-ranked by exact cosine.
     Q("emb_ann_ivf",
-      (s, d) => annIvfTop1(s, Tables.embeddings(s, d)),
+      (s, d) => annIvfTop1(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_ann_ivf", "emb_ann_ivf_auto")),
       Some(annIvfOracleSql(IvfCells, IvfIters, IvfProbes))),
 
     // Corpus-sized twin (see ivfCellsFor / ivfProbesFor): cells ~√n
@@ -1421,7 +1453,8 @@ object EmbeddingQueries {
     // n·PqRerank pairs. Every stage replayed in the DuckDB oracle,
     // including all nine quantizer fits.
     Q("emb_ann_ivfpq",
-      (s, d) => annIvfPqTop1(s, Tables.embeddings(s, d)),
+      (s, d) => annIvfPqTop1(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_ann_ivfpq", "emb_ann_ivfpq_auto")),
       Some(annIvfPqOracleSql(IvfCells, IvfIters, IvfProbes, IvfSampleN, PqRerank))),
 
     // Corpus-sized twin: coarse cells/probes/sample scale with n via
@@ -1472,7 +1505,8 @@ object EmbeddingQueries {
     // doc_neardup_clusters' "turn pairs into a dedup decision", with
     // the pair space bounded by k-means cells instead of LSH bands.
     Q("emb_semdedup",
-      (s, d) => semDedup(s, Tables.embeddings(s, d)),
+      (s, d) => semDedup(s, requirePinnedScale(Tables.embeddings(s, d),
+        "emb_semdedup", "emb_semdedup_auto")),
       Some(semDedupOracleSql(IvfCells, IvfIters, IvfSampleN, SemDedupTau))),
 
     // Corpus-sized twin: cells ~√n via the shared ivfCellsFor (per-cell

@@ -110,8 +110,10 @@ object IncrementalDedup {
       dir, Seq("signatures", "sets"), conf(s))
     signatures(docs).write.mode("overwrite")
       .partitionBy("band").parquet(s"$dir/signatures.parquet")
+    graft.store.IndexMaintenance.failPoint("dedup-build:sigs-written")
     shingleSets(docs).transform(shToBinary)
       .write.mode("overwrite").parquet(s"$dir/sets.parquet")
+    graft.store.IndexMaintenance.failPoint("dedup-build:sets-written")
     graft.store.IndexMaintenance.writeMarker(
       dir, FormatKind, FormatVersion, formatProps, conf(s))
   }
@@ -124,10 +126,14 @@ object IncrementalDedup {
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
     graft.GraftExtensions.register(s)
     checkFormat(s, dir)
-    signatures(shard).write.mode("append")
-      .partitionBy("band").parquet(sigPath(s, dir))
-    shingleSets(shard).transform(shToBinary)
-      .write.mode("append").parquet(setsPath(s, dir))
+    graft.store.IndexMaintenance.guardedAppend(
+      dir, Seq("signatures", "sets"), conf(s)) {
+      signatures(shard).write.mode("append")
+        .partitionBy("band").parquet(sigPath(s, dir))
+      graft.store.IndexMaintenance.failPoint("dedup-append:sigs-written")
+      shingleSets(shard).transform(shToBinary)
+        .write.mode("append").parquet(setsPath(s, dir))
+    }
   }
 
   /** [[appendIncrement]] plus the bounded-maintenance loop: compact
@@ -187,8 +193,17 @@ object IncrementalDedup {
       .repartitionByRange(nSets, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$dir/$setsV")
+    im.failPoint("dedup-compact:data-written")
     im.publish(dir, "signatures", sigV, c, retainDepth)
+    im.failPoint("dedup-compact:sigs-published")
     im.publish(dir, "sets", setsV, c, retainDepth)
+  }
+
+  /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]
+    * — see its reader-lifetime contract). */
+  def vacuum(s: SparkSession, dir: String): Seq[String] = {
+    checkFormat(s, dir)
+    graft.store.IndexMaintenance.vacuum(dir, Seq("signatures", "sets"), conf(s))
   }
 
   /** The shared core: flag each shard doc whose best verified match —

@@ -203,19 +203,16 @@ object MultimodalQueries {
       (s, d) => {
         Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          // the PCM derivation below indexes UTF-16 code units
-          // (split(text, '')) while the oracle's substr() indexes code
-          // points — identical only on single-byte text, so the
-          // assumption is ASSERTED at the boundary, not hoped:
-          // length = octet_length ⟺ every code point < 0x80 (ASCII),
-          // where code units ≡ code points and size(cs) ≡ length(text).
-          // assert_true is codegen'd, NULL on pass (filter keeps every
-          // row), raises on the first multi-byte doc instead of
-          // silently diverging on surrogate halves.
-          .filter(assert_true(length(col("text")) === octet_length(col("text")),
-            lit("mm_audio_features: PCM derivation assumes single-byte " +
-              "(ASCII) text; multi-byte corpus needs a code-point sampler"))
-            .isNull)
+          // CODE-POINT sampler, both engines: Spark's split(text, '')
+          // keeps surrogate pairs whole (Java regex zero-width matches
+          // never split a pair), length() counts code points
+          // (UTF8String.numChars), and ascii() returns the full code
+          // point of the first character — all verified against this
+          // Spark build; DuckDB's substr/length/ascii are code-point
+          // functions too, so sample[i] agrees on multi-byte corpora
+          // (MultimodalOpsSpec pins a non-BMP fixture). The round-11
+          // ASCII assert guarded a UTF-16-unit divergence that this
+          // Spark version does not have.
           .select(col("doc_id").as("media_id"),
             least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
             col("text"))
@@ -392,12 +389,10 @@ object MultimodalQueries {
         import org.apache.spark.sql.expressions.Window
         val clips = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(3)) === 1 && length(col("text")) > 0)
-          // same single-byte boundary assert as mm_audio_features (the
-          // char-array PCM derivation is shared)
-          .filter(assert_true(length(col("text")) === octet_length(col("text")),
-            lit("mm_voice_segments: PCM derivation assumes single-byte " +
-              "(ASCII) text; multi-byte corpus needs a code-point sampler"))
-            .isNull)
+          // same code-point PCM derivation as mm_audio_features —
+          // split/length/ascii are code-point functions in BOTH
+          // engines (see the note there; non-BMP fixture pinned in
+          // MultimodalOpsSpec)
           .select(col("doc_id").as("media_id"),
             least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
             split(col("text"), "").as("cs"))

@@ -71,6 +71,7 @@ object TrigramIndex {
       dir, Seq("postings"), conf(s))
     postingsOf(docs).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/postings.parquet")
+    graft.store.IndexMaintenance.failPoint("tri-build:data-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("n_buckets" -> NBuckets.toString), conf(s))
   }
@@ -79,8 +80,10 @@ object TrigramIndex {
     * compacted version when one exists). */
   def appendIncrement(s: SparkSession, shard: DataFrame, dir: String): Unit = {
     checkFormat(s, dir)
-    postingsOf(shard).write.mode("append")
-      .partitionBy("bucket").parquet(postPath(s, dir))
+    graft.store.IndexMaintenance.guardedAppend(dir, Seq("postings"), conf(s)) {
+      postingsOf(shard).write.mode("append")
+        .partitionBy("bucket").parquet(postPath(s, dir))
+    }
   }
 
   /** [[appendIncrement]] plus the bounded-maintenance loop (the
@@ -108,15 +111,32 @@ object TrigramIndex {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "tri", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")
+    im.failPoint("tri-compact:data-written")
     im.publish(dir, "postings", postV, c, retainDepth)
   }
 
+  /** Reclaim superseded postings versions ([[graft.store.IndexMaintenance.vacuum]]
+    * — see its reader-lifetime contract). */
+  def vacuum(s: SparkSession, dir: String): Seq[String] = {
+    checkFormat(s, dir)
+    graft.store.IndexMaintenance.vacuum(dir, Seq("postings"), conf(s))
+  }
+
   /** The pattern's distinct trigrams — the SAME derivation the
-    * postings use, in plain Scala. */
+    * postings use, in plain Scala. Spark's `substring`/`length`
+    * address CODE POINTS (UTF8String walks UTF-8 char boundaries), so
+    * this walks by code point too: a UTF-16 `sliding(3)` would split
+    * surrogate pairs on supplementary-plane patterns, derive trigrams
+    * the postings never contain, and silently shrink the candidate
+    * set (verification only removes candidates — lost matches). */
   def trigramsOf(pattern: String): Seq[String] = {
-    require(pattern.length >= 3,
+    val n = pattern.codePointCount(0, pattern.length)
+    require(n >= 3,
       s"substring search needs a pattern of >= 3 chars, got '$pattern'")
-    pattern.sliding(3).toSeq.distinct
+    (0 until (n - 2)).map { i =>
+      val a = pattern.offsetByCodePoints(0, i)
+      pattern.substring(a, pattern.offsetByCodePoints(a, 3))
+    }.distinct
   }
 
   /** Exact substring search against the persisted index: reads only

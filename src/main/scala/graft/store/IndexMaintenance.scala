@@ -40,6 +40,19 @@ object IndexMaintenance {
 
   private val MarkerFile = "_format.json"
 
+  /** Test-only fail-point seam (the etcd/TiKV failpoint pattern):
+    * every maintenance operation calls [[failPoint]] at each file-op
+    * boundary — after a metadata delete, between component data
+    * writes, before/after a pointer flip. Production default is a
+    * no-op; IndexCrashPropertySpec installs a throwing hook to
+    * simulate a process crash at EVERY boundary mechanically (round
+    * 12 found two real lifecycle bugs only by manual review — this is
+    * the mechanization). Hooks must be one-shot or re-entrant: a
+    * crashed operation leaves on-disk state exactly as a killed
+    * process would. */
+  @volatile private[graft] var failPointHook: String => Unit = _ => ()
+  @inline def failPoint(label: String): Unit = failPointHook(label)
+
   private def fsOf(dir: String, conf: Configuration): FileSystem =
     FileSystem.get(new java.net.URI(dir), conf)
 
@@ -168,25 +181,99 @@ object IndexMaintenance {
 
   /** Retire a component's versioned state so a REBUILD into the
     * legacy `<component>.parquet` becomes the live version again:
-    * delete the `_current` pointer and every `<component>_v<N>`
-    * directory. Without this, build() over a previously COMPACTED
-    * index writes data no reader resolves — the pointer still names
-    * the pre-rebuild version and the rebuild is silently invisible
-    * (stale reads under a fresh, valid format marker). Every index's
-    * build() calls it. */
+    * delete the FORMAT MARKER first, then the `_current` pointers and
+    * every `<component>_v<N>` directory. Without the pointer
+    * retirement, build() over a previously COMPACTED index writes
+    * data no reader resolves — the pointer still names the
+    * pre-rebuild version and the rebuild is silently invisible.
+    * The marker goes FIRST for crash safety: build() re-writes it as
+    * its LAST step, so a rebuild that dies anywhere in between leaves
+    * an unmarked directory that readers and appenders REJECT
+    * ("rebuild" fail-fast) — under a surviving marker they would
+    * silently read the partial overwrite (the crash property pins
+    * this). Every index's build() calls it. */
   def resetComponents(dir: String, components: Seq[String],
                       conf: Configuration): Unit = {
     val fs = fsOf(dir, conf)
     val d = new HPath(dir)
     if (!fs.exists(d)) return
+    val marker = new HPath(s"$dir/$MarkerFile")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    failPoint("reset:marker-removed")
     for (component <- components) {
       val ptr = new HPath(s"$dir/${pointerFile(component)}")
       if (fs.exists(ptr)) fs.delete(ptr, false)
+      failPoint(s"reset:pointer-removed:$component")
       val re = versionRe(component)
       fs.listStatus(d).toSeq.map(_.getPath.getName).foreach {
-        case v @ re(_) => fs.delete(new HPath(s"$dir/$v"), true)
+        case v @ re(_) =>
+          fs.delete(new HPath(s"$dir/$v"), true)
+          failPoint(s"reset:version-removed:$component")
         case _ => ()
       }
+    }
+  }
+
+  /** Reclaim every superseded version of `components` at `dir`,
+    * keeping ONLY the live version each `_current` pointer names (or
+    * the legacy `<component>.parquet` when no pointer exists).
+    * [[publish]] already bounds retention at `retainDepth` rewrites;
+    * vacuum is the explicit reclaim entry point — the
+    * EventStore.vacuum / SharedLog.vacuum analogue the index family
+    * was missing — for pipelines that want superseded space back NOW
+    * instead of after the next rewrite. Reader-lifetime contract
+    * (stricter than publish's): every in-flight scan must have
+    * resolved the CURRENT live version — a scan still reading a
+    * superseded version hits missing files and must re-run after
+    * re-resolving. Run it only when no scan older than the last
+    * compaction is in flight. Returns the directories deleted. */
+  def vacuum(dir: String, components: Seq[String],
+             conf: Configuration): Seq[String] = {
+    val fs = fsOf(dir, conf)
+    val d = new HPath(dir)
+    if (!fs.exists(d)) return Nil
+    components.flatMap { component =>
+      val liveName = resolve(dir, component, conf).stripPrefix(s"$dir/")
+      val re = versionRe(component)
+      val legacy = s"$component.parquet"
+      fs.listStatus(d).toSeq.map(_.getPath.getName).filter { name =>
+        val versioned = name match { case re(_) => true; case _ => false }
+        (versioned || name == legacy) && name != liveName
+      }.map { name =>
+        fs.delete(new HPath(s"$dir/$name"), true)
+        failPoint(s"vacuum:deleted:$component")
+        name
+      }
+    }
+  }
+
+  /** Run `write` (an append into the resolved live version of
+    * `components`) and verify no `_current` pointer moved while it
+    * ran. Append and compaction MUST be issued by one writer — the
+    * [[compactionDue]]-driven `appendAndMaybeCompact` ingest loop is
+    * sequential by construction; the MVCC pointer protects READERS
+    * only. If another process published a compaction mid-append, the
+    * increment landed in the superseded version, is excluded from the
+    * new live version, and would be deleted once it fell past
+    * `retainDepth` — silent data loss. This guard turns that violated
+    * single-writer assumption into a fail-fast error; the caller
+    * re-appends the shard (it is not in the live version). */
+  def guardedAppend(dir: String, components: Seq[String],
+                    conf: Configuration)(write: => Unit): Unit = {
+    val before = components.map(c => resolve(dir, c, conf))
+    write
+    val after = components.map(c => resolve(dir, c, conf))
+    if (before != after) {
+      val moved = components.indices.collect {
+        case i if before(i) != after(i) =>
+          s"${components(i)}: ${before(i)} -> ${after(i)}"
+      }
+      throw new IllegalStateException(
+        s"concurrent compaction published during an append at $dir " +
+          s"(${moved.mkString("; ")}). Append and compact must run from " +
+          "a single writer (the appendAndMaybeCompact loop); the " +
+          "increment landed in a superseded version and is NOT in the " +
+          "live index — re-append this shard.")
     }
   }
 
@@ -235,8 +322,10 @@ object IndexMaintenance {
         } finally in.close()
       }
     }
+    failPoint(s"publish:before-flip:$component")
     AtomicFs.atomicWrite(fs, conf, new HPath(s"$dir/${pointerFile(component)}"),
       newVer.getBytes("UTF-8"))
+    failPoint(s"publish:after-flip:$component")
     val legacy = s"$component.parquet"
     val re = versionRe(component)
     val predecessors = // youngest-first, legacy oldest
@@ -248,6 +337,7 @@ object IndexMaintenance {
       predecessors.take(math.max(retainDepth, 0))
     (predecessors.filterNot(keep)).foreach { v =>
       fs.delete(new HPath(s"$dir/$v"), true)
+      failPoint(s"publish:retention-deleted:$component")
     }
   }
 

@@ -156,4 +156,23 @@ class AnnAutoSizeSpec extends SparkSpec {
     assert(autoPq.toSeq === pinnedPq.toSeq)
     assert(graft.SparkEntry.queries("emb_ann_ivfpq_auto")(spark, sf).count() === 500L)
   }
+
+  test("pinned exact twins fail fast above the scale ceiling, naming the _auto path") {
+    import org.apache.spark.sql.functions._
+    // a frame one row over the ceiling — count() never evaluates the
+    // embedding projection, so this is instant
+    val big = spark.range(EmbeddingQueries.PinnedTwinMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingQueries.requirePinnedScale(big, "emb_near_dup",
+        "emb_near_dup_lsh_auto")
+    }
+    assert(e.getMessage.contains("emb_near_dup_lsh_auto"))
+    assert(e.getMessage.contains("quadratic"))
+    // under the ceiling: identity
+    val small = spark.range(10).select(col("id").as("vec_id"))
+    assert(EmbeddingQueries.requirePinnedScale(small, "x", "y")
+      .count() === 10L)
+  }
 }

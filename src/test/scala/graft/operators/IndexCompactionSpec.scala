@@ -268,6 +268,56 @@ class IndexCompactionSpec extends SparkSpec {
       "rebuild is invisible: reader still answers from the pre-rebuild index")
   }
 
+  test("vacuum reclaims superseded versions now; the live version still answers") {
+    val docs = graft.Tables.documents(spark, sf).limit(120)
+    val dir = tmp("dedup-vacuum")
+    IncrementalDedup.build(spark, docs, dir)
+    IncrementalDedup.compact(spark, dir, setsPartitions = 2)
+    // retainDepth kept the legacy predecessor for in-flight readers;
+    // capture a reader plan pinned to it BEFORE the reclaim
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/signatures.parquet")))
+    val stalePlan = spark.read.parquet(s"$dir/signatures.parquet")
+
+    val deleted = IncrementalDedup.vacuum(spark, dir)
+    assert(deleted.toSet == Set("signatures.parquet", "sets.parquet"),
+      s"vacuum should reclaim exactly the superseded legacy dirs, got $deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/signatures.parquet")))
+    // the live compacted version survives and still answers exactly
+    val probe = docs.limit(1).collect().head
+    val copy = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        9999999L, probe.getString(1), "en", "probe",
+        probe.getString(1).length.toLong)),
+      graft.Tables.documents(spark, sf).schema)
+    val out = IncrementalDedup.dedupIncrement(spark, copy, dir).collect()
+    assert(out.head.getBoolean(1) && out.head.getLong(2) == probe.getLong(0))
+    // the reader-lifetime contract: a scan that resolved a superseded
+    // version BEFORE vacuum fails on its next read (and must re-resolve)
+    intercept[Exception] { stalePlan.count() }
+    // idempotent: a second vacuum finds nothing
+    assert(IncrementalDedup.vacuum(spark, dir).isEmpty)
+  }
+
+  test("guardedAppend fails fast when a compaction publishes mid-append") {
+    val im = graft.store.IndexMaintenance
+    val dir = tmp("guarded-append")
+    // quiet write: passes through
+    im.guardedAppend(dir, Seq("postings"), conf) { () }
+    // a concurrent compact flips the pointer while the append runs:
+    // the increment landed in the superseded version — must throw,
+    // naming the recovery (re-append), not silently lose the shard
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val e = intercept[IllegalStateException] {
+      im.guardedAppend(dir, Seq("postings"), conf) {
+        im.publish(dir, "postings", "postings_v1.parquet", conf)
+      }
+    }
+    assert(e.getMessage.contains("re-append"))
+    assert(e.getMessage.contains("postings"))
+  }
+
   test("a pointerless orphan version (crashed compaction) is ignored by resolve") {
     val docs = graft.Tables.documents(spark, sf).limit(40)
     val dir = tmp("dedup-orphan")

@@ -91,6 +91,61 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("mm_audio_features / mm_voice_segments: non-BMP corpus samples by code point") {
+    import spark.implicits._
+    // multi-byte fixture: Latin-1 accents (2-byte UTF-8), CJK (3-byte),
+    // and a supplementary-plane emoji (4-byte, a UTF-16 surrogate
+    // PAIR). Both engines' substr/length/ascii/split are code-point
+    // functions, so the PCM derivation must agree with a plain
+    // code-point recompute — a UTF-16-unit sampler would split the
+    // surrogate pair and diverge on docs 1 and 4.
+    val g = new String(Character.toChars(0x1F600))
+    val rows = Seq(
+      (1L, s"héllo wörld $g test padding to reach enough points $g", "xx", "audio"),
+      (2L, "日本語のテキストです、これはもっと長いテキストです日本語", "ja", "audio"),
+      (4L, s"a${g}b${g}c mixed voice clip with plenty of code points here", "xx", "audio"),
+      (6L, "plain ascii control document for the same pipeline run", "en", "audio"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.codePointCount(0, t.length).toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-nonbmp").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def cps(t: String): Array[Int] = t.codePoints.toArray
+    def samplesOf(t: String): Array[Int] = {
+      val c = cps(t)
+      Array.tabulate(math.min(c.length * 2, 2048))(i => c(i % c.length) - 96)
+    }
+
+    val audio = Registry.byName("mm_audio_features").run(spark, dir).collect()
+    assert(audio.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 6L))
+    for (r <- audio) {
+      val t = rows.find(_._1 == r.getLong(0)).get._2
+      val s = samplesOf(t)
+      assert(r.getInt(1) == s.length)
+      val rms = BigDecimal(math.sqrt(s.map(x => x.toLong * x).sum.toDouble / s.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == rms, s"rms mismatch for non-BMP doc ${r.getLong(0)}")
+      assert(r.getInt(3) == s.map(math.abs).max)
+      assert(r.getInt(4) == (1 until s.length).count(i => s(i - 1) * s(i) < 0))
+    }
+
+    val voice = Registry.byName("mm_voice_segments").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val expected = (for {
+      (id, t, _, _, _) <- rows if id % 3 == 1
+      s = samplesOf(t) if s.length >= 64
+      energies = (0 until s.length / 64).map { w =>
+        (64 * w until 64 * w + 64).map(i => s(i).toLong * s(i)).sum
+      }
+      voiced = energies.zipWithIndex.filter(_._1 >= 58000L).map(_._2)
+      (_, ws) <- voiced.zipWithIndex.groupBy { case (w, rn) => w - rn }
+      sorted = ws.map(_._1).sorted
+    } yield (id, sorted.head, sorted.last, sorted.length,
+      sorted.map(energies(_)).sum)).sortBy(t => (t._1, t._2))
+    assert(voice.toSeq == expected)
+    assert(voice.nonEmpty, "fixture must produce at least one voiced segment")
+  }
+
   test("mm_text_image_pairs: a planted image-caption pair is found; an unpaired image stays absent") {
     import spark.implicits._
     // planted corpus: doc 3 is an IMAGE (doc_id % 3 = 0) whose raster

@@ -123,6 +123,29 @@ class TrigramIndexSpec extends SparkSpec {
       TrigramIndex.trigramsOf("ab")
     }
   }
+
+  test("pattern trigrams are derived by code point, matching the postings") {
+    import spark.implicits._
+    // U+1F600 is ONE code point but TWO UTF-16 units: a sliding(3)
+    // over UTF-16 would split the surrogate pair and derive trigrams
+    // the (code-point-addressed) Spark postings never contain
+    val g = new String(Character.toChars(0x1F600))
+    val pattern = s"a${g}b$g" // 4 code points -> exactly 2 trigrams
+    assert(TrigramIndex.trigramsOf(pattern) == Seq(s"a${g}b", s"${g}b$g"))
+    // a 3-code-point pattern passes the length gate even though its
+    // UTF-16 length is 6
+    assert(TrigramIndex.trigramsOf(s"$g$g$g") == Seq(s"$g$g$g"))
+
+    // end-to-end: a supplementary-plane pattern round-trips the index
+    val docs = Seq((1L, s"xx a${g}b$g yy"), (2L, "plain ascii text"),
+      (3L, s"$g$g$g$g")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri-cp").toString
+    TrigramIndex.build(spark, docs, dir)
+    assert(TrigramIndex.search(spark, dir, docs, pattern)
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(TrigramIndex.search(spark, dir, docs, s"$g$g$g")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
 }
 
 case class PatternArrival(query_id: Long, pattern: String, ingest_ts: java.sql.Timestamp)
