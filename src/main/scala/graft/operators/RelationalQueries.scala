@@ -907,26 +907,31 @@ object RelationalQueries {
     // order exists and the running values are engine-order-dependent.
     Q("w3_running_sum",
       (s, d) => {
-        val w = Window.partitionBy("l_suppkey")
-          .orderBy("first_ship", "l_orderkey", "l_linenumber")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // ONE data shuffle: hash-partitioning on l_suppkey alone
-        // satisfies both the 3-key aggregation (a subset partitioning
-        // still co-locates every group) and the window's
-        // partitionBy(l_suppkey) — without the explicit repartition
-        // the plan exchanges the full set twice (groupBy keys, then
-        // window key): 35.9 MB vs 21.7 MB at sf0.1 by the bench's
-        // shuffle_mb metric (the remainder is the contractual
-        // presentation sort). Projected first so only 5 columns ship.
-        Tables.lineitem(s, d)
+        // ONE data shuffle total (was two + a WindowExec): a RANGE
+        // partitioning on l_suppkey alone (a) satisfies the 3-key
+        // aggregation's clustering (subset partitioning co-locates
+        // every group), (b) puts each suppkey's rows WHOLE into one
+        // partition, so the running sum is GlobalIndex's streaming
+        // reset-on-key pass — no WindowExec buffering — and (c) leaves
+        // the output key-major range-ordered, so the contractual
+        // presentation order (l_suppkey, l_orderkey, l_linenumber) is
+        // a partition-LOCAL re-sort, not a second global exchange.
+        // Quantities ride as exact cents (decimal(18,2)·100 → long);
+        // the final /100.0 double equals DuckDB's decimal→double cast
+        // (both correctly rounded from the same rational).
+        val agg = Tables.lineitem(s, d)
           .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-          .repartition(col("l_suppkey"))
+          .repartitionByRange(col("l_suppkey"))
           .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
           .agg(sum(dec2(col("l_quantity"))).as("qty"),
                min(col("l_shipdate")).as("first_ship"))
-          .withColumn("running_qty", sum(col("qty")).over(w).cast("double"))
+          .withColumn("qc", (col("qty") * 100).cast("long"))
+        graft.store.GlobalIndex.withKeyedRunningSum(agg, Seq("l_suppkey"),
+            Seq(col("first_ship"), col("l_orderkey"), col("l_linenumber")),
+            "qc", "rqc", partitionByKey = false)
+          .withColumn("running_qty", col("rqc").cast("double") / 100.0)
           .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(sum(qty) OVER (

@@ -30,6 +30,58 @@ object GlobalIndex {
       .drop(w)
   }
 
+  /** Adds `sumCol` = INCLUSIVE running sum of `weightCol` (LongType)
+    * over `orderCols` WITHIN each `keyCols` group — the scalable form
+    * of `sum(w) OVER (PARTITION BY k ORDER BY o ROWS UNBOUNDED
+    * PRECEDING)`. A range partitioning on the KEY columns alone puts
+    * every key's rows whole into one partition (RangePartitioner maps
+    * equal keys to one side of a bound), so the running sum is a
+    * partition-local sort plus ONE streaming pass that resets its
+    * accumulator on key change — no WindowExec buffering, and the
+    * output layout stays key-major range-ordered, so a key-prefixed
+    * presentation order needs only a `sortWithinPartitions`, not
+    * another global exchange.
+    *
+    * `partitionByKey = false` skips the range exchange: the caller
+    * GUARANTEES `df` is already partitioned with each key's rows in
+    * one partition, in range order (e.g. the same
+    * `repartitionByRange(keys)` also fed a groupBy whose clustering
+    * it satisfies — one exchange serving both operators). Passing an
+    * unpartitioned frame with `false` silently computes per-partition
+    * sums — the contract is on the caller.
+    */
+  def withKeyedRunningSum(df: DataFrame, keyCols: Seq[String],
+                          orderCols: Seq[Column], weightCol: String,
+                          sumCol: String,
+                          partitionByKey: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val widx = df.schema.fieldIndex(weightCol)
+    require(df.schema(widx).dataType ==
+      org.apache.spark.sql.types.LongType, s"$weightCol must be LongType")
+    val kidx = keyCols.map(df.schema.fieldIndex)
+    val part =
+      if (partitionByKey)
+        df.repartitionByRange(
+          math.max(spark.sparkContext.defaultParallelism, 1),
+          keyCols.map(col): _*)
+      else df
+    val sorted = part.sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        sumCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val summed = sorted.rdd.mapPartitions { rows =>
+      var cur: Seq[Any] = null
+      var acc = 0L
+      rows.map { r =>
+        val k = kidx.map(r.get)
+        if (cur == null || k != cur) { cur = k; acc = 0L }
+        acc += r.getLong(widx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(summed, schema)
+  }
+
   /** Adds `sumCol` = base + EXCLUSIVE prefix sum of `weightCol` (must
     * be LongType) over the total order given by `sortCols` — the
     * weighted generalization of [[withOrderedIndex]] (which is the

@@ -46,6 +46,28 @@ class GlobalIndexSpec extends SparkSpec with graft.testkit.TestKitReported {
     assert(mismatch.count() === 0L)
   }
 
+  test("keyed running sum equals the partitioned window form, keys never split") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), (col("o_orderkey") % 7).as("w"))
+    val viaWindow = orders.withColumn("rs",
+      sum("w").over(Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val viaKeyed = GlobalIndex.withKeyedRunningSum(orders, Seq("o_custkey"),
+      Seq(col("o_orderkey").asc), "w", "rs2")
+    val mismatch = viaWindow.select("o_custkey", "o_orderkey", "rs")
+      .join(viaKeyed.select(col("o_custkey"), col("o_orderkey"), col("rs2")),
+        Seq("o_custkey", "o_orderkey"))
+      .filter(col("rs") =!= col("rs2"))
+    assert(mismatch.count() === 0L)
+    // the range partitioning must keep every key whole (the streaming
+    // reset's correctness precondition) and still use >1 partition
+    val spread = viaKeyed
+      .select(col("o_custkey"), spark_partition_id().as("pid"))
+      .groupBy("o_custkey").agg(countDistinct("pid").as("nparts"))
+    assert(spread.filter(col("nparts") > 1).count() === 0L, "a key spans partitions")
+    assert(viaKeyed.select(spark_partition_id()).distinct().count() > 1L)
+  }
+
   test("result is spread across multiple partitions (no single-task sort)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey")
