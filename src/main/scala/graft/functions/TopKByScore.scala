@@ -46,7 +46,28 @@ final case class Scored(score: Double, id: Long)
   */
 final case class TopKHeap(var n: Int, scores: Array[Double], ids: Array[Long])
 
-final class TopKByScore(k: Int) extends Aggregator[Scored, TopKHeap, Seq[Scored]] {
+/** `distinctPairs = true` makes the aggregate idempotent to EXACT
+  * duplicate (score, id) inputs: an incoming pair already present in
+  * the heap is skipped (O(n ≤ k) scan — used only by the small-k
+  * persisted-index search paths). This is sound, not best-effort: a
+  * duplicate whose twin was EVICTED is rejected by the same strict
+  * competitiveness test that evicted the twin (worse() is a total
+  * order), so a pair can never occupy two slots. Exists for the
+  * at-least-once ingest story — a re-appended shard duplicates index
+  * vector rows, the candidate join fans out, and without this the
+  * same neighbor would fill multiple top-k slots until compaction
+  * dedups the component. */
+final class TopKByScore(k: Int, distinctPairs: Boolean = false)
+  extends Aggregator[Scored, TopKHeap, Seq[Scored]] {
+
+  @inline private def containsPair(h: TopKHeap, score: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < h.n) {
+      if (h.ids(i) == id && h.scores(i) == score) return true
+      i += 1
+    }
+    false
+  }
 
   // a is WORSE than b in the keep-order (score desc, id asc) — i.e. a
   // would be evicted before b.
@@ -97,7 +118,8 @@ final class TopKByScore(k: Int) extends Aggregator[Scored, TopKHeap, Seq[Scored]
   }
 
   @inline private def offer(h0: TopKHeap, score: Double, id: Long): TopKHeap = {
-    if (h0.n < k) {
+    if (distinctPairs && containsPair(h0, score, id)) h0
+    else if (h0.n < k) {
       val h = ensureRoom(h0)
       h.scores(h.n) = score; h.ids(h.n) = id
       h.n += 1
@@ -143,6 +165,13 @@ object TopKByScore {
     */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKByScore(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+      .apply(score, id)
+
+  /** [[topK]] idempotent to exact duplicate (score, id) pairs — the
+    * persisted-index search paths' form (see the class note). */
+  def topKDistinct(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKByScore(k, distinctPairs = true),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
       .apply(score, id)
 
   private val FallbackKey =

@@ -146,12 +146,23 @@ object DocSearchIndex {
     val im = graft.store.IndexMaintenance
     val postV = im.nextVersionName(dir, "postings", c)
     s.read.parquet(postPath(s, dir))
+      // heal the exact-duplicate rows an at-least-once re-appended
+      // shard leaves (readers are duplicate-immune — MAX tf, distinct
+      // df — but the bloat should not survive a rewrite)
+      .distinct()
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")
     val statsV = im.nextVersionName(dir, "stats", c)
-    s.read.parquet(statsPath(s, dir))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // recompute stats FROM the deduped postings instead of summing
+    // the shard rows: every doc carries >= 1 posting row (split of
+    // even an empty text is [""]) with its dl on each, so this is
+    // exact — and it makes compaction SELF-HEALING for a duplicated
+    // shard's stats row, which no row-level dedup could fix (two
+    // honest shards may legitimately have identical (n_docs, sum_dl))
+    s.read.parquet(s"$dir/$postV")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/$statsV")
     im.failPoint("bm25-compact:data-written")
@@ -194,9 +205,12 @@ object DocSearchIndex {
       (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double"))
         .as("avgdl"))
     // per-term document frequency from the pruned postings (a (term,
-    // doc) posting exists iff tf > 0, so count(*) = df)
+    // doc) posting exists iff tf > 0). count DISTINCT doc_id, not
+    // rows: a crash-recovery re-append duplicates a shard's posting
+    // rows until the next compaction, and a row count would inflate
+    // df (tf is already duplicate-immune via MAX below)
     val dfAggs = terms.zipWithIndex.map { case (t, i) =>
-      count(when(col("term") === t, 1)).cast("double").as(s"df$i")
+      count_distinct(when(col("term") === t, col("doc_id"))).cast("double").as(s"df$i")
     }
     val dfs = p.agg(dfAggs.head, dfAggs.tail: _*)
     // pivot the query terms back to columns so the score folds in

@@ -157,11 +157,16 @@ object EmbIncrementalDedup {
       else s.conf.get("spark.sql.shuffle.partitions").toInt
     val sigV = im.nextVersionName(dir, "signatures", c)
     s.read.parquet(sigPath(s, dir))
+      // heal an at-least-once re-appended shard's duplicate rows
+      // (readers are duplicate-immune — distinct candidates,
+      // topKDistinct — but the bloat should not survive a rewrite)
+      .distinct()
       .repartition(col("band"))
       .sortWithinPartitions("band", "sig", "vec_id")
       .write.partitionBy("band").mode("overwrite").parquet(s"$dir/$sigV")
     val vecV = im.nextVersionName(dir, "vectors", c)
     s.read.parquet(vecPath(s, dir))
+      .dropDuplicates("vec_id")
       .repartitionByRange(nVec, col("vec_id"))
       .sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$dir/$vecV")
@@ -508,7 +513,11 @@ object EmbIncrementalDedup {
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
       .groupBy("vec_id")
-      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cand_id")).as("top"))
+      // duplicate-pair-idempotent: an at-least-once re-appended shard
+      // duplicates vector rows; the candidate join fans out and a plain
+      // top-k would seat the same neighbor twice (healed only at the
+      // next compaction) — topKDistinct skips exact-duplicate pairs
+      .agg(graft.functions.TopKByScore.topKDistinct(k)(col("sim"), col("cand_id")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "sc")))
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("sc.id").as("match_id"), col("sc.score").as("sim"))
@@ -573,7 +582,11 @@ object EmbIncrementalDedup {
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
     scored.groupBy(window(col("ingest_ts"), windowDuration), col("vec_id"))
-      .agg(graft.functions.TopKByScore.topK(k)(col("sim"), col("cand_id")).as("top"))
+      // duplicate-pair-idempotent: an at-least-once re-appended shard
+      // duplicates vector rows; the candidate join fans out and a plain
+      // top-k would seat the same neighbor twice (healed only at the
+      // next compaction) — topKDistinct skips exact-duplicate pairs
+      .agg(graft.functions.TopKByScore.topKDistinct(k)(col("sim"), col("cand_id")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "sc")))
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("sc.id").as("match_id"), col("sc.score").as("sim"))

@@ -185,11 +185,16 @@ object IncrementalDedup {
       else s.conf.get("spark.sql.shuffle.partitions").toInt
     val sigV = im.nextVersionName(dir, "signatures", c)
     s.read.parquet(sigPath(s, dir))
+      // heal an at-least-once re-appended shard's duplicate rows
+      // (readers are duplicate-immune — distinct candidates, MAX
+      // best-match — but the bloat should not survive a rewrite)
+      .distinct()
       .repartition(col("band"))
       .sortWithinPartitions("band", "sig", "doc_id")
       .write.partitionBy("band").mode("overwrite").parquet(s"$dir/$sigV")
     val setsV = im.nextVersionName(dir, "sets", c)
     s.read.parquet(setsPath(s, dir))
+      .dropDuplicates("doc_id")
       .repartitionByRange(nSets, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$dir/$setsV")

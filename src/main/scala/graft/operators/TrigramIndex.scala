@@ -108,6 +108,10 @@ object TrigramIndex {
     val im = graft.store.IndexMaintenance
     val postV = im.nextVersionName(dir, "postings", c)
     s.read.parquet(postPath(s, dir))
+      // heal an at-least-once re-appended shard's duplicate rows
+      // (search is duplicate-immune via countDistinct coverage, but
+      // the bloat should not survive a rewrite)
+      .distinct()
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "tri", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")

@@ -240,6 +240,80 @@ class IndexCrashPropertySpec extends SparkSpec {
     assert(dedupProbe(dir, apId) == ((true, apId)))
   }
 
+  test("bm25 kill between postings and stats writes: re-append recovers exactly") {
+    import graft.operators.DocSearchIndex
+    val dir = tmp("bm25-crash-append")
+    val twin = tmp("bm25-twin")
+    DocSearchIndex.build(spark, union(Seq(0, 1)), dir)
+    DocSearchIndex.build(spark, union(Seq(0, 1)), twin)
+    // query terms drawn from the corpus itself so matches exist at
+    // this fixture size
+    val terms = texts(shardIds(0).head).toLowerCase.split(" ")
+      .filter(_.length > 2).distinct.take(4).toSeq
+    val e = intercept[SimulatedCrash] {
+      withHook(l => if (l == "bm25-append:postings-written") throw new SimulatedCrash(l)) {
+        DocSearchIndex.appendIncrement(spark, shard(2), dir)
+      }
+    }
+    assert(e.label == "bm25-append:postings-written")
+    // the half-appended state is DOCUMENTED as partially visible (BM25
+    // scores are global functions of corpus stats — no write order can
+    // make a two-component append invisible; a common term's df can
+    // even exceed the stale n_docs, driving idf negative). The
+    // contract is that the index still EXECUTES and recovery is exact.
+    DocSearchIndex.search(spark, dir, terms, 20).collect()
+    // recovery = re-append the SAME shard: the duplicate posting rows
+    // are read-immune (MAX tf; count DISTINCT doc_id for df) and the
+    // stats row lands once, so scores equal a never-crashed twin
+    DocSearchIndex.appendIncrement(spark, shard(2), dir)
+    DocSearchIndex.appendIncrement(spark, shard(2), twin)
+    val got = DocSearchIndex.search(spark, dir, terms, 20).collect().toSeq
+    val want = DocSearchIndex.search(spark, twin, terms, 20).collect().toSeq
+    assert(want.nonEmpty, "twin must match something or the equality is vacuous")
+    assert(got == want, "re-append recovery must equal the never-crashed twin")
+    // compaction heals the duplicate rows physically (distinct postings,
+    // stats recomputed FROM postings) — scores unchanged
+    DocSearchIndex.compact(spark, dir)
+    assert(DocSearchIndex.search(spark, dir, terms, 20).collect().toSeq == want)
+    val postings = spark.read.parquet(
+      IndexMaintenance.resolve(dir, "postings", conf))
+    assert(postings.count() == postings.distinct().count(),
+      "compaction must remove the duplicated shard rows")
+  }
+
+  test("embedding index: an at-least-once duplicated shard never duplicates top-k slots") {
+    import graft.operators.EmbIncrementalDedup
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)).isin(0, 1))
+    val shard2 = emb.filter(pmod(col("vec_id"), lit(5)) === 2)
+    val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 3).limit(20)
+    val dir = tmp("emb-crash-dup")
+    val twin = tmp("emb-twin")
+    EmbIncrementalDedup.build(spark, corpus, dir)
+    EmbIncrementalDedup.build(spark, corpus, twin)
+    EmbIncrementalDedup.appendIncrement(spark, shard2, twin)
+    // the at-least-once ingest case: the append SUCCEEDED but the
+    // caller's ledger lost the ack, so the whole shard lands twice
+    EmbIncrementalDedup.appendIncrement(spark, shard2, dir)
+    EmbIncrementalDedup.appendIncrement(spark, shard2, dir)
+    val want = EmbIncrementalDedup.searchIndex(spark, queries, twin, k = 3)
+      .collect().toSeq
+    val got = EmbIncrementalDedup.searchIndex(spark, queries, dir, k = 3)
+      .collect().toSeq
+    assert(got == want,
+      "duplicate vector rows must not occupy multiple top-k slots (topKDistinct)")
+    // per-query ranks must be distinct neighbors
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs => rs.map(_.getLong(2)).distinct.size == rs.size))
+    // compaction heals the duplicate rows physically — results unchanged
+    EmbIncrementalDedup.compact(spark, dir, vecPartitions = 2)
+    assert(EmbIncrementalDedup.searchIndex(spark, queries, dir, k = 3)
+      .collect().toSeq == want)
+    val vecs = spark.read.parquet(IndexMaintenance.resolve(dir, "vectors", conf))
+    assert(vecs.count() == vecs.select("vec_id").distinct().count(),
+      "compaction must dedup the duplicated vector rows")
+  }
+
   test("minhash kill inside a REBUILD fails fast instead of reading a stale marker") {
     val dir = tmp("dedup-crash-rebuild")
     IncrementalDedup.build(spark, union(Seq(0, 1)), dir)
