@@ -16,7 +16,7 @@ import graft.streaming.PushSink
   * | register_decider_event(...)       | registerDeciderEvent       |
   * | append_event(...)                 | appendEvent                |
   * | get_events(decider_id, decider)   | getEvents                  |
-  * | get_last_event(decider_id)        | getLastEvent               |
+  * | get_last_event(decider_id, decider) | getLastEvent            |
   * | register_view(...)                | registerView               |
   * | stream_events(view, limit, secs)  | streamEvents               |
   * | ack_event(view, decider_id, off)  | ackEvent                   |
@@ -47,6 +47,14 @@ final class FStoreApi(spark: SparkSession) {
     store.getEvents(deciderId, decider)
 
   def getLastEvent(deciderId: String): Option[EventRow] =
+    store.getLastEvent(deciderId)
+
+  /** The reference signature verbatim: `get_last_event(v_decider_id,
+    * v_decider)` takes a decider argument it never reads
+    * (schema.sql:359-367 — the WHERE clause filters on decider_id
+    * only, a documented quirk). Accepted and ignored here so a caller
+    * porting reference call sites compiles 1:1. */
+  def getLastEvent(deciderId: String, decider: String): Option[EventRow] =
     store.getLastEvent(deciderId)
 
   def registerView(view: String, startAt: Option[Timestamp] = None,

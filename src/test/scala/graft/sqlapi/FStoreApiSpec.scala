@@ -30,6 +30,11 @@ class FStoreApiSpec extends SparkSpec {
     assert(api.getEvents("r-1", "restaurant").collect().map(_.event_id).toSeq
       === Seq("id-1", "id-2"))
     assert(api.getLastEvent("r-1").map(_.event_id) === Some("id-2"))
+    // the reference's two-arg signature: the decider argument is
+    // accepted and IGNORED (schema.sql:359-367's documented quirk) —
+    // even a wrong decider returns the same row
+    assert(api.getLastEvent("r-1", "restaurant").map(_.event_id) === Some("id-2"))
+    assert(api.getLastEvent("r-1", "not-the-decider").map(_.event_id) === Some("id-2"))
 
     // streaming consumption with ack
     api.registerView("read-model", startAt = Some(new Timestamp(0L)))
