@@ -82,6 +82,40 @@ object GlobalIndex {
     spark.createDataFrame(summed, schema)
   }
 
+  /** Skew-safe twin of [[withKeyedRunningSum]] for the whale-key
+    * regime: [[withKeyedRunningSum]] puts each key WHOLE into one
+    * partition, so one key holding 20% of the table serializes 20% of
+    * the work onto one task — the same bound the window form has.
+    * This form range-partitions by (key ++ order) instead, letting a
+    * hot key SPAN partitions: a global exclusive prefix sum over that
+    * total order ([[withOrderedPrefixSum]] — parallel sort, one Long
+    * per partition to the driver), then each key's running sum =
+    * globalPrefix + w − (the key's first globalPrefix), with the
+    * per-key start offsets a #keys-sized aggregate joined back. Costs
+    * one more exchange + join than the key-whole form — the price of
+    * unbounded per-key parallelism. Equality with the window form is
+    * spec-pinned, hot key included.
+    */
+  def withKeyedRunningSumSkewed(df: DataFrame, keyCols: Seq[String],
+                                orderCols: Seq[Column], weightCol: String,
+                                sumCol: String): DataFrame = {
+    val ps = "__graft_prefix"
+    val summed = withOrderedPrefixSum(
+      df, keyCols.map(col) ++ orderCols, weightCol, ps)
+    val starts = summed.groupBy(keyCols.map(col): _*)
+      .agg(min(col(ps)).as("__graft_key_start"))
+    // the starts side MUST broadcast: a shuffled equi-join on the key
+    // would hash the whale's rows back onto one reducer — the exact
+    // serialization this form exists to avoid. starts is one narrow
+    // row per key (map-side-combined); past the broadcast ceiling
+    // (~hundreds of millions of DISTINCT keys) compose with
+    // graft.operators.SkewJoin.saltedJoin instead.
+    summed.join(broadcast(starts), keyCols)
+      .withColumn(sumCol,
+        col(ps) + col(weightCol) - col("__graft_key_start"))
+      .drop(ps, "__graft_key_start")
+  }
+
   /** Adds `sumCol` = base + EXCLUSIVE prefix sum of `weightCol` (must
     * be LongType) over the total order given by `sortCols` — the
     * weighted generalization of [[withOrderedIndex]] (which is the

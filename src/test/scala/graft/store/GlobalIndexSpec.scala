@@ -68,6 +68,30 @@ class GlobalIndexSpec extends SparkSpec with graft.testkit.TestKitReported {
     assert(viaKeyed.select(spark_partition_id()).distinct().count() > 1L)
   }
 
+  test("skew-safe keyed running sum equals the window form; a whale key spans partitions") {
+    // plant a whale: ~half the rows share one key, the rest spread
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(
+        when(col("o_orderkey") % 2 === 0, lit(77L)).otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey"), (col("o_orderkey") % 7).as("w"))
+    val viaWindow = orders.withColumn("rs",
+      sum("w").over(Window.partitionBy("k").orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val viaSkewed = GlobalIndex.withKeyedRunningSumSkewed(orders, Seq("k"),
+      Seq(col("o_orderkey").asc), "w", "rs2")
+    val mismatch = viaWindow.select("k", "o_orderkey", "rs")
+      .join(viaSkewed.select(col("k"), col("o_orderkey"), col("rs2")),
+        Seq("k", "o_orderkey"))
+      .filter(col("rs") =!= col("rs2"))
+    assert(mismatch.count() === 0L)
+    // the whale key's rows must span >1 partition — the parallelism
+    // the key-whole form cannot give it
+    val whaleParts = viaSkewed.filter(col("k") === 77L)
+      .select(spark_partition_id()).distinct().count()
+    assert(whaleParts > 1L,
+      s"whale key confined to $whaleParts partition(s) — not the skew-safe layout")
+  }
+
   test("result is spread across multiple partitions (no single-task sort)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey")
