@@ -87,6 +87,33 @@ object Bench {
     }
 
     var shuffleMb = List.empty[(String, Double)]
+    // Listener-level shuffle accounting alongside the plan walk: the
+    // walk reads the final plan's SQL metrics, which cannot see
+    // exchanges inside a mapPartitions RDD lineage (LogicalRDD is
+    // opaque — w3_running_sum's single range exchange reads 0.0 there)
+    // or plan-construction jobs (scale-guard counts, quantizer sample
+    // collects). Stage-level shuffle WRITE bytes during the rep-0
+    // window see everything; emitted as `shuffle_mb_jobs` in the
+    // detail line, leaving `shuffle_mb`'s historical semantics intact.
+    val shuffleJobBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleJobBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    // listener delivery is async — poll until the counter stops moving
+    // (bounded) before reading a window edge
+    def settledShuffleJobBytes(): Long = {
+      var prev = -1L
+      var cur = shuffleJobBytes.get()
+      var i = 0
+      while (cur != prev && i < 20) {
+        prev = cur; Thread.sleep(50); cur = shuffleJobBytes.get(); i += 1
+      }
+      cur
+    }
+    var shuffleJobsMb = List.empty[(String, Double)]
     // per-rep walls, emitted as a diagnostics line: rep 0 is the cold
     // (first-plan) execution, later reps are warm — keeping both
     // visible is what lets a sweep-vs-solo comparison stay
@@ -95,6 +122,7 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (0 until reps).map { rep =>
+        val jobsBefore = if (rep == 0) settledShuffleJobBytes() else 0L
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -106,9 +134,12 @@ object Bench {
             def materialize(): Unit = {
               val df = fn(spark, sfDir)
               df.queryExecution.toRdd.foreach(_ => ())
-              if (rep == 0)
+              if (rep == 0) {
                 shuffleMb ::= (name ->
                   shuffleBytes(df.queryExecution.executedPlan) / 1e6)
+                shuffleJobsMb ::= (name ->
+                  (settledShuffleJobBytes() - jobsBefore) / 1e6)
+              }
             }
             timeoutSec match {
               case None => materialize()
@@ -349,7 +380,10 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
-    println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"sf":${jstr(sfDir)}}""")
+    val shJobsJson = shuffleJobsMb.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"shuffle_mb_jobs":$shJobsJson,"sf":${jstr(sfDir)}}""")
     val sampJson = repSamples.reverse.map { case (n, ss) =>
       s"${jstr(n)}:[${ss.map(s => f"$s%.3f").mkString(",")}]"
     }.mkString("{", ",", "}")
