@@ -134,12 +134,9 @@ object Bench {
             def materialize(): Unit = {
               val df = fn(spark, sfDir)
               df.queryExecution.toRdd.foreach(_ => ())
-              if (rep == 0) {
+              if (rep == 0)
                 shuffleMb ::= (name ->
                   shuffleBytes(df.queryExecution.executedPlan) / 1e6)
-                shuffleJobsMb ::= (name ->
-                  (settledShuffleJobBytes() - jobsBefore) / 1e6)
-              }
             }
             timeoutSec match {
               case None => materialize()
@@ -170,6 +167,11 @@ object Bench {
             errors ::= (name -> e.toString.take(300)); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // the listener settle poll runs OUTSIDE the timed window — a
+        // ≥50 ms wait inside it would inflate every rep-0 (cold) wall
+        if (rep == 0)
+          shuffleJobsMb ::= (name ->
+            math.max(0L, settledShuffleJobBytes() - jobsBefore) / 1e6)
         if (ok) dt else -dt
       }
       // Release this query's persistOnce caches before the next entry:
@@ -358,6 +360,9 @@ object Bench {
       .mkString("{", ",", "}")
     val shJson = shuffleMb.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val shJobsJson = shuffleJobsMb.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = (results ++ storeResults).collect { case (_, v) if v >= 0 => v }.sum
     // The driver captures a bounded TAIL of stdout — round 5's committed
     // artifact lost its head because one enriched line outgrew the
@@ -372,7 +377,7 @@ object Bench {
     val contractLine =
       s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"errors":$errJson,"shuffle_mb":$shJson,"shuffle_mb_jobs":$shJobsJson,"sf":${jstr(sfDir)}}"""
     // Only an UNFILTERED run may become the committed LATEST artifact —
     // a SPARK_GRAFT_BENCH_ONLY subset run (local iteration) must not
     // clobber the full-inventory numbers downstream comparisons read.
@@ -380,9 +385,6 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
-    val shJobsJson = shuffleJobsMb.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
     println(s"""{"metric":"shuffle_mb_detail","shuffle_mb":$shJson,"shuffle_mb_jobs":$shJobsJson,"sf":${jstr(sfDir)}}""")
     val sampJson = repSamples.reverse.map { case (n, ss) =>
       s"${jstr(n)}:[${ss.map(s => f"$s%.3f").mkString(",")}]"
