@@ -272,8 +272,9 @@ object IndexMaintenance {
         s"concurrent compaction published during an append at $dir " +
           s"(${moved.mkString("; ")}). Append and compact must run from " +
           "a single writer (the appendAndMaybeCompact loop); the " +
-          "increment landed in a superseded version and is NOT in the " +
-          "live index — re-append this shard.")
+          "increment may have landed in a superseded version that " +
+          "retention will delete. Recovery: re-append this shard — " +
+          "readers are duplicate-immune and compaction heals the bloat.")
     }
   }
 
