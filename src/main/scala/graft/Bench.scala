@@ -95,6 +95,10 @@ object Bench {
     // collects). Stage-level shuffle WRITE bytes during the rep-0
     // window see everything; emitted as `shuffle_mb_jobs` in the
     // detail line, leaving `shuffle_mb`'s historical semantics intact.
+    // Attribution caveat: a TIMED-OUT query's cancelled stragglers can
+    // complete inside the NEXT query's window and inflate its number —
+    // but any timeout also sets valid:false on the run, which
+    // downstream comparisons already skip wholesale.
     val shuffleJobBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(

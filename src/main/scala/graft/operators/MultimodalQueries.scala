@@ -231,8 +231,11 @@ object MultimodalQueries {
               "aggregate(samples, 0L, (acc, x) -> acc + CAST(x AS LONG) * x)")
               .cast("double") / col("n_samples")), 6).as("rms"),
             expr("array_max(transform(samples, x -> abs(x)))").as("peak"),
+            // widen the sign product: two adjacent supplementary-plane
+            // code points square past Int.MaxValue (128k² ≈ 1.6e10 —
+            // an ANSI-mode overflow error un-widened)
             expr("size(filter(sequence(1, n_samples - 1), " +
-              "i -> element_at(samples, i) * element_at(samples, i + 1) < 0))")
+              "i -> CAST(element_at(samples, i) AS LONG) * element_at(samples, i + 1) < 0))")
               .as("zero_crossings"))
           .orderBy("media_id")
       },
@@ -249,7 +252,7 @@ object MultimodalQueries {
                     x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / n_samples), 6) AS rms,
                   list_max(list_transform(samples, x -> abs(x))) AS peak,
                   CAST(length(list_filter(range(1, n_samples),
-                    i -> samples[CAST(i AS INTEGER)] * samples[CAST(i AS INTEGER) + 1] < 0))
+                    i -> CAST(samples[CAST(i AS INTEGER)] AS BIGINT) * samples[CAST(i AS INTEGER) + 1] < 0))
                     AS INTEGER) AS zero_crossings
            FROM pcm ORDER BY media_id""")),
 

@@ -73,7 +73,14 @@ object GlobalIndex {
       var cur: Seq[Any] = null
       var acc = 0L
       rows.map { r =>
-        val k = kidx.map(r.get)
+        // normalize Array[Byte] keys to value equality — Seq[Any]
+        // equality on raw arrays is REFERENCE equality, which would
+        // silently reset the accumulator on every row of a BinaryType
+        // key (digest/hash keys)
+        val k: Seq[Any] = kidx.map(r.get(_) match {
+          case a: Array[Byte] => a.toSeq
+          case v => v
+        })
         if (cur == null || k != cur) { cur = k; acc = 0L }
         acc += r.getLong(widx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
@@ -109,11 +116,18 @@ object GlobalIndex {
     // serialization this form exists to avoid. starts is one narrow
     // row per key (map-side-combined); past the broadcast ceiling
     // (~hundreds of millions of DISTINCT keys) compose with
-    // graft.operators.SkewJoin.saltedJoin instead.
-    summed.join(broadcast(starts), keyCols)
+    // graft.operators.SkewJoin.saltedJoin instead. NULL-SAFE equality:
+    // the window form treats a NULL key as its own partition, so a
+    // plain equi-join would silently DROP every NULL-key row here.
+    val st = starts.select(
+      keyCols.map(c => col(c).as(s"__graft_k_$c")) :+
+        col("__graft_key_start"): _*)
+    val cond = keyCols.map(c => summed(c) <=> st(s"__graft_k_$c"))
+      .reduce(_ && _)
+    summed.join(broadcast(st), cond)
       .withColumn(sumCol,
         col(ps) + col(weightCol) - col("__graft_key_start"))
-      .drop(ps, "__graft_key_start")
+      .drop(ps +: "__graft_key_start" +: keyCols.map(c => s"__graft_k_$c"): _*)
   }
 
   /** Adds `sumCol` = base + EXCLUSIVE prefix sum of `weightCol` (must

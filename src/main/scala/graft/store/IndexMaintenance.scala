@@ -255,9 +255,15 @@ object IndexMaintenance {
     * only. If another process published a compaction mid-append, the
     * increment landed in the superseded version, is excluded from the
     * new live version, and would be deleted once it fell past
-    * `retainDepth` — silent data loss. This guard turns that violated
-    * single-writer assumption into a fail-fast error; the caller
-    * re-appends the shard (it is not in the live version). */
+    * `retainDepth` — silent data loss. This guard is a DETECTOR for
+    * the common interleaving (a publish completing strictly inside
+    * the write window), not a lock: a compaction that snapshotted
+    * before the append's files landed but published after the
+    * post-write check still strands the increment undetected — the
+    * single-writer contract remains the requirement; the guard only
+    * narrows the consequence of violating it. On detection the caller
+    * re-appends the shard (readers are duplicate-immune; compaction
+    * heals the bloat). */
   def guardedAppend(dir: String, components: Seq[String],
                     conf: Configuration)(write: => Unit): Unit = {
     val before = components.map(c => resolve(dir, c, conf))

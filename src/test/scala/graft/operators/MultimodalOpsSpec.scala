@@ -103,7 +103,9 @@ class MultimodalOpsSpec extends SparkSpec {
     val rows = Seq(
       (1L, s"héllo wörld $g test padding to reach enough points $g", "xx", "audio"),
       (2L, "日本語のテキストです、これはもっと長いテキストです日本語", "ja", "audio"),
-      (4L, s"a${g}b${g}c mixed voice clip with plenty of code points here", "xx", "audio"),
+      // ADJACENT supplementary-plane chars: their sign product squares
+      // past Int.MaxValue — pins the widened zero-crossing arithmetic
+      (4L, s"a$g$g$g${g}c mixed voice clip with plenty of code points here", "xx", "audio"),
       (6L, "plain ascii control document for the same pipeline run", "en", "audio"))
       .map { case (id, t, l, src) => (id, t, l, src, t.codePointCount(0, t.length).toLong) }
     val dir = java.nio.file.Files.createTempDirectory("graft-nonbmp").toString
@@ -126,7 +128,8 @@ class MultimodalOpsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(2) == rms, s"rms mismatch for non-BMP doc ${r.getLong(0)}")
       assert(r.getInt(3) == s.map(math.abs).max)
-      assert(r.getInt(4) == (1 until s.length).count(i => s(i - 1) * s(i) < 0))
+      assert(r.getInt(4) ==
+        (1 until s.length).count(i => s(i - 1).toLong * s(i) < 0))
     }
 
     val voice = Registry.byName("mm_voice_segments").run(spark, dir).collect()

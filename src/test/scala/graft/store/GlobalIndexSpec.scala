@@ -69,19 +69,26 @@ class GlobalIndexSpec extends SparkSpec with graft.testkit.TestKitReported {
   }
 
   test("skew-safe keyed running sum equals the window form; a whale key spans partitions") {
-    // plant a whale: ~half the rows share one key, the rest spread
+    // plant a whale (~half the rows share one key) AND a NULL key
+    // (every 11th row): the window form treats NULL as its own
+    // partition, so the start-offset join must be null-safe or those
+    // rows silently vanish
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(
-        when(col("o_orderkey") % 2 === 0, lit(77L)).otherwise(col("o_custkey")).as("k"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .when(col("o_orderkey") % 2 === 0, lit(77L))
+          .otherwise(col("o_custkey")).as("k"),
         col("o_orderkey"), (col("o_orderkey") % 7).as("w"))
     val viaWindow = orders.withColumn("rs",
       sum("w").over(Window.partitionBy("k").orderBy(col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val viaSkewed = GlobalIndex.withKeyedRunningSumSkewed(orders, Seq("k"),
       Seq(col("o_orderkey").asc), "w", "rs2")
-    val mismatch = viaWindow.select("k", "o_orderkey", "rs")
-      .join(viaSkewed.select(col("k"), col("o_orderkey"), col("rs2")),
-        Seq("k", "o_orderkey"))
+    // no rows lost (the NULL-key partition included), and compare on
+    // the UNIQUE order key so NULL-key rows participate in the check
+    assert(viaSkewed.count() === orders.count())
+    val mismatch = viaWindow.select("o_orderkey", "rs")
+      .join(viaSkewed.select(col("o_orderkey"), col("rs2")), Seq("o_orderkey"))
       .filter(col("rs") =!= col("rs2"))
     assert(mismatch.count() === 0L)
     // the whale key's rows must span >1 partition — the parallelism

@@ -112,7 +112,14 @@ class IndexCrashPropertySpec extends SparkSpec {
     try body finally IndexMaintenance.failPointHook = _ => ()
   }
 
-  for (seed <- Seq(11L, 47L)) {
+  // CI runs two seeds (runtime-bounded); GRAFT_CRASH_SEEDS=a,b,c widens
+  // the hunt for a one-off exploration session
+  private val seeds: Seq[Long] =
+    sys.env.get("GRAFT_CRASH_SEEDS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong))
+      .getOrElse(Seq(11L, 47L))
+
+  for (seed <- seeds) {
     test(s"trigram lifecycle survives a kill at every file-op boundary (seed $seed)") {
       val ops = opsFor(seed)
 
