@@ -86,6 +86,7 @@ object DocSearchIndex {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     // retire compacted-version pointers first (IncrementalDedup.build's
     // rationale)
     graft.store.IndexMaintenance.resetComponents(
@@ -97,6 +98,7 @@ object DocSearchIndex {
     graft.store.IndexMaintenance.failPoint("bm25-build:stats-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("n_buckets" -> NBuckets.toString), conf(s))
+  }
   }
 
   /** Append a shard (append-only: new postings files in existing
@@ -141,6 +143,7 @@ object DocSearchIndex {
     * finish on the version they resolved.
     */
   def compact(s: SparkSession, dir: String, retainDepth: Int = 1): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     checkFormat(s, dir)
     val c = conf(s)
     val im = graft.store.IndexMaintenance
@@ -169,6 +172,7 @@ object DocSearchIndex {
     im.publish(dir, "postings", postV, c, retainDepth)
     im.failPoint("bm25-compact:postings-published")
     im.publish(dir, "stats", statsV, c, retainDepth)
+  }
   }
 
   /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]

@@ -76,6 +76,7 @@ object EmbIncrementalDedup {
     */
   def build(s: SparkSession, emb: DataFrame, dir: String,
             nBands: Int = Bands, bits: Int = Bits): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     graft.GraftExtensions.register(s)
     // retire compacted-version pointers first (IncrementalDedup.build's
     // rationale: a surviving _current keeps readers on the pre-rebuild
@@ -91,6 +92,7 @@ object EmbIncrementalDedup {
     graft.store.IndexMaintenance.failPoint("emb-build:vectors-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("bands" -> nBands.toString, "bits" -> bits.toString), conf(s))
+  }
   }
 
   /** Append a processed shard to the index (append-only; lands in the
@@ -149,6 +151,7 @@ object EmbIncrementalDedup {
     */
   def compact(s: SparkSession, dir: String, retainDepth: Int = 1,
               vecPartitions: Int = 0): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     graft.store.IndexMaintenance.checkMarker(
       dir, FormatKind, FormatVersion, Map.empty, conf(s))
     val c = conf(s)
@@ -174,6 +177,7 @@ object EmbIncrementalDedup {
     im.publish(dir, "signatures", sigV, c, retainDepth)
     im.failPoint("emb-compact:sigs-published")
     im.publish(dir, "vectors", vecV, c, retainDepth)
+  }
   }
 
   /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]

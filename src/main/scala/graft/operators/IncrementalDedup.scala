@@ -101,6 +101,7 @@ object IncrementalDedup {
     * shard pays only its own size.
     */
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     graft.GraftExtensions.register(s)
     // retire any compacted-version pointers first: build writes the
     // legacy paths, and a surviving _current would keep readers (and
@@ -116,6 +117,7 @@ object IncrementalDedup {
     graft.store.IndexMaintenance.failPoint("dedup-build:sets-written")
     graft.store.IndexMaintenance.writeMarker(
       dir, FormatKind, FormatVersion, formatProps, conf(s))
+  }
   }
 
   /** Append a processed shard's signatures + sets to the index
@@ -178,6 +180,7 @@ object IncrementalDedup {
     */
   def compact(s: SparkSession, dir: String, retainDepth: Int = 1,
               setsPartitions: Int = 0): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     checkFormat(s, dir)
     val c = conf(s)
     val im = graft.store.IndexMaintenance
@@ -202,6 +205,7 @@ object IncrementalDedup {
     im.publish(dir, "signatures", sigV, c, retainDepth)
     im.failPoint("dedup-compact:sigs-published")
     im.publish(dir, "sets", setsV, c, retainDepth)
+  }
   }
 
   /** Reclaim superseded index versions ([[graft.store.IndexMaintenance.vacuum]]

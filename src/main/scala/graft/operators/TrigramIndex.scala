@@ -65,6 +65,7 @@ object TrigramIndex {
       .withColumn("bucket", pmod(crc32(col("tri")), lit(NBuckets)).cast("int"))
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     // retire compacted-version pointers first (IncrementalDedup.build's
     // rationale)
     graft.store.IndexMaintenance.resetComponents(
@@ -74,6 +75,7 @@ object TrigramIndex {
     graft.store.IndexMaintenance.failPoint("tri-build:data-written")
     graft.store.IndexMaintenance.writeMarker(dir, FormatKind, FormatVersion,
       Map("n_buckets" -> NBuckets.toString), conf(s))
+  }
   }
 
   /** Append a shard's postings (append-only; lands in the live
@@ -103,6 +105,7 @@ object TrigramIndex {
     * partitions too. MVCC-published (in-flight searches finish on the
     * version they resolved). */
   def compact(s: SparkSession, dir: String, retainDepth: Int = 1): Unit = {
+    graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
     checkFormat(s, dir)
     val c = conf(s)
     val im = graft.store.IndexMaintenance
@@ -117,6 +120,7 @@ object TrigramIndex {
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/$postV")
     im.failPoint("tri-compact:data-written")
     im.publish(dir, "postings", postV, c, retainDepth)
+  }
   }
 
   /** Reclaim superseded postings versions ([[graft.store.IndexMaintenance.vacuum]]

@@ -214,6 +214,31 @@ object IndexMaintenance {
     }
   }
 
+  /** Run `f` holding the index's cross-process MAINTENANCE MUTEX
+    * ([[FsMutex]] — the SharedJournal/SharedLog claim primitive,
+    * `_maint-` epoch files in the index root, invisible to the
+    * version regex and the component readers). Serializes
+    * build/append/compact/vacuum across processes, CLOSING the
+    * append-vs-compact race [[guardedAppend]] can only detect: with
+    * every mutation inside the lock, a compaction can no longer
+    * snapshot mid-append and strand the increment in a superseded
+    * version. READERS take no lock — MVCC pointer resolution is their
+    * whole protocol. TTL 30 min bounds a crashed holder (a takeover
+    * mid-write is then caught by guardedAppend's pointer check —
+    * defense in depth); waiters give up after FsMutex's 120 s
+    * deadlock guard with a clear error, so a caller queued behind a
+    * very long compaction fails fast and retries rather than
+    * deadlocking. */
+  def withMaintenanceLock[T](dir: String, conf: Configuration)(f: => T): T = {
+    val fs = fsOf(dir, conf)
+    fs.mkdirs(new HPath(dir))
+    new FsMutex(new HPath(dir), fs,
+      ownerId = java.util.UUID.randomUUID().toString,
+      clock = () => new java.sql.Timestamp(System.currentTimeMillis()),
+      ttlMs = 30L * 60 * 1000,
+      prefix = "_maint-").withLock(f)
+  }
+
   /** Reclaim every superseded version of `components` at `dir`,
     * keeping ONLY the live version each `_current` pointer names (or
     * the legacy `<component>.parquet` when no pointer exists).
@@ -232,6 +257,7 @@ object IndexMaintenance {
     val fs = fsOf(dir, conf)
     val d = new HPath(dir)
     if (!fs.exists(d)) return Nil
+    withMaintenanceLock(dir, conf) {
     components.flatMap { component =>
       val liveName = resolve(dir, component, conf).stripPrefix(s"$dir/")
       val re = versionRe(component)
@@ -245,6 +271,7 @@ object IndexMaintenance {
         name
       }
     }
+    }
   }
 
   /** Run `write` (an append into the resolved live version of
@@ -255,17 +282,16 @@ object IndexMaintenance {
     * only. If another process published a compaction mid-append, the
     * increment landed in the superseded version, is excluded from the
     * new live version, and would be deleted once it fell past
-    * `retainDepth` — silent data loss. This guard is a DETECTOR for
-    * the common interleaving (a publish completing strictly inside
-    * the write window), not a lock: a compaction that snapshotted
-    * before the append's files landed but published after the
-    * post-write check still strands the increment undetected — the
-    * single-writer contract remains the requirement; the guard only
-    * narrows the consequence of violating it. On detection the caller
-    * re-appends the shard (readers are duplicate-immune; compaction
-    * heals the bloat). */
+    * `retainDepth` — silent data loss. The race is CLOSED by running
+    * the whole append inside [[withMaintenanceLock]] (compact/build/
+    * vacuum take the same per-index mutex); the before/after pointer
+    * check stays as defense in depth for the one hole a TTL mutex
+    * leaves — a holder stalled past the TTL whose lock was taken over
+    * mid-write. On detection the caller re-appends the shard (readers
+    * are duplicate-immune; compaction heals the bloat). */
   def guardedAppend(dir: String, components: Seq[String],
-                    conf: Configuration)(write: => Unit): Unit = {
+                    conf: Configuration)(write: => Unit): Unit =
+    withMaintenanceLock(dir, conf) {
     val before = components.map(c => resolve(dir, c, conf))
     write
     val after = components.map(c => resolve(dir, c, conf))

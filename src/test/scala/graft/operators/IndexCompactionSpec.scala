@@ -299,6 +299,31 @@ class IndexCompactionSpec extends SparkSpec {
     assert(IncrementalDedup.vacuum(spark, dir).isEmpty)
   }
 
+  test("the maintenance mutex serializes an append against a held compaction") {
+    val docs = graft.Tables.documents(spark, sf).limit(60)
+    val dir = tmp("dedup-mutex")
+    IncrementalDedup.build(spark, docs, dir)
+    val shard = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(50)) === 7)
+    @volatile var appended = false
+    val th = graft.store.IndexMaintenance.withMaintenanceLock(
+      dir, spark.sparkContext.hadoopConfiguration) {
+      // a rival append launched while "compaction" holds the lock must
+      // BLOCK — the race guardedAppend could only detect is now closed
+      // by mutual exclusion
+      val t = new Thread(() => {
+        IncrementalDedup.appendIncrement(spark, shard, dir)
+        appended = true
+      })
+      t.start()
+      Thread.sleep(2000)
+      assert(!appended, "append ran inside a held maintenance lock")
+      t
+    }
+    th.join(60000)
+    assert(appended, "append must proceed once the lock is released")
+  }
+
   test("guardedAppend fails fast when a compaction publishes mid-append") {
     val im = graft.store.IndexMaintenance
     val dir = tmp("guarded-append")
