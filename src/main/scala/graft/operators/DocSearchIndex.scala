@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
   *    (DocSearchIndexSpec asserts the executed scan's input files).
   *    `dl` is denormalized into the posting so scoring never touches
   *    a second table.
-  *  - `stats.parquet`: one (n_docs, sum_dl) row appended per
-  *    build/increment; readers SUM the rows — append never rewrites.
-  *    Both are exact integers (dl sums below 2^53 add exactly in any
-  *    order), so avgdl = sum_dl / n_docs is one correctly-rounded
-  *    IEEE division — bit-identical to the oracle's avg(dl).
+  *  - `stats.parquet`: one (n_docs, sum_dl, shard_id) row appended
+  *    per build/increment; readers SUM the rows after a row-level
+  *    DISTINCT — append never rewrites. `shard_id` is an
+  *    order-independent content hash of the shard's doc_ids
+  *    (bit_xor of xxhash64 — overflow-free under ANSI), so an
+  *    at-least-once re-append of the SAME shard lands a bit-identical
+  *    row the distinct collapses, while two honest shards that happen
+  *    to share (n_docs, sum_dl) keep distinct rows — this is what
+  *    makes the stats side duplicate-immune like tf (MAX) and df
+  *    (COUNT DISTINCT) already are. n_docs/sum_dl are exact integers
+  *    (dl sums below 2^53 add exactly in any order), so
+  *    avgdl = sum_dl / n_docs is one correctly-rounded IEEE division
+  *    — bit-identical to the oracle's avg(dl).
   *
   * Scoring is the shared BM25 operating point (k1 = 1.2, b = 0.75 —
   * the doc_bm25_topk constants, written as the same literals): per
@@ -49,7 +57,9 @@ object DocSearchIndex {
     * so a build with a different layout constant fails fast instead
     * of pruning to the wrong partitions. Migration: rebuild. */
   val FormatKind = "graft-bm25-postings-index"
-  val FormatVersion = 1
+  // v2: stats rows carry shard_id (duplicate-immune under
+  // at-least-once re-appends); v1 indexes fail fast → rebuild
+  val FormatVersion = 2
 
   private def conf(s: SparkSession) = s.sparkContext.hadoopConfiguration
   private def postPath(s: SparkSession, dir: String): String =
@@ -83,7 +93,11 @@ object DocSearchIndex {
 
   private def statsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(split(lower(col("text")), " ")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        // order-independent shard content hash (see the layout note):
+        // bit_xor, not sum — xor cannot overflow under ANSI and is
+        // deterministic under any row order
+        expr("bit_xor(xxhash64(doc_id))").as("shard_id"))
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {
@@ -160,12 +174,14 @@ object DocSearchIndex {
     // recompute stats FROM the deduped postings instead of summing
     // the shard rows: every doc carries >= 1 posting row (split of
     // even an empty text is [""]) with its dl on each, so this is
-    // exact — and it makes compaction SELF-HEALING for a duplicated
-    // shard's stats row, which no row-level dedup could fix (two
-    // honest shards may legitimately have identical (n_docs, sum_dl))
+    // exact — and it makes compaction SELF-HEALING for any stats
+    // anomaly (belt to the readers' shard_id-distinct braces). The
+    // folded row carries the whole-corpus content hash as its
+    // shard_id, so the next appended shard's row stays distinct.
     s.read.parquet(s"$dir/$postV")
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"),
+        expr("bit_xor(xxhash64(doc_id))").as("shard_id"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/$statsV")
     im.failPoint("bm25-compact:data-written")
@@ -203,8 +219,12 @@ object DocSearchIndex {
                       terms: Seq[String], k: Int): DataFrame = {
     val p = postings.filter(col("term").isin(terms: _*))
       .transform(graft.Caching.persistOnce(_))
-    // global stats: exact-integer sums → one division each
-    val st = stats.agg(
+    // global stats: DISTINCT rows first — an at-least-once re-appended
+    // shard's stats row is bit-identical (deterministic aggregates +
+    // the shard_id content hash) and must count once; two honest
+    // shards sharing (n_docs, sum_dl) differ in shard_id and both
+    // survive. Then exact-integer sums → one division each.
+    val st = stats.dropDuplicates().agg(
       sum(col("n_docs")).cast("double").as("n_docs"),
       (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double"))
         .as("avgdl"))
@@ -268,8 +288,19 @@ object DocSearchIndex {
                    windowDuration: String = "10 minutes"): DataFrame = {
     graft.functions.TopKByScore.tuneForManyGroups(s)
     checkFormat(s, dir)
+    // duplicate-immunity for the streaming path: an at-least-once
+    // re-appended shard leaves exact-duplicate posting rows until the
+    // next compaction. The batch path absorbs them algebraically
+    // (MAX tf, COUNT DISTINCT df); this path SUMS per-(query, doc)
+    // contributions over posting ROWS, so the rows themselves must be
+    // deduped — one static dropDuplicates over the posting key, done
+    // once per micro-batch against the static side, feeds both the
+    // join and the df counts (count(*) over the deduped relation ==
+    // count distinct over the raw one).
     val postings = s.read.parquet(postPath(s, dir))
+      .dropDuplicates("term", "doc_id")
     val stats = s.read.parquet(statsPath(s, dir))
+      .dropDuplicates()
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double"))
           .as("avgdl"))

@@ -918,7 +918,13 @@ object RelationalQueries {
         // a partition-LOCAL re-sort, not a second global exchange.
         // Quantities ride as exact cents (decimal(18,2)·100 → long);
         // the final /100.0 double equals DuckDB's decimal→double cast
-        // (both correctly rounded from the same rational).
+        // (both correctly rounded from the same rational) PROVIDED the
+        // running total stays below 2^53 cents — above that the long
+        // is no longer exactly representable as a double and the
+        // cast→divide can differ from the single decimal→double
+        // rounding by 1 ulp. 2^53 cents ≈ 9e13 quantity units per
+        // supplier: unreachable at any TPC-H scale (sf100k sums
+        // ~2.4e10), but the equality claim carries the precondition.
         val agg = Tables.lineitem(s, d)
           .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
           .repartitionByRange(col("l_suppkey"))

@@ -140,7 +140,8 @@ object TrigramIndex {
   def trigramsOf(pattern: String): Seq[String] = {
     val n = pattern.codePointCount(0, pattern.length)
     require(n >= 3,
-      s"substring search needs a pattern of >= 3 chars, got '$pattern'")
+      s"substring search needs a pattern of >= 3 code points, got " +
+        s"'$pattern' ($n code point${if (n == 1) "" else "s"})")
     (0 until (n - 2)).map { i =>
       val a = pattern.offsetByCodePoints(0, i)
       pattern.substring(a, pattern.offsetByCodePoints(a, 3))

@@ -22,7 +22,8 @@ final class FsMutex(dir: Path,
                     val ownerId: String,
                     clock: () => Timestamp,
                     ttlMs: Long,
-                    prefix: String = "_mutex-") {
+                    prefix: String = "_mutex-",
+                    acquireDeadlineMs: Long = 120L * 1000) {
 
   private val claimName = (java.util.regex.Pattern.quote(prefix) + """(\d{20})""").r
   private var epoch: Long = 0L
@@ -34,7 +35,7 @@ final class FsMutex(dir: Path,
   }
 
   def acquire(): Unit = {
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + acquireDeadlineMs * 1000 * 1000
     while (true) {
       val nowMs = clock().getTime
       val top = claimSeqs().lastOption
@@ -73,6 +74,25 @@ final class FsMutex(dir: Path,
     */
   def stillHeld(): Boolean =
     claimSeqs().lastOption.contains(epoch) && epoch > 0L
+
+  /** Heartbeat: refresh OUR claim's expiry in place (atomic
+    * rename-overwrite of the claim file with a fresh TTL), so a
+    * holder whose critical section outlives one TTL keeps the lock
+    * for as long as it is ALIVE — TTL takeover then only ever fires
+    * on a holder that stopped renewing (crashed, or stalled longer
+    * than the TTL). Returns false WITHOUT writing when our claim is
+    * no longer the live top epoch: a takeover already happened and a
+    * dead claim must not resurrect itself under the new holder.
+    */
+  def renew(): Boolean = {
+    if (epoch <= 0L || !stillHeld()) false
+    else {
+      val expiry = clock().getTime + ttlMs
+      AtomicFs.atomicWrite(fs, fs.getConf, claimPath(epoch),
+        s"$ownerId@$expiry".getBytes("UTF-8"))
+      true
+    }
+  }
 
   private def claimPath(e: Long): Path = new Path(dir, f"$prefix$e%020d")
 

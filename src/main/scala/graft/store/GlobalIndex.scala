@@ -82,6 +82,16 @@ object GlobalIndex {
           case v => v
         })
         if (cur == null || k != cur) { cur = k; acc = 0L }
+        // named error instead of Row.getLong's opaque NPE — the
+        // running sum has no null semantics (SQL window SUM skips
+        // nulls; a caller wanting that must COALESCE first, which
+        // also documents the chosen identity)
+        if (r.isNullAt(widx))
+          throw new IllegalArgumentException(
+            s"withKeyedRunningSum: weight column '$weightCol' is NULL at " +
+              s"key ${k.mkString("[", ",", "]")} — a running sum has no " +
+              "null semantics; COALESCE the weight to an explicit " +
+              "identity before calling")
         acc += r.getLong(widx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }

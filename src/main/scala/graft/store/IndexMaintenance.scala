@@ -223,21 +223,66 @@ object IndexMaintenance {
     * every mutation inside the lock, a compaction can no longer
     * snapshot mid-append and strand the increment in a superseded
     * version. READERS take no lock — MVCC pointer resolution is their
-    * whole protocol. TTL 30 min bounds a crashed holder (a takeover
-    * mid-write is then caught by guardedAppend's pointer check —
-    * defense in depth); waiters give up after FsMutex's 120 s
-    * deadlock guard with a clear error, so a caller queued behind a
-    * very long compaction fails fast and retries rather than
-    * deadlocking. */
-  def withMaintenanceLock[T](dir: String, conf: Configuration)(f: => T): T = {
+    * whole protocol. A HEARTBEAT thread renews the claim every
+    * `ttlMs / 3` while `f` runs, so a rewrite longer than one TTL
+    * keeps the lock for as long as the process is ALIVE — TTL
+    * takeover only ever fires on a holder that stopped renewing
+    * (crashed, or wholly stalled past the TTL). For the one hole a
+    * TTL mutex leaves (a holder stalled PAST the TTL whose lock was
+    * taken over mid-write), [[publish]] re-checks
+    * [[FsMutex.stillHeld]] before every pointer flip — a superseded
+    * holder fails BEFORE publishing over the takeover's work, the
+    * same defense-in-depth [[guardedAppend]]'s pointer check gives
+    * appends. Waiters give up after `acquireDeadlineMs` with a clear
+    * error, so a caller queued behind a very long compaction fails
+    * fast and retries rather than deadlocking — size it to the
+    * expected queue wait, and `ttlMs` to well above the longest GC /
+    * filesystem stall (NOT the rewrite length; the heartbeat covers
+    * that). */
+  def withMaintenanceLock[T](dir: String, conf: Configuration,
+                             ttlMs: Long = 30L * 60 * 1000,
+                             acquireDeadlineMs: Long = 120L * 1000)
+                            (f: => T): T = {
     val fs = fsOf(dir, conf)
     fs.mkdirs(new HPath(dir))
-    new FsMutex(new HPath(dir), fs,
+    val m = new FsMutex(new HPath(dir), fs,
       ownerId = java.util.UUID.randomUUID().toString,
       clock = () => new java.sql.Timestamp(System.currentTimeMillis()),
-      ttlMs = 30L * 60 * 1000,
-      prefix = "_maint-").withLock(f)
+      ttlMs = ttlMs,
+      prefix = "_maint-",
+      acquireDeadlineMs = acquireDeadlineMs)
+    m.acquire()
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      val period = math.max(ttlMs / 3, 250L)
+      var live = true
+      while (live &&
+          !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try { if (!m.renew()) live = false } // superseded: stop renewing
+        catch { case _: Exception => () } // transient FS error: next tick
+      }
+    }, s"graft-maint-heartbeat-${m.ownerId.take(8)}")
+    hb.setDaemon(true)
+    hb.start()
+    val prev = currentMaintMutex.get()
+    currentMaintMutex.set(m)
+    try f
+    finally {
+      currentMaintMutex.set(prev)
+      stop.countDown()
+      hb.join(2000)
+      m.release()
+    }
   }
+
+  /** The maintenance mutex the CURRENT thread holds (set by
+    * [[withMaintenanceLock]] around `f`) — lets [[publish]] verify
+    * liveness before a pointer flip without threading the mutex
+    * through every compact body. Thread-local suffices: every publish
+    * call in the index family runs on the caller thread of its
+    * `withMaintenanceLock` section (Spark job threads never publish).
+    */
+  private val currentMaintMutex = new ThreadLocal[FsMutex]
 
   /** Reclaim every superseded version of `components` at `dir`,
     * keeping ONLY the live version each `_current` pointer names (or
@@ -356,6 +401,20 @@ object IndexMaintenance {
       }
     }
     failPoint(s"publish:before-flip:$component")
+    // Defense in depth for the one hole a TTL mutex leaves: a holder
+    // stalled past the TTL whose claim was taken over mid-rewrite
+    // must NOT flip the pointer over the takeover's work. The
+    // heartbeat makes this unreachable for a live holder; it fires
+    // only after a stall longer than the full TTL.
+    Option(currentMaintMutex.get()).foreach { m =>
+      if (!m.stillHeld())
+        throw new IllegalStateException(
+          s"maintenance lock for $dir was lost (TTL takeover after a " +
+            s"stall) before publishing $component -> $newVer; aborting " +
+            "the pointer flip. The superseded rewrite directory is " +
+            "garbage-collected by the takeover's next publish; re-run " +
+            "the operation.")
+    }
     AtomicFs.atomicWrite(fs, conf, new HPath(s"$dir/${pointerFile(component)}"),
       newVer.getBytes("UTF-8"))
     failPoint(s"publish:after-flip:$component")

@@ -64,6 +64,47 @@ class DocSearchIndexSpec extends SparkSpec {
       s"index search diverged from exact BM25: got=${got.take(3).toSeq} expected=${expected.take(3)}")
   }
 
+  test("an ack-lost full re-append of the same shard leaves scores unchanged") {
+    // at-least-once ingest: the appender wrote postings AND the stats
+    // row, then the ack was lost and the whole shard is replayed.
+    // Postings are absorbed algebraically (MAX tf, COUNT DISTINCT df);
+    // the stats side must be too — the replayed row is bit-identical
+    // (deterministic aggregates + the shard_id content hash) and the
+    // readers' row-level DISTINCT counts it once.
+    val all = docs
+    val corpus = all.filter(_._1 % 5 != 0)
+    val shard = all.filter(_._1 % 5 == 0)
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-doc-idx-dup").toString
+    DocSearchIndex.build(spark, df(corpus), dir)
+    DocSearchIndex.appendIncrement(spark, df(shard), dir)
+    val k = 25
+    val before = DocSearchIndex.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    DocSearchIndex.appendIncrement(spark, df(shard), dir) // the replay
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsRows = spark.read.parquet(
+      graft.store.IndexMaintenance.resolve(dir, "stats", conf))
+    assert(statsRows.count() === 3L, "the replayed stats row is physically present")
+    assert(statsRows.distinct().count() === 2L,
+      "the replayed row must be bit-identical to the original (shard_id " +
+        "content hash is deterministic)")
+    val after = DocSearchIndex.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "a replayed shard must not move BM25 scores")
+
+    // and compaction heals the physical bloat without moving scores
+    DocSearchIndex.compact(spark, dir)
+    assert(spark.read.parquet(
+      graft.store.IndexMaintenance.resolve(dir, "stats", conf)).count() === 1L)
+    val compacted = DocSearchIndex.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == before)
+  }
+
   test("search prunes the postings scan to the query terms' buckets") {
     val all = docs
     import spark.implicits._

@@ -99,6 +99,25 @@ class GlobalIndexSpec extends SparkSpec with graft.testkit.TestKitReported {
       s"whale key confined to $whaleParts partition(s) — not the skew-safe layout")
   }
 
+  test("a NULL weight fails with a named error, not an opaque NPE") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 7).as("w"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalIndex.withKeyedRunningSum(orders, Seq("o_custkey"),
+        Seq(col("o_orderkey").asc), "w", "rs")
+        .queryExecution.toRdd.foreach(_ => ())
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.isInstanceOf[IllegalArgumentException] &&
+        t.getMessage != null && t.getMessage.contains("COALESCE") &&
+        t.getMessage.contains("'w' is NULL")),
+      s"expected the named null-weight error in: ${chain(ex).map(_.getClass.getSimpleName)}")
+  }
+
   test("result is spread across multiple partitions (no single-task sort)") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey")
