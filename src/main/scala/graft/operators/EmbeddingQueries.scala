@@ -496,6 +496,69 @@ object EmbeddingQueries {
       math.log(membership / SemDedupTargetMembership) / math.log(2.0)).toInt)
   }
 
+  /** Sub-probe budget for the two-level ANN cell key
+    * ([[annIvfSubBitsFor]]): within each probed COARSE cell, the
+    * query probes this many sign-bit sub-buckets, margin-aware (the
+    * [[graft.functions.BandProbes]] perturbation-set kernel — the
+    * identical multi-probe machinery the LSH auto uses, applied to
+    * the sub-key's plane family). 8 of the 2^ProbeW = 16 subset
+    * space: the measured saturation-sim point (AnnRecallSpec's
+    * cells=48 slice) shows the margin ordering concentrates the
+    * neighbor mass in the low-rank subsets, so the second half of the
+    * subset space buys little recall for 2× the candidates. */
+  val AnnIvfSubProbes = 8
+
+  /** Target membership per probed SUB-BUCKET for the ANN search
+    * paths once the coarse quantizer saturates — the ANN analogue of
+    * [[SemDedupTargetMembership]], sized larger because ANN
+    * candidates buy RECALL (SemDeDup's threshold makes its sub-split
+    * semantics-free; ANN's costs probe coverage, so the budget stays
+    * at the clamp boundary's operating point rather than dropping to
+    * the dedup target). */
+  private[operators] val AnnIvfTargetMembership = 512
+
+  /** Extra sign-bit width for the ANN search paths' cell key past
+    * the coarse quantizer's 4096-cell clamp — [[semDedupSubBitsFor]]
+    * ported to the candidate-generation regime. The quadratic tail
+    * it removes: with cells AND probes both clamped (4096 / 64 past
+    * n = 2^24), the probed fraction freezes at 1/64, so per-query
+    * candidates grow as n/64 and the candidate stream as n²/64 —
+    * the verdict-r13 regime. With the two-level key
+    * (coarse·2^b | b sign bits of the shared [[planes]] family), a
+    * query probes [[AnnIvfSubProbes]] margin-ranked sub-buckets per
+    * coarse cell, each of expected membership
+    * n/(cells·2^b) ≤ [[AnnIvfTargetMembership]], so per-query
+    * candidates FREEZE at nProbes · subProbes · target = 64·8·512 =
+    * 2^18 — exactly the clamp boundary's per-query budget
+    * (64 · 4096) — and the total candidate stream is LINEAR in n.
+    *
+    * Activation is exactly the clamp point: membership exceeds
+    * subProbes·target = 4096 only once n > 2^24 ≈ 16.8 M at the
+    * 4096-cell clamp (below the clamp membership ≈ √n ≤ 4096 by
+    * construction), so the sub-split is a pinned NO-OP at the
+    * oracle, bench, and committed-sweep scales — the SemDeDup
+    * discipline: every DuckDB replay verifies the auto path
+    * verbatim (AnnAutoSizeSpec pins the coincidence).
+    *
+    * The coverage trade SemDeDup does not pay: probing s of 2^b
+    * sub-buckets sees s·target members of a coarse cell instead of
+    * all n/cells, and the neighbor is recovered only when its
+    * sub-signature ranks within the s lowest-margin perturbations.
+    * band_probes flips among the ProbeW = 4 lowest-margin bits, so
+    * past b = 4 + log2(s) the uncovered high-margin bits must match
+    * outright — sign agreement per plane is 1 − θ/π, high for true
+    * near neighbors, and the measured floor is pinned
+    * (AnnRecallSpec saturation-sim + the ≥20 M slice row in
+    * BASELINE.md). Recall past ~10^9 vectors decays along the same
+    * curve as multi-probe LSH — which remains the documented
+    * family handoff when a caller wants recall held at any n. */
+  def annIvfSubBitsFor(n: Long, cells: Int): Int = {
+    val membership = n.toDouble / math.max(1, cells)
+    if (membership <= AnnIvfSubProbes.toDouble * AnnIvfTargetMembership) 0
+    else math.min(20, math.ceil(
+      math.log(membership / AnnIvfTargetMembership) / math.log(2.0)).toInt)
+  }
+
   /** The auto twins' RECALL budget, not just their hash width (the
     * round-8 lesson, BASELINE.md sf-scaling rows: auto bits alone kept
     * the wall sub-quadratic but recall@1 eroded 0.656 → 0.271 at 10×
@@ -1398,8 +1461,11 @@ object EmbeddingQueries {
         val e = Tables.embeddings(s, d)
         val n = e.count()
         val cells = ivfCellsFor(n)
+        // two-level key past the coarse clamp (annIvfSubBitsFor) —
+        // 0 at every oracle/bench scale, so the replay is verbatim
         annIvfTop1(s, e, cells = cells, nProbes = ivfProbesFor(n),
-          sampleN = ivfSampleFor(cells))
+          sampleN = ivfSampleFor(cells),
+          subBits = annIvfSubBitsFor(n, cells), subProbes = AnnIvfSubProbes)
       },
       Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes))),
 
@@ -1416,7 +1482,8 @@ object EmbeddingQueries {
         val n = e.count()
         val cells = ivfCellsFor(n)
         annIvfTopK(s, e, k = AnnTopK, cells = cells,
-          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells))
+          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells),
+          subBits = annIvfSubBitsFor(n, cells), subProbes = AnnIvfSubProbes)
       },
       Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
         topK = AnnTopK))),
@@ -1435,7 +1502,8 @@ object EmbeddingQueries {
         val n = e.count()
         val cells = ivfCellsFor(n)
         hardNegatives(s, e, pool = HardNegPool, cells = cells,
-          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells))
+          nProbes = ivfProbesFor(n), sampleN = ivfSampleFor(cells),
+          subBits = annIvfSubBitsFor(n, cells), subProbes = AnnIvfSubProbes)
       },
       Some(annIvfOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
         topK = HardNegPool, hardNeg = true))),
@@ -1474,7 +1542,8 @@ object EmbeddingQueries {
         val nProbes = ivfProbesFor(n)
         annIvfPqTop1(s, e, cells = cells, nProbes = nProbes,
           sampleN = ivfSampleFor(cells),
-          rerank = pqRerankFor(n, cells, nProbes))
+          rerank = pqRerankFor(n, cells, nProbes),
+          subBits = annIvfSubBitsFor(n, cells), subProbes = AnnIvfSubProbes)
       },
       Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
         IvfSampleN, PqRerank))),
@@ -1494,7 +1563,8 @@ object EmbeddingQueries {
         val nProbes = ivfProbesFor(n)
         annIvfPqTopK(s, e, k = AnnTopK, cells = cells, nProbes = nProbes,
           sampleN = ivfSampleFor(cells),
-          rerank = pqRerankFor(n, cells, nProbes))
+          rerank = pqRerankFor(n, cells, nProbes),
+          subBits = annIvfSubBitsFor(n, cells), subProbes = AnnIvfSubProbes)
       },
       Some(annIvfPqOracleSql(ivfCellsFor(OracleScaleN), IvfIters, IvfProbes,
         IvfSampleN, PqRerank, topK = AnnTopK))),
@@ -1650,9 +1720,16 @@ object EmbeddingQueries {
                  iters: Int = IvfIters,
                  nProbes: Int = IvfProbes,
                  sampleN: Int = IvfSampleN,
-                 queries: Option[DataFrame] = None): DataFrame = {
+                 queries: Option[DataFrame] = None,
+                 subBits: Int = 0,
+                 subProbes: Int = 1): DataFrame = {
     val n = e.count()
-    if (n <= AnnBroadcastCeilingRows) {
+    // the blocked kernel keeps its single-level Int cell contract;
+    // subBits > 0 only activates past 2^24 rows — far above the
+    // broadcast ceiling — so the composite-key path is always the
+    // declarative join (a test-scope saturation-sim run below the
+    // ceiling takes the declarative path too, same semantics)
+    if (n <= AnnBroadcastCeilingRows && subBits == 0) {
       // Blocked per-cell kernel (BruteForceCosine.ivfBestInCell): the
       // declarative join materializes every (query, member) pair as a
       // row — ~3 B rows at the 100× operating point, whose row
@@ -1665,7 +1742,8 @@ object EmbeddingQueries {
         assigned.select(col("cell"), col("cid"), col("ce")),
         probes.select(col("qid"), col("qe"), col("cell"))))
     } else
-      top1BySim(annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries)
+      top1BySim(annIvfCandidates(s, e, cells, iters, nProbes, sampleN, queries,
+          subBits, subProbes)
         .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
           col("qn"), col("cn")), 6))
         // narrow projection before the top-1 aggregation (see annLshTop1)
@@ -1689,10 +1767,13 @@ object EmbeddingQueries {
                  cells: Int = IvfCells,
                  iters: Int = IvfIters,
                  nProbes: Int = IvfProbes,
-                 sampleN: Int = IvfSampleN): DataFrame = {
+                 sampleN: Int = IvfSampleN,
+                 subBits: Int = 0,
+                 subProbes: Int = 1): DataFrame = {
     graft.functions.TopKByScore.tuneForManyGroups(s)
     val n = e.count()
-    val perCell = if (n <= AnnBroadcastCeilingRows) {
+    // kernel-vs-declarative gating: see annIvfTop1
+    val perCell = if (n <= AnnBroadcastCeilingRows && subBits == 0) {
       // per-cell blocked kernel (see annIvfTop1): the probed pair
       // space never becomes rows — each probe row emits its cell's
       // ≤ k best, and the aggregate below merges the partial top-ks
@@ -1703,7 +1784,8 @@ object EmbeddingQueries {
         assigned.select(col("cell"), col("cid"), col("ce")),
         probes.select(col("qid"), col("qe"), col("cell")), k)
     } else
-      annIvfCandidates(s, e, cells, iters, nProbes, sampleN)
+      annIvfCandidates(s, e, cells, iters, nProbes, sampleN,
+          subBits = subBits, subProbes = subProbes)
         .withColumn("sim", round(dotOverNorms(s, col("qe"), col("ce"),
           col("qn"), col("cn")), 6))
         // narrow projection before the aggregation (see annLshTop1)
@@ -1731,9 +1813,11 @@ object EmbeddingQueries {
     */
   def hardNegatives(s: SparkSession, e: DataFrame, pool: Int = HardNegPool,
                     cells: Int = IvfCells, nProbes: Int = IvfProbes,
-                    sampleN: Int = IvfSampleN): DataFrame = {
+                    sampleN: Int = IvfSampleN,
+                    subBits: Int = 0, subProbes: Int = 1): DataFrame = {
     val topk = annIvfTopK(s, e, k = pool, cells = cells,
-      nProbes = nProbes, sampleN = sampleN)
+      nProbes = nProbes, sampleN = sampleN,
+      subBits = subBits, subProbes = subProbes)
     val lab = e.select(col("vec_id"), col("label"))
     def side(df: DataFrame, n: Long) =
       if (n <= 64000000L) broadcast(df) else df
@@ -1761,8 +1845,11 @@ object EmbeddingQueries {
                                           iters: Int = IvfIters,
                                           nProbes: Int = IvfProbes,
                                           sampleN: Int = IvfSampleN,
-                                          queries: Option[DataFrame] = None): DataFrame = {
-    val (assigned, probes) = annIvfSides(s, e, cells, iters, nProbes, sampleN, queries)
+                                          queries: Option[DataFrame] = None,
+                                          subBits: Int = 0,
+                                          subProbes: Int = 1): DataFrame = {
+    val (assigned, probes) = annIvfSides(s, e, cells, iters, nProbes, sampleN,
+      queries, subBits, subProbes)
     // size-guarded broadcast of the inverted file: below the ceiling
     // the cell join is map-side — the probe stream (nProbes vector
     // copies per query) and the corpus side BOTH skip their by-cell
@@ -1779,7 +1866,9 @@ object EmbeddingQueries {
   private def annIvfSides(s: SparkSession, e: DataFrame,
                           cells: Int, iters: Int, nProbes: Int,
                           sampleN: Int,
-                          queries: Option[DataFrame]): (DataFrame, DataFrame) = {
+                          queries: Option[DataFrame],
+                          subBits: Int = 0,
+                          subProbes: Int = 1): (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
     // Coarse quantizer: deterministic driver-side Lloyd's on a
     // BOUNDED sample — a k-cell quantizer is cells×64 floats, a
@@ -1807,18 +1896,52 @@ object EmbeddingQueries {
     // pair, 3× the arithmetic + two sqrts across the ~3 B pairs of
     // the 100× operating point (measured: 116 → ~45 s)
     val en = withNorm(e)
-    val assigned = en.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"),
+    // Two-level cell key past the coarse quantizer's clamp (see
+    // [[annIvfSubBitsFor]]): coarse·2^b | b sign bits of the shared
+    // plane family — one fused band_sigs codegen call alongside the
+    // nearest_cells assignment, no extra fit. subBits = 0 (every
+    // oracle/bench/committed-sweep scale) leaves the key — and the
+    // replay SQL — bit-identical to the single-level form.
+    val coarseAssign =
       element_at(call_function("nearest_cells", col("embedding"), cLit, lit(1)), 1)
-        .as("cell"))
+    val cellAssign =
+      if (subBits == 0) coarseAssign
+      else coarseAssign.cast("long") * lit(1L << subBits) +
+        element_at(call_function("band_sigs", col("embedding"),
+          typedlit(planes(subBits)), lit(subBits)), 1)
+    val assigned = en.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), cellAssign.as("cell"))
     // query side defaults to the corpus (self-join ANN); a separate
     // query table is the search-API shape — per-query independence
     // makes a restricted run equal the full run on those queries
-    val probes = queries.map(withNorm).getOrElse(en)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"),
-        explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
-          .as("cell"))
+    val qBase = queries.map(withNorm).getOrElse(en)
+    val probes =
+      if (subBits == 0)
+        qBase.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          explode(call_function("nearest_cells", col("embedding"), cLit, lit(nProbes)))
+            .as("cell"))
+      else
+        // margin-aware sub-probing: per query, the subProbes
+        // lowest-perturbation sub-signatures (band_probes — home
+        // bucket first), crossed with the nProbes coarse probes. The
+        // sub-signature list is computed ONCE per query row, before
+        // the coarse explode, so the kernel runs n times, not
+        // n·nProbes times.
+        qBase.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"),
+            call_function("nearest_cells", col("embedding"), cLit, lit(nProbes))
+              .as("pcells"),
+            call_function("band_probes", col("embedding"),
+              typedlit(planes(subBits)), lit(subBits), lit(subProbes))
+              .as("subsigs"))
+          .select(col("qid"), col("qe"), col("qn"),
+            explode(col("pcells")).as("ccell"), col("subsigs"))
+          .select(col("qid"), col("qe"), col("qn"), col("ccell"),
+            explode(col("subsigs")).as("subsig"))
+          .select(col("qid"), col("qe"), col("qn"),
+            (col("ccell").cast("long") * lit(1L << subBits) + col("subsig"))
+              .as("cell"))
     (assigned, probes)
   }
 
@@ -1849,8 +1972,11 @@ object EmbeddingQueries {
                    nProbes: Int = IvfProbes,
                    sampleN: Int = IvfSampleN,
                    rerank: Int = PqRerank,
-                   queries: Option[DataFrame] = None): DataFrame =
-    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank, queries).ranked
+                   queries: Option[DataFrame] = None,
+                   subBits: Int = 0,
+                   subProbes: Int = 1): DataFrame =
+    annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank, queries,
+      subBits = subBits, subProbes = subProbes).ranked
 
   /** IVF-PQ approximate top-k — the compressed-index retrieval-service
     * shape (emb_ann_ivf_topk's sibling for the regime where even the
@@ -1862,9 +1988,11 @@ object EmbeddingQueries {
                    iters: Int = IvfIters,
                    nProbes: Int = IvfProbes,
                    sampleN: Int = IvfSampleN,
-                   rerank: Int = PqRerank): DataFrame =
+                   rerank: Int = PqRerank,
+                   subBits: Int = 0,
+                   subProbes: Int = 1): DataFrame =
     annIvfPqStages(s, e0, cells, iters, nProbes, sampleN, rerank,
-      emitK = k).ranked
+      emitK = k, subBits = subBits, subProbes = subProbes).ranked
 
   /** The IVF-PQ pipeline with its intermediate stages exposed (test
     * scope uses this to attribute wall time per phase — PqProfile —
@@ -1883,7 +2011,9 @@ object EmbeddingQueries {
                    sampleN: Int = IvfSampleN,
                    rerank: Int = PqRerank,
                    queries: Option[DataFrame] = None,
-                   emitK: Int = 1): IvfPqStages = {
+                   emitK: Int = 1,
+                   subBits: Int = 0,
+                   subProbes: Int = 1): IvfPqStages = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
     import s.implicits._
@@ -1904,9 +2034,18 @@ object EmbeddingQueries {
     def bookLit(m: Int) = typedlit(books(m).map(_.toSeq).toSeq)
     // Inverted file: home cell + the 8 PQ codes + exact norm; the raw
     // vector is dropped here — the whole point of the PQ form.
-    val assigned = e.select(col("vec_id").as("cid"),
+    // Two-level cell key past the coarse clamp (annIvfSubBitsFor —
+    // see annIvfSides): subBits = 0 at every oracle/bench scale keeps
+    // the key, and the replay SQL, bit-identical.
+    val coarseAssign =
       element_at(call_function("nearest_cells", col("embedding"), coarseLit, lit(1)), 1)
-        .as("cell"),
+    val cellAssign =
+      if (subBits == 0) coarseAssign
+      else coarseAssign.cast("long") * lit(1L << subBits) +
+        element_at(call_function("band_sigs", col("embedding"),
+          typedlit(planes(subBits)), lit(subBits)), 1)
+    val assigned = e.select(col("vec_id").as("cid"),
+      cellAssign.as("cell"),
       array((0 until PqM).map(m =>
         element_at(call_function("nearest_cells",
           slice(col("embedding"), m * PqSub + 1, PqSub), bookLit(m), lit(1)), 1)): _*)
@@ -1934,13 +2073,32 @@ object EmbeddingQueries {
     // round-11 difference at the 100× slice: 153.5 s → 6.6 s for the
     // probe materialization, with the cache shrinking 6.4 M rows ×
     // ~1.3 kB → 200 k rows.
-    val qSide = q.select(col("vec_id").as("qid"),
+    val qCols = Seq(col("vec_id").as("qid"),
       call_function("nearest_cells", col("embedding"), coarseLit, lit(nProbes))
-        .as("pcells"),
-      adcCol.as("adc"), col("nrm").as("qnrm"), col("embedding").as("qe"))
+        .as("pcells")) ++
+      (if (subBits == 0) Nil
+       else Seq(call_function("band_probes", col("embedding"),
+         typedlit(planes(subBits)), lit(subBits), lit(subProbes))
+         .as("subsigs"))) ++
+      Seq(adcCol.as("adc"), col("nrm").as("qnrm"), col("embedding").as("qe"))
+    val qSide = q.select(qCols: _*)
       .transform(graft.Caching.persistOnce(_))
-    val probes = qSide.select(col("qid"), explode(col("pcells")).as("cell"),
-      col("adc"), col("qnrm"))
+    val probes =
+      if (subBits == 0)
+        qSide.select(col("qid"), explode(col("pcells")).as("cell"),
+          col("adc"), col("qnrm"))
+      else
+        // coarse probes × margin-ranked sub-signatures (see
+        // annIvfSides) — both lists come from the SAME cached qSide
+        // row, so the ADC tables are still built once per query
+        qSide.select(col("qid"), explode(col("pcells")).as("ccell"),
+            col("subsigs"), col("adc"), col("qnrm"))
+          .select(col("qid"), col("ccell"),
+            explode(col("subsigs")).as("subsig"), col("adc"), col("qnrm"))
+          .select(col("qid"),
+            (col("ccell").cast("long") * lit(1L << subBits) + col("subsig"))
+              .as("cell"),
+            col("adc"), col("qnrm"))
     // Per-pair ADC score through the adc_sum codegen kernel (one flat
     // lookup loop — this runs once per candidate pair, the pipeline's
     // hottest expression; the higher-order aggregate(sequence(…))
@@ -1959,12 +2117,16 @@ object EmbeddingQueries {
     // default autoBroadcast threshold, which is why the hint matters:
     // without it the planner shuffles the 1 KB-ADC probe side BY CELL
     // — measured 7.6 GB / 1360 s at the 100× slice), where the
-    // raw-vector side plain IVF joins never fit. Beyond ~25 M vectors
-    // even the coded file outgrows broadcast; the plan then is
-    // co-partitioning both sides by cell and shipping query VECTORS
-    // (ADC tables built post-exchange), which this operator's shape
-    // permits without changing semantics.
-    val pairs = probes.join(broadcast(assigned), Seq("cell"))
+    // raw-vector side plain IVF joins never fit. Beyond the coded
+    // file's own broadcast ceiling (~25 M vectors × 40 B ≈ 1 GB) the
+    // hint comes OFF and the join shuffles both sides by cell — the
+    // sub-split regime (annIvfSubBitsFor) lands here, where the
+    // composite key's ≤512-member buckets keep the shuffled pair
+    // stream linear in n.
+    val nCorpusEarly = e.count()
+    val codedFile =
+      if (nCorpusEarly <= 25000000L) broadcast(assigned) else assigned
+    val pairs = probes.join(codedFile, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
     val shortlist = pairs
       .withColumn("adc_sim", adcSim)
@@ -1982,9 +2144,12 @@ object EmbeddingQueries {
     // spilling the widened pair stream (the round-11 rerun filled
     // 78 GB of spill before dying). Broadcast keeps the re-rank one
     // map-side stage into the top-1 partials.
-    val nCorpus = e.count()
+    val nCorpus = nCorpusEarly
+    // kernel-vs-declarative gating: see annIvfTop1 (the kernel keeps
+    // its single-level Int cell contract; subBits > 0 implies the
+    // declarative join)
     val ranked =
-      if (nCorpus <= AnnBroadcastCeilingRows) {
+      if (nCorpus <= AnnBroadcastCeilingRows && subBits == 0) {
         // Whole-pipeline kernel (BruteForceCosine.ivfPqTopKKernel):
         // under the ceiling the declarative form's candidate-matrix
         // row machinery and the n·rerank heap exchange dominate the

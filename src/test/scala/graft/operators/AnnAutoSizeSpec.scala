@@ -54,6 +54,40 @@ class AnnAutoSizeSpec extends SparkSpec {
     assert(semDedupSubBitsFor(1000000000L, 4096) === 11)
   }
 
+  test("ANN sub-split: no-op up to the coarse clamp, per-query candidates frozen past it") {
+    import EmbeddingQueries.{annIvfSubBitsFor, ivfCellsFor,
+      AnnIvfSubProbes, AnnIvfTargetMembership}
+    // below AND AT the clamp point the formula is a pinned no-op —
+    // every oracle (500), bench (2 000), and committed-sweep scale
+    // (20 k / 200 k) replays the single-level construction verbatim,
+    // and activation starts strictly past n = 2^24 at the 4096-cell
+    // clamp (below the clamp membership ≈ √n ≤ 4096 never triggers)
+    for (n <- Seq(500L, 2000L, 20000L, 200000L, 1000000L, 1L << 24))
+      assert(annIvfSubBitsFor(n, ivfCellsFor(n)) === 0, s"n=$n")
+    // past the clamp: probed-bucket membership ≤ the 512 target
+    // (within rounding), so per-query candidates freeze at
+    // nProbes·subProbes·target = 64·8·512 = 2^18 — the clamp
+    // boundary's own per-query budget (64·4096) — and the total
+    // candidate stream is LINEAR in n instead of n²/64
+    for (n <- Seq(20000000L, 33554432L, 100000000L, 1000000000L, 100000000000L)) {
+      val b = annIvfSubBitsFor(n, 4096)
+      assert(b > 0, s"n=$n")
+      val membership = n.toDouble / (4096.0 * (1L << b))
+      assert(membership <= AnnIvfTargetMembership.toDouble,
+        s"n=$n membership=$membership")
+      assert(membership > AnnIvfTargetMembership / 2.0 || b === 20,
+        s"n=$n oversplit: membership=$membership at b=$b")
+    }
+    // the exact demo points (AnnRecallSpec saturation-sim + the
+    // big-slice profile): 2·2^24 → b=4, membership 512 exactly
+    assert(annIvfSubBitsFor(2L << 24, 4096) === 4)
+    // saturation-sim at 1/100 scale: same membership regime
+    // (200 k / 48 cells = 4 167 > subProbes·target) → b = 4
+    assert(annIvfSubBitsFor(200000L, 48) === 4)
+    // sub-probes stay within the band_probes kernel's subset space
+    assert(AnnIvfSubProbes <= (1 << graft.functions.BandProbes.ProbeWidth))
+  }
+
   test("recall-budget formulas: pinned at the oracle point, bands×2/decade, probes to the kernel ceiling") {
     // floors cover both oracle (500) and bench (2 000) scales
     assert(EmbeddingQueries.annLshBandsFor(500) === 16)
