@@ -105,38 +105,78 @@ object TextDedupQueries {
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col("freq").asc, col("h").asc)
     // persisted: the self-join below would otherwise recompute the
-    // whole freq+window pipeline once per side.
+    // whole freq+window pipeline once per side. Prefixes are EXTENDED
+    // by one (… + 2 instead of the classic … + 1): with length
+    // n − ceil(t·n) + j a qualifying pair must share ≥ min(j, c)
+    // prefix tokens (c = the guaranteed overlap ceil(t·n_min); the
+    // global-order argument is in the candidate-stage comment below),
+    // which is what lets the aggregated filter demand TWO shared rare
+    // shingles — the single biggest false-candidate cut.
     val prefixes = ex.join(df_, "h")
       .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("pos"), col("h"))
+      .filter(col("pos") <= col("n") - ceil(lit(tCand) * col("n")) + 2)
+      .select(col("doc_id"), col("n"), col("pos"), col("h"), col("freq"))
       .transform(graft.Caching.persistOnce(_))
     // candidate pairs: shared prefix hash + the LENGTH filter
-    // (Jaccard ≥ t ⟹ t·max(n_a,n_b) ≤ min(n_a,n_b)) + PPJoin's
-    // POSITIONAL filter: pos is the token's rank in the doc's FULL
-    // rarest-first order, so a pair meeting via this token can
-    // intersect at most 1 + min(n_a−pos_a, n_b−pos_b) elements, while
-    // J ≥ t needs |A∩B| ≥ t/(1+t)·(n_a+n_b); a pair survives if ANY
-    // of its shared prefix tokens passes — the join emits every
-    // collision row, so the OR is free and the distinct still sees
-    // every surviving pair. At the 100× slice the length+prefix
-    // filters alone admitted 4.35 M candidate pairs of which 25.6 k
-    // verified — the positional bound prunes before the distinct AND
-    // before the 4.2 GB pair×set verification payload (NgramProfile's
-    // per-exchange attribution).
+    // (Jaccard ≥ t ⟹ t·max(n_a,n_b) ≤ min(n_a,n_b)), then an
+    // AGGREGATED PPJoin+-style pass over each pair's collision rows
+    // (the join emits one row per shared prefix token):
+    //
+    //  - rank the pair's shared prefix tokens by the GLOBAL
+    //    rarest-first order (freq, h) — the same key both docs'
+    //    windows sort by, so a common token h' before h_k in that
+    //    order sits before h_k in BOTH docs, hence inside BOTH
+    //    extended prefixes, hence IS one of the pair's collision
+    //    rows. The k-th shared row therefore has exactly k−1 common
+    //    tokens before it, giving the exact bound
+    //      |A∩B| ≤ k + min(n_a − pos_a(h_k), n_b − pos_b(h_k))
+    //    per row, and the pair's tightest bound is the MIN over k —
+    //    strictly tighter than the old any-row single-token form.
+    //  - require ≥ min(2, ceil(t·n_min)) shared prefix tokens (valid
+    //    by the extended prefix above; the min-guard keeps the
+    //    degenerate one-shingle-doc pair, whose guaranteed overlap
+    //    is only 1).
+    //
+    // At the 100× slice the old any-row form admitted 1.28 M
+    // candidate pairs of which 25.6 k verified — and each false
+    // candidate shipped both shingle sets through the verification
+    // exchange (2.67 GB, the largest exchange in the committed
+    // exponent table). The aggregated filter exists to cut THAT
+    // payload; the collision-row aggregation itself is narrow
+    // (doc ids + three ints per row).
+    val required = lit(tCand) * (col("n_a") + col("n_b"))
+    val wPair = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("freq").asc, col("h").asc)
     val candidates = prefixes.as("a").join(prefixes.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.n"), col("b.n")) * tCand <= least(col("a.n"), col("b.n")) &&
-        (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")))
-          * (1 + tCand) >= lit(tCand) * (col("a.n") + col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        greatest(col("a.n"), col("b.n")) * tCand <= least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+        // freq is a function of h — both sides carry the same value
+        col("a.freq").as("freq"), col("h"))
+      .withColumn("k", row_number().over(wPair))
+      .withColumn("bound",
+        col("k") + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(min(col("bound")).as("ubound"), count(lit(1)).as("shared"))
+      .filter(col("shared") >= least(lit(2), ceil(lit(tCand) * least(col("n_a"), col("n_b")))) &&
+        col("ubound") * (1 + tCand) >= required)
+      .select(col("doc_a"), col("doc_b"))
+    // verification: full distinct-shingle sets of candidate pairs
+    // only, with the set relation first RESTRICTED to docs that
+    // appear in some candidate (left-semi against the narrow pair
+    // list) — the sets of never-paired docs don't enter the join
+    // exchanges at all. No broadcast hint — the shingle-set table is
+    // O(corpus) and would blow the broadcast ceiling at scale; the
+    // candidate side is the small one and AQE picks the build side
+    // at runtime.
+    val pairedDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    // verification: full distinct-shingle sets of candidate pairs only.
-    // No broadcast hint — the shingle-set table is O(corpus) and would
-    // blow the broadcast ceiling at scale; the candidate side is the
-    // small one and AQE picks the build side at runtime.
-    val setsA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val setsB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    val shNeeded = sh.join(pairedDocs, Seq("doc_id"), "left_semi")
+    val setsA = shNeeded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val setsB = shNeeded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     candidates.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",

@@ -127,6 +127,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: semi-restricted set relation, aggregated candidate filter") {
+    val p = plan("doc_ngram_jaccard")
+    // the verification sets relation is restricted to docs appearing
+    // in some candidate pair BEFORE the pair×set joins — losing the
+    // LeftSemi re-ships every never-paired doc's shingle set through
+    // the verification exchanges (the round-13 2.67 GB payload)
+    assert(p.contains("LeftSemi"),
+      s"doc_ngram_jaccard lost the paired-docs semi restriction:\n$p")
+    // the candidate stage collapses collision rows through the
+    // aggregated PPJoin+ bound (a HashAggregate over (doc_a, doc_b)
+    // of min(bound)/count), not a bare distinct — the filter that
+    // keeps false candidates out of the set-payload joins
+    assert(p.contains("min(bound"),
+      s"doc_ngram_jaccard lost the aggregated positional bound:\n$p")
+  }
+
   test("bloom decontamination: fixed-m position relation broadcasts, kernel in the scan") {
     val p = plan("doc_decontaminate_bloom")
     assert(p.contains("window_bloom_positions"),
