@@ -68,6 +68,48 @@ object BruteForceCosine {
     acc
   }
 
+  /** Fill `out(j) = dot(row j, q) / (qn · norms(j))` for every row of
+    * the block from `from` on. Four candidate rows are interleaved per
+    * dim-loop pass: each row's fold is STILL the ascending-index
+    * sequential double accumulation (bit-identical to [[dotRow]] —
+    * the four accumulators are independent chains, nothing is
+    * reassociated within a chain), but the four independent chains
+    * hide the FP-add latency the single-chain loop is bound by
+    * (~4-cycle add latency × dim beats throughput by ~4× — measured
+    * as the dominant arithmetic cost of the exact twins once the
+    * per-pair rounding moved to the boundary pool).
+    */
+  private def fillSims(b: Block, q: Array[Float], qn: Double,
+                       from: Int, out: Array[Double]): Unit = {
+    val m = b.mat
+    val dim = b.dim
+    val n = b.n
+    var j = from
+    val lim = from + ((n - from) & ~3)
+    while (j < lim) {
+      val b0 = j * dim; val b1 = b0 + dim; val b2 = b1 + dim; val b3 = b2 + dim
+      var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+      var i = 0
+      while (i < dim) {
+        val qi = q(i).toDouble
+        a0 += m(b0 + i).toDouble * qi
+        a1 += m(b1 + i).toDouble * qi
+        a2 += m(b2 + i).toDouble * qi
+        a3 += m(b3 + i).toDouble * qi
+        i += 1
+      }
+      out(j) = a0 / (qn * b.norms(j))
+      out(j + 1) = a1 / (qn * b.norms(j + 1))
+      out(j + 2) = a2 / (qn * b.norms(j + 2))
+      out(j + 3) = a3 / (qn * b.norms(j + 3))
+      j += 4
+    }
+    while (j < n) {
+      out(j) = dotRow(m, j, q, dim) / (qn * b.norms(j))
+      j += 1
+    }
+  }
+
   @inline private def selfNorm(q: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
@@ -667,9 +709,72 @@ object BruteForceCosine {
       .orderBy("qid", "rnk")
   }
 
+  /** Per-query top-k over raw sims with the allocating round-6
+    * confined to a near-boundary pool — [[ivfTopKInCell]]'s margin
+    * argument, shared by [[topK]] and [[topKUnordered]]. The naive
+    * form rounded EVERY pair sim through BigDecimal (n² allocations —
+    * the dominant cost of the exact twins at sf0.1: 400 M rounds for
+    * 20 k vectors); here the k-th largest RAW sim bounds the pool
+    * (HALF_UP to 6 dp moves a value ≤ 5·10⁻⁷, so two sims rounding to
+    * the same grid point differ < 10⁻⁶ raw; the pool keeps a 2e-6
+    * margin) and only pool members are rounded. Returned rows are the
+    * first ≤ k of the pool sorted (rounded DESC, cid ASC) — exactly
+    * the rounded-sim ranking the declarative twin computes
+    * (CosineTopKSpec asserts row-for-row equality, ties included).
+    */
+  @inline private def topKRowsFor(b: Block, qid: Long, qe: Array[Float],
+                                  k: Int, scratch: Array[Double],
+                                  sel: Array[Double]): Seq[(Long, Double)] = {
+    val n = b.n
+    val qn = selfNorm(qe)
+    fillSims(b, qe, qn, 0, scratch)
+    // self-exclusion: ids are ascending, locate qid once
+    val selfIdx = java.util.Arrays.binarySearch(b.ids, qid)
+    if (selfIdx >= 0) scratch(selfIdx) = Double.NegativeInfinity
+    var selN = 0
+    var j = 0
+    while (j < n) {
+      if (j != selfIdx) {
+        val sim = scratch(j)
+        // keep the k largest raws seen (ascending in sel)
+        if (selN < k) {
+          var i = selN
+          sel(i) = sim
+          while (i > 0 && sel(i - 1) > sel(i)) {
+            val t = sel(i - 1); sel(i - 1) = sel(i); sel(i) = t; i -= 1
+          }
+          selN += 1
+        } else if (sim > sel(0)) {
+          sel(0) = sim
+          var i = 0
+          while (i < k - 1 && sel(i) > sel(i + 1)) {
+            val t = sel(i); sel(i) = sel(i + 1); sel(i + 1) = t; i += 1
+          }
+        }
+      }
+      j += 1
+    }
+    if (selN == 0) Seq.empty
+    else {
+      val kthRaw = sel(0)
+      val pool = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 4)
+      var j2 = 0
+      while (j2 < n) {
+        if (b.ids(j2) != qid && scratch(j2) > kthRaw - 2e-6)
+          pool += ((roundLikeSpark(scratch(j2), 6), b.ids(j2)))
+        j2 += 1
+      }
+      pool.sortInPlace()(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+      pool.take(k).toSeq.map { case (sim, cid) => (cid, sim) }
+    }
+  }
+
   /** Exact cosine top-k of every vector against all others (self
     * excluded), ties by ascending candidate id — row-for-row equal to
-    * the declarative crossJoin + TopKByScore plan.
+    * the declarative crossJoin + TopKByScore plan. Raw-sim selection
+    * with the round-6 confined to the near-boundary pool (see
+    * [[topKRowsFor]]).
     * Output: (qid, rnk 1..k, cid, sim round-6) ordered by (qid, rnk).
     */
   def topK(s: SparkSession, emb: DataFrame, k: Int,
@@ -681,32 +786,13 @@ object BruteForceCosine {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val b = bc.value
-        val n = b.n
+        var scratch = new Array[Double](0)
+        val sel = new Array[Double](k)
         it.flatMap { case (qid, qe) =>
-          val qn = selfNorm(qe)
-          // bounded insertion list ordered by (sim desc, cid asc);
-          // candidates arrive in ascending cid, so an incoming tie
-          // with the current worst never displaces it.
-          val simA = new Array[Double](k)
-          val cidA = new Array[Long](k)
-          var m = 0
-          var j = 0
-          while (j < n) {
-            if (b.ids(j) != qid) {
-              val sim = roundLikeSpark(
-                dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
-              if (m < k || sim > simA(m - 1)) {
-                var p = if (m < k) m else m - 1
-                while (p > 0 && simA(p - 1) < sim) {
-                  simA(p) = simA(p - 1); cidA(p) = cidA(p - 1); p -= 1
-                }
-                simA(p) = sim; cidA(p) = b.ids(j)
-                if (m < k) m += 1
-              }
-            }
-            j += 1
+          if (scratch.length < b.n) scratch = new Array[Double](b.n)
+          topKRowsFor(b, qid, qe, k, scratch, sel).zipWithIndex.map {
+            case ((cid, sim), r) => (qid, r + 1, cid, sim)
           }
-          (0 until m).map(r => (qid, r + 1, cidA(r), simA(r)))
         }
       }
       .toDF("qid", "rnk", "cid", "sim")
@@ -757,29 +843,13 @@ object BruteForceCosine {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val b = bc.value
-        val n = b.n
+        var scratch = new Array[Double](0)
+        val sel = new Array[Double](k)
         it.flatMap { case (qid, qe) =>
-          val qn = selfNorm(qe)
-          val simA = new Array[Double](k)
-          val cidA = new Array[Long](k)
-          var m = 0
-          var j = 0
-          while (j < n) {
-            if (b.ids(j) != qid) {
-              val sim = roundLikeSpark(
-                dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
-              if (m < k || sim > simA(m - 1)) {
-                var p = if (m < k) m else m - 1
-                while (p > 0 && simA(p - 1) < sim) {
-                  simA(p) = simA(p - 1); cidA(p) = cidA(p - 1); p -= 1
-                }
-                simA(p) = sim; cidA(p) = b.ids(j)
-                if (m < k) m += 1
-              }
-            }
-            j += 1
+          if (scratch.length < b.n) scratch = new Array[Double](b.n)
+          topKRowsFor(b, qid, qe, k, scratch, sel).map {
+            case (cid, sim) => (qid, cid, sim)
           }
-          (0 until m).map(r => (qid, cidA(r), simA(r)))
         }
       }
       .toDF("qid", "cid", "sim")
@@ -799,19 +869,30 @@ object BruteForceCosine {
       .mapPartitions { it =>
         val b = bc.value
         val n = b.n
+        var scratch = new Array[Double](0)
         it.flatMap { case (qid, qe) =>
+          if (scratch.length < n) scratch = new Array[Double](n)
           val qn = selfNorm(qe)
           val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           // ids are sorted ascending: start past qid so only qid < cid
           // pairs are scanned at all.
-          var j = java.util.Arrays.binarySearch(b.ids, qid) match {
+          val from = java.util.Arrays.binarySearch(b.ids, qid) match {
             case neg if neg < 0 => -neg - 1
             case pos => pos + 1
           }
+          fillSims(b, qe, qn, from, scratch)
+          var j = from
           while (j < n) {
-            val sim = roundLikeSpark(
-              dotRow(b.mat, j, qe, b.dim) / (qn * b.norms(j)), 6)
-            if (sim >= threshold) buf += ((qid, b.ids(j), sim))
+            // round-6 only near the threshold: HALF_UP to 6 dp moves
+            // a value ≤ 5·10⁻⁷, so raw < t − 1e-6 cannot round up to
+            // ≥ t — the BigDecimal allocation runs only on the
+            // accepted-or-boundary pairs, never per pair (the topK
+            // pool argument, threshold edition)
+            val raw = scratch(j)
+            if (raw >= threshold - 1e-6) {
+              val sim = roundLikeSpark(raw, 6)
+              if (sim >= threshold) buf += ((qid, b.ids(j), sim))
+            }
             j += 1
           }
           buf

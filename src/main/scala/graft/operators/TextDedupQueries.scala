@@ -163,6 +163,13 @@ object TextDedupQueries {
       .filter(col("shared") >= least(lit(2), ceil(lit(tCand) * least(col("n_a"), col("n_b")))) &&
         col("ubound") * (1 + tCand) >= required)
       .select(col("doc_a"), col("doc_b"))
+      // persisted: consumed THREE times (both pairedDocs union
+      // branches + the verification join) — uncached, the whole
+      // collision join + window + aggregate pipeline re-evaluated per
+      // consumer (measured 3× the candidate stage at sf0.1: the
+      // round-14 bench regression this line fixes). Cached rows are
+      // the narrow (doc_a, doc_b) pair list only.
+      .transform(graft.Caching.persistOnce(_))
     // verification: full distinct-shingle sets of candidate pairs
     // only, with the set relation first RESTRICTED to docs that
     // appear in some candidate (left-semi against the narrow pair
