@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, JlProject, MinHashBandSigs, NearestCells, SimHashVotes, SquashAlnum, WindowBloomPositions, WindowMd5s}
+import graft.functions.{AdcSum, AudioFeatures, BandProbes, BandSignatures, CosineSimilarity, CountTokens, DotProduct, FrameHists, JlProject, MinHashBandSigs, NearestCells, SimHashVotes, SquashAlnum, WindowBloomPositions, WindowEnergies, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -67,7 +67,16 @@ object GraftExtensions {
           WindowBloomPositions(children.head, children(1))),
       (FunctionIdentifier("simhash_votes"),
         new ExpressionInfo(classOf[SimHashVotes].getName, "simhash_votes"),
-        (children: Seq[Expression]) => SimHashVotes(children.head)))
+        (children: Seq[Expression]) => SimHashVotes(children.head)),
+      (FunctionIdentifier("audio_features"),
+        new ExpressionInfo(classOf[AudioFeatures].getName, "audio_features"),
+        (children: Seq[Expression]) => AudioFeatures(children.head)),
+      (FunctionIdentifier("window_energies"),
+        new ExpressionInfo(classOf[WindowEnergies].getName, "window_energies"),
+        (children: Seq[Expression]) => WindowEnergies(children.head)),
+      (FunctionIdentifier("frame_hists"),
+        new ExpressionInfo(classOf[FrameHists].getName, "frame_hists"),
+        (children: Seq[Expression]) => FrameHists(children.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -201,6 +201,7 @@ object MultimodalQueries {
     // already have.
     Q("mm_audio_features",
       (s, d) => {
+        graft.GraftExtensions.register(s)
         Tables.documents(s, d)
           .filter(length(col("text")) > 0)
           // CODE-POINT sampler, both engines: Spark's split(text, '')
@@ -216,27 +217,21 @@ object MultimodalQueries {
           .select(col("doc_id").as("media_id"),
             least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
             col("text"))
-          // index a pre-split char ARRAY, not substring(text, i, 1):
-          // UTF8String substring seeks code points from the string
-          // start, so per-sample substring is O(i) — O(len²) per doc,
-          // measured at 19.5 s for the sf0.1 bench slot; element_at on
-          // the split array is O(1) (1.0 s). Values are identical
-          // (ASCII corpus; both engines index characters).
-          .withColumn("cs", split(col("text"), ""))
-          .withColumn("samples", expr(
-            "transform(sequence(0, n_samples - 1), " +
-              "i -> ascii(element_at(cs, (i % size(cs)) + 1)) - 96)"))
+          // fused one-pass integer kernel (graft.functions.AudioFeatures)
+          // — same integer sums as the prior higher-order-function
+          // spelling (which the oracle SQL keeps), without
+          // materializing the char/sample arrays or paying ~5
+          // interpreted Expression evals per sample; only the final
+          // sqrt/divide/round is double, unchanged below. The array
+          // peak was Int-typed via transform(abs); the kernel's is
+          // LONG, cast back — values are equal (abs of a code point
+          // − 96 fits int by construction). zero_crossings likewise.
+          .withColumn("af", expr("audio_features(text)"))
           .select(col("media_id"), col("n_samples"),
-            round(sqrt(expr(
-              "aggregate(samples, 0L, (acc, x) -> acc + CAST(x AS LONG) * x)")
+            round(sqrt(col("af").getItem(0)
               .cast("double") / col("n_samples")), 6).as("rms"),
-            expr("array_max(transform(samples, x -> abs(x)))").as("peak"),
-            // widen the sign product: two adjacent supplementary-plane
-            // code points square past Int.MaxValue (128k² ≈ 1.6e10 —
-            // an ANSI-mode overflow error un-widened)
-            expr("size(filter(sequence(1, n_samples - 1), " +
-              "i -> CAST(element_at(samples, i) AS LONG) * element_at(samples, i + 1) < 0))")
-              .as("zero_crossings"))
+            col("af").getItem(1).cast("int").as("peak"),
+            col("af").getItem(2).cast("int").as("zero_crossings"))
           .orderBy("media_id")
       },
       Some("""WITH pcm AS (
@@ -320,20 +315,20 @@ object MultimodalQueries {
     Q("mm_scene_cuts",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.GraftExtensions.register(s)
         val clips = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) >= 128)
-          .select(col("doc_id").as("media_id"), col("text"),
-            floor(length(col("text")) / 64).cast("int").as("n_frames"))
-        val frames = clips
-          .select(col("media_id"),
-            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
-            col("text"))
-          .withColumn("frame", expr("substring(text, frame_idx * 64 + 1, 64)"))
-        val hist = frames.select(
-          col("media_id") +: col("frame_idx") +:
-            (0 until 4).map(b => expr(
-              s"size(filter(sequence(1, 64), i -> ascii(substring(frame, i, 1)) % 4 = $b))")
-              .as(s"h$b")): _*)
+          .select(col("doc_id").as("media_id"), col("text"))
+        // fused one-pass kernel (graft.functions.FrameHists): all
+        // ⌊len/64⌋ per-frame 4-bin histograms in one loop per clip,
+        // posexploded and unpacked — same integer counts as the prior
+        // explode + per-frame substring + 4 interpreted filter()
+        // lambdas (which the oracle SQL keeps)
+        val hist = clips
+          .select(col("media_id"), posexplode(expr("frame_hists(text)")))
+          .select(col("media_id") +: col("pos").as("frame_idx") +:
+            (0 until 4).map(b =>
+              shiftright(col("col"), 8 * b).bitwiseAND(lit(255L)).as(s"h$b")): _*)
         val w = Window.partitionBy("media_id").orderBy("frame_idx")
         val l1 = (0 until 4)
           .map(b => abs(col(s"h$b") - lag(col(s"h$b"), 1).over(w)))
@@ -390,6 +385,7 @@ object MultimodalQueries {
     Q("mm_voice_segments",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.GraftExtensions.register(s)
         val clips = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(3)) === 1 && length(col("text")) > 0)
           // same code-point PCM derivation as mm_audio_features —
@@ -398,16 +394,17 @@ object MultimodalQueries {
           // MultimodalOpsSpec)
           .select(col("doc_id").as("media_id"),
             least(length(col("text")) * 2, lit(2048)).cast("int").as("n_samples"),
-            split(col("text"), "").as("cs"))
+            col("text"))
           .filter(col("n_samples") >= 64)
+        // fused one-pass integer kernel (graft.functions.WindowEnergies):
+        // all n_samples/64 window energies in one loop per clip, then
+        // posexplode — same integer sums as the prior per-window
+        // aggregate() lambda (which the oracle SQL keeps) that paid
+        // TWO interpreted element_at+ascii evals per sample
         val wins = clips
-          .select(col("media_id"), col("cs"),
-            explode(sequence(lit(0), (col("n_samples") / 64).cast("int") - 1)).as("w"))
-          .withColumn("sum_sq", expr(
-            "aggregate(sequence(w * 64, w * 64 + 63), 0L, (acc, i) -> " +
-              "acc + CAST(ascii(element_at(cs, (i % size(cs)) + 1)) - 96 AS LONG) " +
-              "* (ascii(element_at(cs, (i % size(cs)) + 1)) - 96))"))
-          .select("media_id", "w", "sum_sq")
+          .select(col("media_id"),
+            posexplode(expr("window_energies(text)")))
+          .select(col("media_id"), col("pos").as("w"), col("col").as("sum_sq"))
         val wv = Window.partitionBy("media_id").orderBy("w")
         wins.filter(col("sum_sq") >= 58000)
           .withColumn("rn", row_number().over(wv))

@@ -91,6 +91,50 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("mm_scene_cuts: cuts equal a plain-Scala recompute of the frame histograms") {
+    val texts = docs
+    def cps(t: String): Array[Int] = t.codePoints.toArray
+    def cutsOf(entries: Seq[(Long, String)]): Seq[(Long, Int, Int)] =
+      (for {
+        (id, text) <- entries
+        c = cps(text)
+        if c.length >= 128
+        nf = c.length / 64
+        hists = (0 until nf).map { j =>
+          val h = new Array[Int](4)
+          (j * 64 until j * 64 + 64).foreach(i => h(c(i) % 4) += 1)
+          h
+        }
+        j <- 1 until nf
+        l1 = (0 until 4).map(b => math.abs(hists(j)(b) - hists(j - 1)(b))).sum
+        if l1 >= 18
+      } yield (id, j, l1)).sortBy(t => (t._1, t._2))
+
+    val expected = cutsOf(texts.toSeq.filter(_._1 % 3 == 2))
+    val got = Registry.byName("mm_scene_cuts").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    // non-BMP fixture: the frame histogram must bin by CODE POINT
+    // (cp % 4), with frames as fixed 64-code-point blocks — a
+    // UTF-16-unit framing would split the surrogate pairs and shift
+    // every later frame boundary
+    import spark.implicits._
+    val g = new String(Character.toChars(0x1F600))
+    val bmp = s"héllo wörld $g " * 12 + "plain ascii tail to vary the bins"
+    val fixture = Seq(
+      (2L, bmp, "xx", "video"),
+      (5L, ("abcd" * 40) + "    ZZZZ    " * 8, "en", "video"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.codePointCount(0, t.length).toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-scenecuts").toString
+    fixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gotNb = Registry.byName("mm_scene_cuts").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(gotNb == cutsOf(fixture.map(f => (f._1, f._2))))
+  }
+
   test("mm_audio_features / mm_voice_segments: non-BMP corpus samples by code point") {
     import spark.implicits._
     // multi-byte fixture: Latin-1 accents (2-byte UTF-8), CJK (3-byte),
