@@ -75,9 +75,39 @@ object BpeTokenizer {
 
   /** Train `k` greedy BPE merges on `dict` (cached). Returns the
     * marked pair strings in learned order. Stops early if the corpus
-    * runs out of repeated pairs (never at the shipped scales). */
+    * runs out of repeated pairs (never at the shipped scales).
+    *
+    * The dictionary is vocabulary-sized, so up to
+    * `spark.graft.bpe.localTrainMaxVocab` distinct words (default 2^20
+    * ≈ a few tens of MB — the KMeansLite bounded-driver discipline)
+    * the K iterations run DRIVER-SIDE over one collected copy instead
+    * of K sequential Spark jobs each re-scanning the cached dict
+    * through a K-deep replace chain (O(K²·vocab) expression work plus
+    * K job/collect round-trips — measured as most of the wall of all
+    * four doc_bpe_* bench slots). Past the cap (a 100 TB corpus'
+    * open vocabulary) the original distributed loop runs unchanged.
+    * [[trainMergesLocal]] is bit-identical by construction: the same
+    * Java regex builds state0, String.replace has the same literal
+    * leftmost-non-overlapping semantics as both engines' replace, and
+    * the argmax tie order compares UTF-8 BYTES (Spark's UTF8String
+    * binary order), not UTF-16 chars — BpeTokenizerSpec's independent
+    * reference trainer and the DuckDB-replayed training pin it.
+    */
   def trainMerges(dict: DataFrame, k: Int = Merges): Seq[String] = {
     val cached = graft.Caching.persistOnce(dict)
+    val cap = cached.sparkSession.conf
+      .getOption("spark.graft.bpe.localTrainMaxVocab")
+      .map(_.toInt).getOrElse(1 << 20)
+    val local = cached.select("word", "freq").limit(cap + 1).collect()
+    if (local.length <= cap)
+      trainMergesLocal(local.map(r => (r.getString(0), r.getLong(1))), k)
+    else trainMergesDistributed(cached, k)
+  }
+
+  /** The distributed per-iteration trainer (one pair-count job per
+    * merge over the cached dict) — the path a vocabulary past the
+    * driver cap takes. */
+  private[operators] def trainMergesDistributed(cached: DataFrame, k: Int): Seq[String] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var done = false
     while (merges.size < k && !done) {
@@ -94,6 +124,85 @@ object BpeTokenizer {
         .limit(1).collect()
       if (top.isEmpty) done = true
       else merges += top.head.getString(0)
+    }
+    merges.toSeq
+  }
+
+  /** a < b in UTF-8 byte order — Spark's UTF8String binary comparison
+    * (= DuckDB's), which differs from Java String order past the BMP. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side replica of the relational training loop over a
+    * collected (word, freq) dictionary. States stay STRINGS and every
+    * step reuses the JVM machinery the relational form compiles to
+    * (Java regex for state0; literal leftmost-non-overlapping
+    * String.replace for the merge — which, exactly like both engines'
+    * replace, may even match across a symbol fused by a regex-dot
+    * non-match such as a newline), so the learned sequence is
+    * bit-identical to [[trainMergesDistributed]]'s. */
+  private[operators] def trainMergesLocal(dict: Array[(String, Long)], k: Int): Seq[String] = {
+    // state0: same regex, then rtrim (trailing 0x20 only)
+    val states = new Array[String](dict.length)
+    val freqs = new Array[Long](dict.length)
+    var i = 0
+    while (i < dict.length) {
+      var s = dict(i)._1.replaceAll("(.)", s"$M$$1$M ")
+      var e = s.length
+      while (e > 0 && s.charAt(e - 1) == ' ') e -= 1
+      states(i) = s.substring(0, e)
+      freqs(i) = dict(i)._2
+      i += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (merges.size < k && !done) {
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var w = 0
+      while (w < states.length) {
+        val syms = states(w).split(" ", -1)
+        if (syms.length >= 2) {
+          val f = freqs(w)
+          var j = 0
+          while (j < syms.length - 1) {
+            val p = syms(j) + " " + syms(j + 1)
+            val prev = counts.get(p)
+            counts.put(p, if (prev == null) f else prev + f)
+            j += 1
+          }
+        }
+        w += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (freq DESC, pair ASC in UTF-8 byte order)
+        var best: String = null
+        var bestF = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val f = e.getValue.longValue()
+          if (f > bestF || (f == bestF && utf8Lt(e.getKey, best)))
+            { best = e.getKey; bestF = f }
+        }
+        merges += best
+        val merged = best.replace(s"$M $M", "")
+        var w2 = 0
+        while (w2 < states.length) {
+          states(w2) = states(w2).replace(best, merged)
+          w2 += 1
+        }
+      }
     }
     merges.toSeq
   }

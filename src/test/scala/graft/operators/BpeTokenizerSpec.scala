@@ -122,6 +122,27 @@ class BpeTokenizerSpec extends SparkSpec {
     }
   }
 
+  test("driver-local trainer is bit-identical to the distributed loop") {
+    import spark.implicits._
+    // the fixture corpus PLUS a word with an embedded newline: the
+    // regex-dot non-match fuses "\n" into the next symbol, and a
+    // later merge can string-replace ACROSS that fused boundary — the
+    // local trainer must reproduce exactly that, not a symbol-array
+    // approximation
+    val tricky = corpus :+ "ab\ncd ab\ncd cd cd cd ab ab"
+    val docs = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dict = BpeTokenizer.wordDict(docs)
+    val dist = BpeTokenizer.trainMergesDistributed(
+      graft.Caching.persistOnce(dict), 8)
+    // default cap: vocab << 2^20 routes driver-side
+    assert(BpeTokenizer.trainMerges(dict, k = 8) == dist)
+    // cap 1 forces the distributed fallback through the public entry
+    spark.conf.set("spark.graft.bpe.localTrainMaxVocab", "1")
+    try assert(BpeTokenizer.trainMerges(dict, k = 8) == dist)
+    finally spark.conf.unset("spark.graft.bpe.localTrainMaxVocab")
+  }
+
   test("doc_pack_sequences_bpe: offsets are the contiguous token prefix sum") {
     val rows = Registry.byName("doc_pack_sequences_bpe")
       .run(spark, "/root/testdata/sf0.001").collect()
