@@ -54,15 +54,19 @@ object TrigramIndex {
   }
 
   /** (bucket, tri, doc_id) DISTINCT trigram postings of the RAW text
-    * (case-preserving — grep semantics). */
-  private[operators] def postingsOf(docs: DataFrame): DataFrame =
+    * (case-preserving — grep semantics). One-pass kernel
+    * ([[graft.functions.CharTrigrams]]): the prior
+    * `transform(sequence(…), i -> substring(text, i, 3))` spelling
+    * seeks code point i from the string start per position — O(len²)
+    * per doc. Same derivation, same distinct set. */
+  private[operators] def postingsOf(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, length(text) - 2),
-               i -> substring(text, i, 3)))""")).as("tri"))
+        explode(expr("char_trigrams(text)")).as("tri"))
       .withColumn("bucket", pmod(crc32(col("tri")), lit(NBuckets)).cast("int"))
+  }
 
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     graft.store.IndexMaintenance.withMaintenanceLock(dir, conf(s)) {

@@ -118,6 +118,28 @@ class TrigramIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("char_trigrams kernel equals the transform/substring spelling") {
+    import spark.implicits._
+    val g = new String(Character.toChars(0x1F600))
+    val fixture = Seq(
+      "hello world window merge",
+      "aaaa", "ab", "", "abc",
+      s"a${g}b$g mixed $g$g$g surrogate pairs",
+      "tab\there\nnewline there",
+      "répéter répéter 日本語テキスト").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    graft.GraftExtensions.register(spark)
+    val rows = fixture.select(col("doc_id"),
+      expr("char_trigrams(text)").as("kernel"),
+      expr("""CASE WHEN length(text) >= 3 THEN
+                array_distinct(transform(sequence(1, length(text) - 2),
+                  i -> substring(text, i, 3)))
+              ELSE array() END""").as("hof")).collect()
+    for (r <- rows)
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"kernel/HOF divergence on doc ${r.getLong(0)}")
+  }
+
   test("patterns shorter than a trigram are rejected") {
     intercept[IllegalArgumentException] {
       TrigramIndex.trigramsOf("ab")
