@@ -108,43 +108,48 @@ object QualityClassifier {
           0, fv0, 1, fv1, 2, fv2, 3, fv3,
           4, fv4, 5, fv5, 6, fv6) AS (f, v)"""))
 
+  /** (doc_id, y, fv0..fv6) — ONE row per doc. Training and scoring
+    * run off this wide frame: the node walk is then a pure projection
+    * (fv columns are right there), where the former melted-frame walk
+    * had to window-broadcast each split feature's value back onto the
+    * doc's 7 stacked rows — a full melt shuffle by doc_id PER DEPTH
+    * LEVEL. The melt happens per level AFTER node assignment, on the
+    * way into the (node, f, v) aggregate. */
+  private[operators] def wideFeatures(docs: DataFrame): DataFrame =
+    withFeatureCols(docs).select(
+      col("doc_id") +: col("y") +: (0 to 6).map(i => col(s"fv$i")): _*)
+
   /** One learned split: docs at `node` with feature `f` value ≤ `t`
     * go to node 2n, the rest to 2n+1. */
   final case class Split(node: Int, f: Int, t: Long, err: Long)
 
-  /** Melted frame + `node` column under `splits`: the per-doc values
-    * of the split features are window-broadcast onto every feature
-    * row of the doc, then the tree walks as a fold over depth levels
-    * — a pure projection, shared by training re-assignment and final
-    * scoring. */
-  private def withNode(melt: DataFrame, splits: Map[Int, Split]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val needed = splits.values.map(_.f).toSeq.distinct.sorted
-    val wDoc = Window.partitionBy("doc_id")
-    val withVals = needed.foldLeft(melt) { (df, f) =>
-      df.withColumn(s"sv$f",
-        max(when(col("f") === f, col("v"))).over(wDoc))
-    }
-    val node = (1 to Depth).foldLeft(lit(1): Column) { (n, _) =>
+  /** The tree walk under `splits` over the wide frame's fv columns —
+    * a pure projection (zero shuffle), shared by training
+    * re-assignment and verdict scoring. */
+  private def nodeExpr(splits: Map[Int, Split]): Column =
+    (1 to Depth).foldLeft(lit(1): Column) { (n, _) =>
       splits.values.foldLeft(n) { (acc, s) =>
         when(acc === s.node,
-          when(col(s"sv${s.f}") <= s.t, lit(s.node * 2))
+          when(col(s"fv${s.f}") <= s.t, lit(s.node * 2))
             .otherwise(lit(s.node * 2 + 1)))
           .otherwise(acc)
       }
     }
-    withVals.withColumn("node", node)
-  }
 
-  /** Train the depth-D CART tree; `melt` should be cached (every
-    * depth re-reads it). Returns the splits keyed by node. */
-  def train(spark: SparkSession, melt: DataFrame, depth: Int = Depth): Map[Int, Split] = {
+  /** Train the depth-D CART tree on the WIDE feature frame
+    * ([[wideFeatures]]; should be cached — every depth re-reads it).
+    * Returns the splits keyed by node. */
+  def train(spark: SparkSession, wide: DataFrame, depth: Int = Depth): Map[Int, Split] = {
     import org.apache.spark.sql.expressions.Window
     var splits = Map.empty[Int, Split]
     var level = 0
     var grew = true
     while (level < depth && grew) {
-      val assigned = withNode(melt, splits)
+      val assigned = wide.withColumn("node", nodeExpr(splits))
+        .select(col("node"), col("y"),
+          expr("""stack(7,
+            0, fv0, 1, fv1, 2, fv2, 3, fv3,
+            4, fv4, 5, fv5, 6, fv6) AS (f, v)"""))
       val g = assigned.groupBy("node", "f", "v")
         .agg(count(lit(1)).as("c"),
           sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
@@ -180,19 +185,18 @@ object QualityClassifier {
   }
 
   private def trained(s: SparkSession, d: String): (DataFrame, Map[Int, Split]) = {
-    val melt = graft.Caching.persistOnce(melted(Tables.documents(s, d)))
-    (melt, train(s, melt))
+    val wide = graft.Caching.persistOnce(wideFeatures(Tables.documents(s, d)))
+    (wide, train(s, wide))
   }
 
   /** Train on `docs` and return every document's learned verdict:
     * (doc_id, pred) — the composable form other pipeline stages (the
     * attrition funnel) gate on. */
   def verdicts(s: SparkSession, docs: DataFrame): DataFrame = {
-    val melt = graft.Caching.persistOnce(melted(docs))
-    val splits = train(s, melt)
-    val assigned = withNode(melt, splits)
-      .groupBy("doc_id")
-      .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+    val wide = graft.Caching.persistOnce(wideFeatures(docs))
+    val splits = train(s, wide)
+    val assigned = wide.withColumn("node", nodeExpr(splits))
+      .select("doc_id", "node", "y")
     val leaves = assigned.groupBy("node")
       .agg(count(lit(1)).as("c"),
         sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
@@ -206,11 +210,9 @@ object QualityClassifier {
 
   /** Train on `docs` and package the model for serving. */
   def fit(s: SparkSession, docs: DataFrame): TreeModel = {
-    val melt = graft.Caching.persistOnce(melted(docs))
-    val splits = train(s, melt)
-    val leaves = withNode(melt, splits)
-      .groupBy("doc_id")
-      .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+    val wide = graft.Caching.persistOnce(wideFeatures(docs))
+    val splits = train(s, wide)
+    val leaves = wide.withColumn("node", nodeExpr(splits))
       .groupBy("node")
       .agg(count(lit(1)).as("c"),
         sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))
@@ -341,10 +343,9 @@ object QualityClassifier {
     // verdict it was trained on.
     Q("doc_quality_classifier",
       (s, d) => {
-        val (melt, splits) = trained(s, d)
-        val assigned = withNode(melt, splits)
-          .groupBy("doc_id")
-          .agg(max(col("node")).as("node"), max(col("y")).as("y"))
+        val (wide, splits) = trained(s, d)
+        val assigned = wide.withColumn("node", nodeExpr(splits))
+          .select("doc_id", "node", "y")
         val leaves = assigned.groupBy("node")
           .agg(count(lit(1)).as("c"),
             sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"))

@@ -58,8 +58,8 @@ class QualityClassifierSpec extends SparkSpec {
 
   test("relational CART training equals the in-memory reference") {
     val rows = collectMelt()
-    val melt = QualityClassifier.melted(graft.Tables.documents(spark, sf))
-    val got = QualityClassifier.train(spark, melt)
+    val wide = QualityClassifier.wideFeatures(graft.Tables.documents(spark, sf))
+    val got = QualityClassifier.train(spark, wide)
       .map { case (n, s) => n -> (s.f, s.t, s.err) }
     val want = refTrain(rows, QualityClassifier.Depth)
     assert(got == want, s"trees differ:\n got=$got\n want=$want")
@@ -83,10 +83,9 @@ class QualityClassifierSpec extends SparkSpec {
         }
         (i.toLong, words.mkString(" "))
       }.toDF("doc_id", "text")
-      val melt = QualityClassifier.melted(docs)
-      val got = QualityClassifier.train(spark, melt)
+      val got = QualityClassifier.train(spark, QualityClassifier.wideFeatures(docs))
         .map { case (n, s) => n -> (s.f, s.t, s.err) }
-      val rows = melt.collect()
+      val rows = QualityClassifier.melted(docs).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
       val want = refTrain(rows, QualityClassifier.Depth)
       assert(got == want, s"seed $seed: got=$got want=$want")
