@@ -320,13 +320,22 @@ final class ViewStreams(val store: EventStore) {
     *     broadcast (≤ limit rows).
     *  4. Fetch the winning rows (J2), global ORDER BY offset.
     *
-    * Stages 3+4 are ONE job and ONE scan of the log: the band join
-    * prunes to the leased partitions' tails, then a rank-1 window per
-    * partition (W2) picks each head — the window's shuffle moves only
-    * the ≤ limit partitions' pending tails, and the log is not scanned
-    * a second time for the fetch (a poll loop pays per-round job
-    * latency; halving scans halves the drain's wall time at toy batch
-    * sizes and the I/O at any size).
+    * Stages 3+4 are ONE job, ONE scan of the log, and ZERO exchanges:
+    * a per-task fold keeps the min-offset event per leased partition
+    * (offsets are globally unique, so the head is exactly the rank-1
+    * window row of the declarative spelling), the ≤ leased×tasks
+    * partials collect, and the driver finishes the min and the
+    * presentation sort over ≤ limit rows. The fold runs on an RDD
+    * CACHED per log version ([[tailRdd]]): a poll loop re-running a
+    * DataFrame pipeline would pay Catalyst
+    * analysis/optimization/codegen PER ROUND — measured as most of
+    * each round's wall at drain batch sizes, with two exchanges
+    * (window + presentation sort) on top — where the RDD re-plans only
+    * when the log version changes. The log is not scanned a second
+    * time for the fetch. Per-row work is one hash probe + compare, so
+    * at production log sizes the scan I/O dominates exactly as it did
+    * the join+window form (which a filter-pushdown could not prune
+    * either — the leased bound is per-partition, not global).
     *
     * `FOR UPDATE SKIP LOCKED` has no Spark analogue and needs none:
     * lock state is single-owner per key (SURVEY §7.4.3); concurrent
@@ -351,20 +360,39 @@ final class ViewStreams(val store: EventStore) {
     }
     if (leased.isEmpty) return Nil
 
-    // Stage 3+4: one job, one scan (see pipeline doc above).
-    val leasedDf = leased.map(l => (l.decider_id, l.last_offset))
-      .toDF("c_decider_id", "c_last_offset")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"decider_id").orderBy($"offset")
-    store.allEvents
-      .join(broadcast(leasedDf), $"decider_id" === $"c_decider_id" &&
-        $"offset" > $"c_last_offset")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .drop("c_decider_id", "c_last_offset", "rn")
-      .orderBy($"offset")
-      .as[EventRow]
-      .collect().toSeq
+    // Stage 3+4: one job, one scan, zero exchanges (see pipeline doc).
+    val bounds = leased.map(l => l.decider_id -> l.last_offset).toMap
+    val partials = tailRdd().mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap.empty[String, EventRow]
+      it.foreach { e =>
+        bounds.get(e.decider_id) match {
+          case Some(lo) if e.offset > lo =>
+            val cur = best.get(e.decider_id)
+            if (cur.isEmpty || e.offset < cur.get.offset)
+              best(e.decider_id) = e
+          case _ => ()
+        }
+      }
+      best.valuesIterator
+    }.collect()
+    partials.groupBy(_.decider_id).values
+      .map(_.minBy(_.offset)).toSeq.sortBy(_.offset)
+  }
+
+  /** The committed log as an RDD, re-planned only when the log VERSION
+    * changes (append/load/compact swap the Dataset instance): the
+    * delivery poll loop's per-round cost is then one RDD job, not a
+    * fresh Catalyst pass — see the [[streamEvents]] pipeline doc. */
+  private var tailRddCache: (AnyRef, org.apache.spark.rdd.RDD[EventRow]) = null
+  private def tailRdd(): org.apache.spark.rdd.RDD[EventRow] = {
+    val ds = store.allEvents
+    val c = tailRddCache
+    if (c != null && (c._1 eq ds)) c._2
+    else {
+      val r = ds.rdd
+      tailRddCache = (ds, r)
+      r
+    }
   }
 
   /** Streaming form of the SHARED consumption loop (S5 × SKIP LOCKED;
