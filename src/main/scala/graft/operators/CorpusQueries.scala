@@ -447,9 +447,18 @@ object CorpusQueries {
     // is exact long addition.
     Q("doc_char_entropy",
       (s, d) => {
+        // one-pass alphabet counts (graft.functions.CharCounts) — the
+        // `length(text) - length(replace(text, c, ''))` spelling (which
+        // the oracle keeps) scans and materializes the string 27× per
+        // doc. Counts are exact integers either way (cast back to INT
+        // to keep the published schema); the IEEE-sensitive entropy
+        // terms below are the SAME shared fragments over the same ints.
+        graft.GraftExtensions.register(s)
         val base = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .selectExpr("doc_id" +: "length(text) AS n" +: entropyCountSqls: _*)
+          .withColumn("kc", expr("char_counts(text)"))
+          .selectExpr("doc_id" +: "CAST(element_at(kc, 29) AS INT) AS n" +:
+            (0 until 27).map(i => s"CAST(element_at(kc, ${i + 1}) AS INT) AS k$i"): _*)
           .withColumn("k27", expr(s"n - (${(0 until 27).map(i => s"k$i").mkString(" + ")})"))
         base
           .select(col("doc_id"), col("n").as("n_chars"),

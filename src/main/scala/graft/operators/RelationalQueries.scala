@@ -578,10 +578,19 @@ object RelationalQueries {
             col("s_nationkey") === col("n_nationkey"))
           .select(col("l_partkey").as("ps_partkey"),
             (col("ps_cost") * col("ps_qty")).cast(DecimalType(27, 4)).as("val"))
-        val threshold = natps
-          .agg((sum(col("val")).cast("double") * 0.001).as("threshold"))
-        natps.groupBy("ps_partkey")
-          .agg(sum(col("val")).cast("double").as("part_value"))
+        // aggregate ONCE: the global threshold is the sum of the
+        // per-part DECIMAL sums (decimal addition is exact, so
+        // Σ_parts Σ_group val ≡ Σ val bit-for-bit; the double cast
+        // happens once at the end exactly as the oracle's) — the
+        // un-cached form re-ran the whole lineitem aggregation + joins
+        // a second time just to produce the one threshold row
+        val grouped = natps.groupBy("ps_partkey")
+          .agg(sum(col("val")).as("dval"))
+          .transform(graft.Caching.persistOnce(_))
+        val threshold = grouped
+          .agg((sum(col("dval")).cast("double") * 0.001).as("threshold"))
+        grouped
+          .select(col("ps_partkey"), col("dval").cast("double").as("part_value"))
           .crossJoin(broadcast(threshold))
           .filter(col("part_value") > col("threshold"))
           .select(col("ps_partkey"), col("part_value"))
@@ -614,6 +623,9 @@ object RelationalQueries {
           .agg(sum(dec2(col("l_extendedprice")) *
               (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
             .cast("double").as("total_revenue"))
+          // consumed twice (scalar max + the join): un-cached, the
+          // filtered lineitem aggregation runs once per consumer
+          .transform(graft.Caching.persistOnce(_))
         val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
         Tables.supplier(s, d)
           .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -874,9 +886,18 @@ object RelationalQueries {
     // CUBE grouping sets (extended-analytics aggregation surface)
     Q("a_cube_returnflag",
       (s, d) => {
+        // pre-aggregate to the base (returnflag, linestatus) cells
+        // BEFORE the cube: CUBE's Expand otherwise multiplies every
+        // fact row 4× ahead of the partial aggregation. Re-aggregating
+        // group sums is exact (decimal addition; counts sum as longs)
+        // and every cube cell is a union of base cells, so the output
+        // is bit-identical — the oracle keeps the raw-table CUBE.
         Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(dec2(col("l_quantity"))).as("dq"), count(lit(1)).as("cn"))
           .cube("l_returnflag", "l_linestatus")
-          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+          .agg(sum(col("dq")).cast("double").as("sum_qty"),
+            sum(col("cn")).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       Some("""SELECT l_returnflag, l_linestatus,
