@@ -612,11 +612,23 @@ object TextDedupQueries {
     */
   val LmBroadcastCeiling = 3000000L
 
+  /** Driver-side model cap for [[docLmNll]]: up to this many combined
+    * count rows (bigram types + doc-final unigram rows) the model fit
+    * runs on ONE collected copy of the one-pass count aggregate (the
+    * [[BpeTokenizer.trainMerges]] bounded-driver discipline) instead
+    * of ~6 chained Spark jobs; past it the distributed fit runs over
+    * the SAME cached aggregate — the probe pass is never wasted.
+    * Below [[LmBroadcastCeiling]] so the local branch's term table is
+    * always broadcastable.
+    */
+  val LmLocalModelMaxTypes = 1 << 21
+
   private[operators] def docLmNll(docs: DataFrame,
                                   vocabCap: Int = LmVocabCap): DataFrame = {
-    // cached: the tokenized corpus feeds the bigram-count pass, the
-    // last-token pass, and the scoring pass — measured at the 100×
-    // slice, recomputing the regex+split per pass costs ~2× the cache.
+    val session = docs.sparkSession
+    // cached: the tokenized corpus feeds the count pass and the
+    // scoring pass — measured at the 100× slice, recomputing the
+    // regex+split per pass costs ~2× the cache.
     val toks = docs
       .select(col("doc_id"),
         split(trim(normSquash(docs)(lower(col("text")))), " ").as("ws"))
@@ -631,20 +643,51 @@ object TextDedupQueries {
           .otherwise(expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
           .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // RAW bigram-type counts: the one corpus-wide aggregation pass
-    // over the bigram stream (map-side combine against the tiny type
-    // space). Unigram counts are DERIVED from it instead of a second
-    // explode pass: every token occurrence is either some bigram's w1
-    // or its document's LAST token (single-token docs included), so
-    // c(w) = Σ_w2 cbRaw(w, w2) + #docs-ending-in-w — exact identity.
-    val bcRaw = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // ONE corpus-wide count pass: every doc emits its bigrams PLUS its
+    // last token as (w, NULL) — every token occurrence is either some
+    // bigram's w1 or its document's LAST token (single-token docs
+    // included), so raw unigram counts are c(w) = Σ over all rows with
+    // w1 = w (bigram rows and the NULL-w2 final rows alike) — exact
+    // identity, map-side combined against the tiny type space.
+    val countsAll = toks.select(
+        explode(expr(
+          """concat(
+               CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),
+                 i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+               ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END,
+               array(struct(element_at(ws, -1) AS w1, CAST(NULL AS STRING) AS w2)))"""))
+          .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .transform(graft.Caching.persistOnce(_))
-    val lastCnt = toks.select(element_at(col("ws"), -1).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("lc"))
-    val uniRaw = bcRaw.groupBy(col("w1").as("w")).agg(sum(col("cb")).as("bc1"))
-      .join(lastCnt, Seq("w"), "full_outer")
-      .select(col("w"),
-        (coalesce(col("bc1"), lit(0L)) + coalesce(col("lc"), lit(0L))).as("c"))
+    val localMax = session.conf
+      .getOption("spark.graft.lm.localModelMaxTypes")
+      .map(_.toInt).getOrElse(LmLocalModelMaxTypes)
+    // probe-collect: one job materializes toks + countsAll; when the
+    // type table fits under the cap, the collected rows ARE the full
+    // aggregate and the model fit is pure driver-side arithmetic.
+    val probe = countsAll.limit(localMax + 1).collect()
+    if (probe.length <= localMax) {
+      val (keepDf, termsDf) =
+        lmModelLocal(session, probe.map(r =>
+          (r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
+            r.getLong(2))), vocabCap)
+      lmScore(bi, keepDf, broadcast(termsDf))
+    } else {
+      lmNllDistributed(countsAll, bi, vocabCap)
+    }
+  }
+
+  /** Distributed model fit over the cached one-pass count aggregate —
+    * the path an open 100 TB vocabulary takes. Joins only ever build
+    * on vocabulary-bounded tables; the corpus-sized bigram stream is
+    * re-touched exactly once (scoring).
+    */
+  private def lmNllDistributed(countsAll: DataFrame, bi: DataFrame,
+                               vocabCap: Int): DataFrame = {
+    val bcRaw = countsAll.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("cb"))
+    val uniRaw = countsAll.groupBy(col("w1").as("w")).agg(sum(col("c")).as("c"))
       .transform(graft.Caching.persistOnce(_))
     val keep = uniRaw.orderBy(col("c").desc, col("w").asc).limit(vocabCap)
       .select(col("w").as("kw"))
@@ -673,9 +716,70 @@ object TextDedupQueries {
           (col("cb") + lit(1)).cast("double")) * lit(1e6)).cast("long").as("nll_micro"))
       .transform(graft.Caching.persistOnce(_))
     val lookup = if (terms.count() <= LmBroadcastCeiling) broadcast(terms) else terms
-    // scoring: the ONLY other pass over the bigram stream — fold joins
-    // + term lookup stay in one whole-stage-codegen span, and the
-    // per-doc aggregate map-side combines before its exchange.
+    lmScore(bi, keep, lookup)
+  }
+
+  /** Driver-side model fit from the collected one-pass counts: the
+    * SAME arithmetic as [[lmNllDistributed]] on exact integers — keep
+    * selection compares (count DESC, word ASC in UTF-8 BYTE order,
+    * Spark's UTF8String binary sort), the NLL term is the identical
+    * `Math.log` of the identical double division — so the two branches
+    * are bit-identical (LmNllVocabCapSpec pins it). Returns the keep
+    * set and the per-bigram term table as driver-local relations (no
+    * jobs to build, no jobs to broadcast).
+    */
+  private def lmModelLocal(session: org.apache.spark.sql.SparkSession,
+                           counts: Array[(String, String, Long)],
+                           vocabCap: Int): (DataFrame, DataFrame) = {
+    import scala.collection.mutable
+    val uniRaw = mutable.HashMap.empty[String, Long]
+    counts.foreach { case (w1, _, c) =>
+      uniRaw.update(w1, uniRaw.getOrElse(w1, 0L) + c)
+    }
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val keep = uniRaw.toArray
+      .sortWith((p, q) => p._2 > q._2 || (p._2 == q._2 && byteLt(p._1, q._1)))
+      .take(vocabCap).map(_._1).toSet
+    def fold(w: String): String = if (keep(w)) w else LmOovToken
+    val uni = mutable.HashMap.empty[String, Long]
+    uniRaw.foreach { case (w, c) =>
+      val m = fold(w); uni.update(m, uni.getOrElse(m, 0L) + c)
+    }
+    val v = uni.size.toLong
+    val cbM = mutable.HashMap.empty[(String, String), Long]
+    counts.foreach { case (w1, w2, c) =>
+      if (w2 != null) {
+        val k = (fold(w1), fold(w2)); cbM.update(k, cbM.getOrElse(k, 0L) + c)
+      }
+    }
+    val termRows = cbM.iterator.map { case ((w1, w2), cb) =>
+      (w1, w2,
+        math.floor(math.log((uni(w1) + v).toDouble / (cb + 1).toDouble) * 1e6).toLong)
+    }.toSeq
+    import session.implicits._
+    (keep.toSeq.toDF("kw"), termRows.toDF("w1", "w2", "nll_micro"))
+  }
+
+  /** The scoring pass — the ONLY post-model pass over the bigram
+    * stream: fold joins + term lookup stay in one whole-stage-codegen
+    * span, and the per-doc aggregate map-side combines before its
+    * exchange.
+    */
+  private def lmScore(bi: DataFrame, keep: DataFrame,
+                      lookup: DataFrame): DataFrame = {
+    def fold(w: Column, kw: Column): Column =
+      when(kw.isNull, lit(LmOovToken)).otherwise(w)
     val biM = bi
       .join(broadcast(keep.select(col("kw").as("k1"))), col("w1") === col("k1"), "left")
       .join(broadcast(keep.select(col("kw").as("k2"))), col("w2") === col("k2"), "left")

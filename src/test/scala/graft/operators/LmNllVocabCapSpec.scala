@@ -75,6 +75,19 @@ class LmNllVocabCapSpec extends SparkSpec {
     assert(run(100) === reference(docs, Int.MaxValue))
   }
 
+  test("distributed fallback is bit-identical to the driver-side model fit") {
+    // force the fallback by shrinking the local-model cap to 0, with a
+    // BINDING vocab cap so the OOV fold and the keep-order tie-break
+    // (count DESC, word ASC in byte order) are both exercised
+    val key = "spark.graft.lm.localModelMaxTypes"
+    val local = run(2)
+    spark.conf.set(key, "0")
+    try assert(run(2) === local)
+    finally spark.conf.unset(key)
+    assert(local === reference(
+      corpus().collect().map(r => (r.getLong(0), tokenize(r.getString(1)))).toSeq, 2))
+  }
+
   test("default cap is far above every testdata vocabulary") {
     assert(TextDedupQueries.LmVocabCap === 32768)
     // 100× slice vocabulary measured at 3 010 (BASELINE.md) — an
