@@ -51,6 +51,13 @@ final class EventStore(val spark: SparkSession) {
   // the data plane and always a Dataset.
   private val decidersMap =
     scala.collection.mutable.LinkedHashMap.empty[(String, String, Long), DeciderRegistration]
+  /** Bumped on every NEW registration; lets incremental flushes skip
+    * the registry rewrite when nothing changed since this instance
+    * last wrote it to the same dir (full [[save]] stays unconditional
+    * — snapshots are authoritative).
+    */
+  private var decidersVersion: Long = 0L
+  private var decidersSavedAt: Option[(String, Long)] = None
   @volatile private var events: Dataset[EventRow] = spark.emptyDataset[EventRow]
   private var nextTxn: Long = 1L
   /** Committed head of the global offset sequence (O(1) instead of a
@@ -88,6 +95,8 @@ final class EventStore(val spark: SparkSession) {
                            description: Option[String] = None): DeciderRegistration =
     commitLock.synchronized {
       val row = DeciderRegistration(decider, event, eventVersion, description)
+      if (!decidersMap.contains((decider, event, eventVersion)))
+        decidersVersion += 1
       decidersMap.getOrElseUpdate((decider, event, eventVersion), row)
     }
 
@@ -667,6 +676,7 @@ final class EventStore(val spark: SparkSession) {
     withLayoutCols(events.toDF(), buckets)
       .write.partitionBy("bucket", "day").mode("overwrite").parquet(s"$dir/$newVer")
     deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+    decidersSavedAt = Some((dir, decidersVersion))
     fenceLogWriter()
     EventStore.publishVersion(dir, newVer, spark.sparkContext.hadoopConfiguration, retainDepth)
     // rebase the in-memory plan onto the just-published version: the
@@ -700,9 +710,27 @@ final class EventStore(val spark: SparkSession) {
       // writer appending into a dir a successor already retired would
       // silently lose those events.
       fenceLogWriter()
-      withLayoutCols(tail.toDF(), diskLayout.get._2)
+      // size the write to the TAIL, not the lineage: the tail's plan
+      // inherits partitions from the parquet read + every appended
+      // batch (mostly empty at flush time), and each non-empty task
+      // writes a file per (bucket, day) it holds — guide §6 output
+      // sizing. n is known; one task per `incrementRowsPerTask` rows
+      // (conf `spark.graft.store.incrementRowsPerTask`) keeps flush
+      // files at target size at ANY tail size, and coalesce never
+      // increases partitions, so a huge tail keeps its parallelism.
+      val rowsPerTask = spark.conf
+        .getOption("spark.graft.store.incrementRowsPerTask")
+        .map(_.toLong).getOrElse(262144L)
+      val tasks = math.max(1L, (n + rowsPerTask - 1) / rowsPerTask).toInt
+      withLayoutCols(tail.toDF(), diskLayout.get._2).coalesce(tasks)
         .write.partitionBy("bucket", "day").mode("append").parquet(eventsPath(dir))
-      deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+      // the registry rewrite is skipped when THIS writer already wrote
+      // this exact registry version to this dir (registrations are
+      // rare; the flush loop is not)
+      if (!decidersSavedAt.contains((dir, decidersVersion))) {
+        deciderRegistry.write.mode("overwrite").parquet(s"$dir/deciders")
+        decidersSavedAt = Some((dir, decidersVersion))
+      }
       flushedOffset = headOffset
     }
     n
@@ -755,6 +783,8 @@ final class EventStore(val spark: SparkSession) {
     spark.read.parquet(s"$dir/deciders").as[DeciderRegistration]
       .collect().foreach(d =>
         decidersMap((d.decider, d.event, d.event_version)) = d)
+    // in-memory registry now equals the on-disk copy of THIS dir
+    decidersSavedAt = Some((dir, decidersVersion))
     val heads = events.agg(max($"offset"), max($"transaction_id")).collect().headOption
     headOffset = heads.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     nextTxn = heads.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long])).getOrElse(0L) + 1
