@@ -11,21 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  /** The shared 9×8 pseudo-raster + dHash chunk builders (Spark and
-    * SQL-fragment twins), used by mm_phash_dedup (image near-dup) and
-    * mm_text_image_pairs (cross-modal pairing): pixel (r,c) =
+  /** The shared 9×8 pseudo-raster + dHash chunk SQL fragments, used by
+    * the mm_phash_dedup (image near-dup) and mm_text_image_pairs
+    * (cross-modal pairing) ORACLES: pixel (r,c) =
     * ascii(text[(r·9+c) mod len]), chunk k = 16 gradient-sign bits.
-    * `src` names the column/expression holding the source text.
+    * The Spark side computes the same sketch in one pass via the
+    * `dhash_chunks` kernel (graft.functions.DhashChunks, which carries
+    * the exactness argument). `src` names the column/expression
+    * holding the source text.
     */
-  private def pxCols(src: String): Seq[org.apache.spark.sql.Column] =
-    (0 until 72).map(i =>
-      expr(s"ascii(substring($src, ($i % length($src)) + 1, 1))").as(s"p$i"))
-  private def chunkCol(c: Int): org.apache.spark.sql.Column =
-    (0 until 16).map { k =>
-      val j = c * 16 + k; val r = j / 8; val cc = j % 8
-      when(col(s"p${r * 9 + cc}") > col(s"p${r * 9 + cc + 1}"), lit(1 << k))
-        .otherwise(lit(0))
-    }.reduce(_ + _).as(s"c$c")
   private def pxSqlFrag(src: String): String =
     (0 until 72).map(i =>
       s"ascii(substr($src, ($i % length($src)) + 1, 1)) AS p$i").mkString(", ")
@@ -76,11 +70,18 @@ object MultimodalQueries {
     // 4-int sketch shuffles; candidates ∝ bucket occupancy.
     Q("mm_phash_dedup",
       (s, d) => {
-        val rast = Tables.documents(s, d)
+        // one-pass sketch kernel (graft.functions.DhashChunks) — the
+        // 72-column ascii(substring(...)) raster + 64 CASE gradient
+        // bits the oracle keeps, fused; values bit-identical (that
+        // file's exactness argument)
+        graft.GraftExtensions.register(s)
+        val sketch = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id").as("media_id") +: pxCols("text"): _*)
-        val sketch = rast.select(col("media_id"),
-          chunkCol(0), chunkCol(1), chunkCol(2), chunkCol(3))
+          .select(col("doc_id").as("media_id"),
+            call_function("dhash_chunks", col("text")).as("ch"))
+          .select(col("media_id"),
+            element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
+            element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
         val ex = sketch.select(col("media_id"), col("c0"), col("c1"),
           col("c2"), col("c3"),
           posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
@@ -136,10 +137,15 @@ object MultimodalQueries {
     // images × texts.
     Q("mm_text_image_pairs",
       (s, d) => {
+        // same one-pass sketch kernel as mm_phash_dedup
+        graft.GraftExtensions.register(s)
         val sk = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id") +: pxCols("text"): _*)
-          .select(col("doc_id"), chunkCol(0), chunkCol(1), chunkCol(2), chunkCol(3))
+          .select(col("doc_id"),
+            call_function("dhash_chunks", col("text")).as("ch"))
+          .select(col("doc_id"),
+            element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
+            element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
         def sideEx(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
             posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))

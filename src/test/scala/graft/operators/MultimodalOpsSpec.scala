@@ -216,4 +216,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(!out.contains(6L),
       "an image with no matching caption must be absent from the pairing")
   }
+
+  test("dhash_chunks kernel equals the declarative 72-pixel spelling, non-BMP included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, element_at, expr, length}
+    graft.GraftExtensions.register(spark)
+    // fixtures exercise the wrap (len < 72), the no-wrap case, and
+    // code-point indexing: the 🚀/😀 texts would diverge if the kernel
+    // indexed UTF-16 units or raw bytes instead of code points
+    val texts = Seq(
+      "a", "ab", "the quick brown fox jumps over the lazy dog",
+      "x" * 72, "x" * 100,
+      "short 🚀 text with a rocket",
+      "😀😀 adjacent surrogate pairs 😀 and accents éàü mixed in",
+      docs.values.maxBy(_.length))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").filter(length(col("text")) > 0)
+    val declarative = df
+      .select(col("doc_id") +: (0 until 72).map(i =>
+        expr(s"ascii(substring(text, ($i % length(text)) + 1, 1))").as(s"p$i")): _*)
+      .selectExpr("doc_id" +: (0 until 4).map { c =>
+        val bits = (0 until 16).map { k =>
+          val j = c * 16 + k; val r = j / 8; val cc = j % 8
+          s"CASE WHEN p${r * 9 + cc} > p${r * 9 + cc + 1} THEN ${1 << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS c$c"
+      }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val kernel = df
+      .select(col("doc_id"), call_function("dhash_chunks", col("text")).as("ch"))
+      .select(col("doc_id"), element_at(col("ch"), 1), element_at(col("ch"), 2),
+        element_at(col("ch"), 3), element_at(col("ch"), 4))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(kernel === declarative)
+  }
 }
