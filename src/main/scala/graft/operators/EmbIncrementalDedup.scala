@@ -196,7 +196,8 @@ object EmbIncrementalDedup {
     */
   def dedupAgainst(s: SparkSession, indexSigs: DataFrame, indexVecs: DataFrame,
                    shard: DataFrame,
-                   nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+                   nBands: Int = Bands, bits: Int = Bits,
+                   knownTotal: Option[Long] = None): DataFrame = {
     val shardN = EmbeddingQueries.withNorm(shard)
       .select("vec_id", "embedding", "nrm")
       .transform(graft.Caching.persistOnce(_))
@@ -225,8 +226,13 @@ object EmbIncrementalDedup {
     // — without it the pair stream re-exchanged on cand_id with the
     // shard vectors ATTACHED: 374 MB of the query's shuffle at the
     // 100× slice was that one exchange, NgramProfile attribution)
-    val nShard = shardN.count()
-    val nAll = nShard + indexVecs.count()
+    // the guards need an UPPER BOUND, not an exact size: callers that
+    // already counted the base table (the registry twins size their
+    // banding from it) pass it and save two count jobs; a bound can
+    // only flip a borderline broadcast to the conservative shuffle
+    // plan, never change results
+    val nShard = knownTotal.getOrElse(shardN.count())
+    val nAll = knownTotal.getOrElse(nShard + indexVecs.count())
     val verified = candidates
       .join(EmbeddingQueries.maybeBroadcastVectors(
         shardN.select(col("vec_id"), col("embedding").as("es"),
@@ -359,8 +365,10 @@ object EmbIncrementalDedup {
   def decontaminateAgainst(s: SparkSession, benchSigs: DataFrame,
                            benchVecs: DataFrame, corpus: DataFrame,
                            threshold: Double = Threshold,
-                           nBands: Int = Bands, bits: Int = Bits): DataFrame =
-    searchAgainst(s, benchSigs, benchVecs, corpus, k = 1, nBands, bits)
+                           nBands: Int = Bands, bits: Int = Bits,
+                           knownTotal: Option[Long] = None): DataFrame =
+    searchAgainst(s, benchSigs, benchVecs, corpus, k = 1, nBands, bits,
+      knownTotal)
       .filter(col("sim") >= threshold)
       .select(col("vec_id"), col("match_id").as("bench_id"), col("sim"))
       .orderBy("vec_id")
@@ -495,7 +503,8 @@ object EmbIncrementalDedup {
 
   def searchAgainst(s: SparkSession, idxSigs: DataFrame, idxVecs: DataFrame,
                     queries: DataFrame, k: Int,
-                    nBands: Int = Bands, bits: Int = Bits): DataFrame = {
+                    nBands: Int = Bands, bits: Int = Bits,
+                    knownTotal: Option[Long] = None): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.functions.TopKByScore.tuneForManyGroups(s)
     val iv = idxVecs.select(col("vec_id").as("cand_id"),
@@ -512,8 +521,9 @@ object EmbIncrementalDedup {
     cands
       .join(EmbeddingQueries.maybeBroadcastVectors(
         qn.select(col("vec_id"), col("embedding"), col("ns")),
-        qn.count()), "vec_id")
-      .join(EmbeddingQueries.maybeBroadcastVectors(iv, idxVecs.count()), "cand_id")
+        knownTotal.getOrElse(qn.count())), "vec_id")
+      .join(EmbeddingQueries.maybeBroadcastVectors(iv,
+        knownTotal.getOrElse(idxVecs.count())), "cand_id")
       .withColumn("sim", round(EmbeddingQueries.dotOverNorms(s,
         col("embedding"), col("ec"), col("ns"), col("nc")), 6))
       .groupBy("vec_id")
@@ -613,11 +623,12 @@ object EmbIncrementalDedup {
         val e = Tables.embeddings(s, d)
         val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
         val shard = e.filter(pmod(col("vec_id"), lit(5)) === 0)
-        val (bands, bits) = EmbeddingQueries.nearDupBandingFor(e.count(), Threshold)
+        val n = e.count()
+        val (bands, bits) = EmbeddingQueries.nearDupBandingFor(n, Threshold)
         dedupAgainst(s,
           signatures(corpus, bands, bits),
           EmbeddingQueries.withNorm(corpus).select("vec_id", "embedding", "nrm"),
-          shard, bands, bits)
+          shard, bands, bits, knownTotal = Some(n))
       },
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
@@ -669,7 +680,7 @@ object EmbIncrementalDedup {
         searchAgainst(s,
           signatures(corpus, bands, bits),
           EmbeddingQueries.withNorm(corpus).select("vec_id", "embedding", "nrm"),
-          queries, k = 5, bands, bits)
+          queries, k = 5, bands, bits, knownTotal = Some(n))
       },
       Some(searchOracleSql(
         EmbeddingQueries.annLshBandsFor(500), EmbeddingQueries.annLshBitsFor(500),
@@ -691,11 +702,12 @@ object EmbIncrementalDedup {
         val e = Tables.embeddings(s, d)
         val bench = e.filter(pmod(col("vec_id"), lit(20)) === 0)
         val corpus = e.filter(pmod(col("vec_id"), lit(20)) =!= 0)
-        val (bands, bits) = EmbeddingQueries.nearDupBandingFor(e.count(), Threshold)
+        val n = e.count()
+        val (bands, bits) = EmbeddingQueries.nearDupBandingFor(n, Threshold)
         decontaminateAgainst(s,
           signatures(bench, bands, bits),
           EmbeddingQueries.withNorm(bench).select("vec_id", "embedding", "nrm"),
-          corpus, Threshold, bands, bits)
+          corpus, Threshold, bands, bits, knownTotal = Some(n))
       },
       Some(s"""WITH n AS (
                SELECT vec_id, embedding,
