@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcSum, AudioFeatures, BandProbes, BandSignatures, CharCounts, CharTrigrams, CosineSimilarity, CountTokens, DhashChunks, DotProduct, FrameHists, JlProject, MinHashBandSigs, NearestCells, SimHashChunks, SimHashVotes, SquashAlnum, WindowBloomPositions, WindowEnergies, WindowMd5s}
+import graft.functions.{AdcSum, AudioFeatures, BandProbes, BandSignatures, CharCounts, CharTrigrams, CosineSimilarity, CountTokens, DhashChunks, DotProduct, FrameHists, JlProject, MinHashBandSigs, NearestCells, SimHashVotes, SquashAlnum, WindowBloomPositions, WindowEnergies, WindowMd5s}
 
 /** Engine extension entry point: register the custom expressions with
   * a session, either at build time
@@ -85,10 +85,7 @@ object GraftExtensions {
         (children: Seq[Expression]) => CharCounts(children.head)),
       (FunctionIdentifier("dhash_chunks"),
         new ExpressionInfo(classOf[DhashChunks].getName, "dhash_chunks"),
-        (children: Seq[Expression]) => DhashChunks(children.head)),
-      (FunctionIdentifier("simhash_chunks"),
-        new ExpressionInfo(classOf[SimHashChunks].getName, "simhash_chunks"),
-        (children: Seq[Expression]) => SimHashChunks(children.head)))
+        (children: Seq[Expression]) => DhashChunks(children.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1239,23 +1239,26 @@ object TextDedupQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.GraftExtensions.register(s)
-        // Votes AND chunk packing in ONE codegen pass over the text
-        // bytes ([[graft.functions.SimHashChunks]], which reads
-        // [[graft.functions.SimHashVotes]]' vote array verbatim —
-        // bit-identical to the explode→md5→16×conv→64-sum→64-CASE
-        // spelling the oracle keeps, see those files' exactness
-        // arguments). The operator is a pure per-row map: no token
-        // explosion, no hex-string materialization, no 65-column vote
-        // projection, and NO aggregation before chunk bucketing;
-        // element 5 (has_tokens) reproduces the explode→groupBy
-        // behavior of dropping zero-token docs.
-        val sims = docs
+        // All 64 ±1 vote sums in ONE codegen pass over the text bytes
+        // ([[graft.functions.SimHashVotes]] — bit-identical to the
+        // explode→md5→16×conv→64-sum spelling the oracle keeps, see
+        // that file's exactness argument). The operator is now a pure
+        // per-row map: no token explosion, no hex-string
+        // materialization, and NO aggregation at all before chunk
+        // bucketing — the groupBy this replaced shuffled (doc_id,
+        // 64 longs) per doc; element 65 (token count) reproduces the
+        // explode→groupBy behavior of dropping zero-token docs.
+        val perDoc = docs
           .select(col("doc_id"),
-            call_function("simhash_chunks", lower(col("text"))).as("ch"))
-          .filter(element_at(col("ch"), 5) > 0)
-          .select(col("doc_id"),
-            element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
-            element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
+            call_function("simhash_votes", lower(col("text"))).as("v"))
+          .filter(element_at(col("v"), 65) > 0)
+          .select(col("doc_id") +:
+            (0 until 64).map(j => element_at(col("v"), j + 1).as(s"s$j")): _*)
+        def chunkExpr(c: Int): String = (0 until 16).map { k =>
+          s"CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END"
+        }.mkString(" + ")
+        val sims = perDoc.selectExpr(
+          "doc_id" +: (0 until 4).map(c => s"(${chunkExpr(c)}) AS c$c"): _*)
         // bucket by 16-bit chunks, pair within bucket, hamming ≤ 6
         val chunks = sims.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
           col("c3"), posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))

@@ -63,31 +63,4 @@ class SimHashVotesSpec extends SparkSpec {
     val decl = toksD.groupBy("id").agg(sumCols.head, sumCols.tail: _*)
     assert(kernel.exceptAll(decl).isEmpty && decl.exceptAll(kernel).isEmpty)
   }
-
-  test("simhash_chunks packs exactly the votes' sign bits (plus the token flag)") {
-    GraftExtensions.register(spark)
-    import spark.implicits._
-    val df = (cases ++ Seq.tabulate(50) { k =>
-      val rnd = new scala.util.Random(1000 + k)
-      Seq.fill(rnd.nextInt(30))("abc def G 7 é ok".split(" ")(rnd.nextInt(6)))
-        .mkString(" ")
-    }).zipWithIndex.map(_.swap).toDF("id", "txt")
-    // declarative packing of the vote array — the exact doc_simhash
-    // spelling the kernel replaced
-    def chunkExpr(c: Int): String = (0 until 16).map { k =>
-      s"CASE WHEN element_at(v, ${c * 16 + k + 1}) > 0 THEN ${1 << k} ELSE 0 END"
-    }.mkString(" + ")
-    val viaVotes = df
-      .select(col("id"), call_function("simhash_votes", col("txt")).as("v"))
-      .selectExpr("id" +:
-        (0 until 4).map(c => s"(${chunkExpr(c)}) AS c$c") :+
-        "CASE WHEN element_at(v, 65) > 0 THEN 1 ELSE 0 END AS f": _*)
-    val viaChunks = df
-      .select(col("id"), call_function("simhash_chunks", col("txt")).as("ch"))
-      .selectExpr("id", "element_at(ch, 1) AS c0", "element_at(ch, 2) AS c1",
-        "element_at(ch, 3) AS c2", "element_at(ch, 4) AS c3",
-        "element_at(ch, 5) AS f")
-    assert(viaChunks.exceptAll(viaVotes).isEmpty &&
-      viaVotes.exceptAll(viaChunks).isEmpty)
-  }
 }

@@ -108,7 +108,7 @@ class PlanShapeSpec extends SparkSpec {
     // doc_simhash: the vote kernel makes the pre-bucketing side a pure
     // per-row map — no token explode, no regex, no 64-column aggregate
     val ps = plan("doc_simhash")
-    assert(ps.contains("simhash_chunks"), s"doc_simhash lost its kernel:\n$ps")
+    assert(ps.contains("simhash_votes"), s"doc_simhash lost its kernel:\n$ps")
     assert(!ps.contains("regexp_extract_all"),
       s"doc_simhash re-grew the token regex:\n$ps")
     // doc_repetition: kernel + two length builtins — no explode, no
