@@ -123,8 +123,14 @@ object Bench {
     // visible is what lets a sweep-vs-solo comparison stay
     // single-provenance (cold against cold), see BASELINE.md
     var repSamples = List.empty[(String, Seq[Double])]
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    // The main registry loop and the opt-in scale-slice sweep share one
+    // timing body (same reps/min/cache-clear/GC methodology); `label`
+    // distinguishes slice rows in the bookkeeping maps.
+    def timeQueries(qnames: Seq[String], dataDir: String,
+                    labelOf: String => String): Seq[(String, Double)] =
+      qnames.map { name0 =>
+      val name = labelOf(name0)
+      val fn = SparkEntry.queries(name0)
       val samples = (0 until reps).map { rep =>
         val jobsBefore = if (rep == 0) settledShuffleJobBytes() else 0L
         val t0 = System.nanoTime()
@@ -136,7 +142,7 @@ object Bench {
             // a SEPARATE write QueryExecution whose metrics we could
             // not read back)
             def materialize(): Unit = {
-              val df = fn(spark, sfDir)
+              val df = fn(spark, dataDir)
               df.queryExecution.toRdd.foreach(_ => ())
               if (rep == 0)
                 shuffleMb ::= (name ->
@@ -206,6 +212,30 @@ object Bench {
       repSamples ::= (name -> samples)
       name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else samples.min)
     }
+    val results = timeQueries(names, sfDir, identity)
+    // Opt-in scale-slice mini-sweep (SPARK_GRAFT_BENCH_SLICE_DIR): sf0.1
+    // is overhead-bound — the round-14 driver data showed 31 of 33
+    // visible ≥0.5 s rows running as fast or FASTER at 8 cores than 32,
+    // so a low-core/high-core scaling ratio measured there is scheduler
+    // noise, not parallelism. Pointing this env at a larger slice (e.g.
+    // tools/make_sf1ish.py --replicas 100 output) re-times a fixed set
+    // of the heaviest scan/agg-shaped rows where parallelism actually
+    // matters, with the identical reps/min methodology, and reports
+    // them on a SEPARATE `x100_slice` line — the driver's contract
+    // line, `queries` dict, total and BENCH_LATEST.json are untouched
+    // when the variable is unset (always, for driver runs).
+    val sliceNames = Seq(
+      "q1_pricing_summary", "q6_revenue_forecast", "q18_large_orders",
+      "a_cube_returnflag", "doc_char_entropy", "doc_token_count",
+      "doc_minhash_lsh", "doc_substr_search", "doc_gopher_rules",
+      "mm_audio_features")
+    val sliceResults: Seq[(String, Double)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SLICE_DIR") match {
+        case Some(sd) =>
+          timeQueries(sliceNames.filter(SparkEntry.queries.contains), sd,
+            n => s"x100_$n")
+        case None => Nil
+      }
     // NOTE on WARNs in this run's stderr: w4_ntile_quartiles emits
     // Spark's "No Partition Defined for Window" warning by design — it
     // is the documented small-dimension twin of w4b_ntile_scalable
@@ -394,7 +424,58 @@ object Bench {
       s"${jstr(n)}:[${ss.map(s => f"$s%.3f").mkString(",")}]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"rep_samples","samples":$sampJson,"sf":${jstr(sfDir)}}""")
+    if (sliceResults.nonEmpty) {
+      val sliceJson = sliceResults
+        .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"x100_slice","queries":$sliceJson,"cpus":${jstr(cpus)},"dir":${jstr(sys.env("SPARK_GRAFT_BENCH_SLICE_DIR"))}}""")
+    }
+    // The historical one-line contract (metric/value/unit/queries/
+    // errors/sf) is ~6 KB at 153 entries. A tail-limited reader (the
+    // driver keeps a 2000-char stdout tail) that sees only the END of
+    // stdout truncates that line mid-JSON and parses nothing — the
+    // round-14 verdict's lead defect (PERF_r14 empty two rounds
+    // running). Measurement-contract fix, not a semantics change:
+    //  1. the full contract line still prints (below) so any
+    //     full-stdout reader keeps its historical interface;
+    //  2. the per-query dict is re-emitted as SMALL chunked
+    //     `queries_part` lines (i/n indexed, each line well under the
+    //     tail window) that a tail-limited reader can reassemble;
+    //  3. the LAST stdout line is a compact (≤ ~400 char) summary —
+    //     metric/value/unit/valid/n_queries/error count/sha-16 of the
+    //     queries dict/pointer to BENCH_LATEST.json — that ALWAYS fits
+    //     whole inside a 2000-char tail, so `parsed` is never null
+    //     again and totals stay comparable round-over-round.
+    // No timing methodology changed; the numbers are the same dict.
     println(contractLine)
+    val entryStrs = (results ++ storeResults)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    val chunks = {
+      val buf = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var len = 0
+      entryStrs.foreach { e =>
+        if (len + e.length + 1 > 1200 && cur.nonEmpty) {
+          buf += cur.reverse; cur = Nil; len = 0
+        }
+        cur = e :: cur; len += e.length + 1
+      }
+      if (cur.nonEmpty) buf += cur.reverse
+      buf.toList
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","i":$i,"n":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":${jstr(sfDir)}}""")
+    }
+    val qsSha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(qs.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
+    val distinctErrs = errors.distinctBy(_._1)
+    // compact error digest: first two entries (truncated) + the count —
+    // bounded however many queries fail, so the final line stays small
+    val errCompact = distinctErrs.take(2)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"n_queries":${entryStrs.size},"n_errors":${distinctErrs.size},"errors":$errCompact,"queries_sha":${jstr(qsSha)},"queries_file":"BENCH_LATEST.json","queries_parts":${chunks.size},"cpus":${jstr(cpus)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
